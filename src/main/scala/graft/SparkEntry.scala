@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.RelationalQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator from SURVEY.md §2
+  * (plus the LLM-data-pipeline extensions) to a DataFrame builder over the
+  * testdata tables; `oracleSql` holds the equivalent DuckDB SQL for the
+  * driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (Qd analog: fact-to-dimension broadcast join + filter +
+    * aggregate — the reference's own flagship, README.md:45-51) on sf=0.001.
+    * Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.qdJoinFilterCount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md).
+  *
+  * Tables are plain parquet files under an sf directory. All queries take
+  * the directory as a parameter so the same plan runs at any scale factor.
+  * Reads go through `spark.read.parquet` so Catalyst handles column
+  * pruning and filter pushdown into the parquet scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and integer-divide to micros
+    * (double division would lose precision on ~1.7e18 nano values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Local session with the same settings the driver uses, for tests/bench. */
+  def localSession(cores: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** The reference's relational operator surface (SURVEY.md §2) re-expressed
+  * over the driver testdata tables.
+  *
+  * Each query mirrors the shape of one of the reference's analytical
+  * queries Qa–Qh (/root/reference/sql/analysis_queries.sql:5-91) or one of
+  * its ETL dataflow operators, built Spark-first: declarative DataFrame
+  * plans that Catalyst optimizes (filter pushdown into the parquet scan,
+  * column pruning, broadcast joins for dimension tables, partial/final
+  * hash aggregation, whole-stage codegen).
+  *
+  * Determinism contract with the DuckDB oracle (driver gate):
+  *  - double SUMs go through decimal(18,2) and back to double, so the
+  *    result is independent of partitioning/accumulation order;
+  *  - AVGs are only over exact integer counts (sum/count both exact);
+  *  - integer sums are cast to bigint on the oracle side (DuckDB widens
+  *    to HUGEINT, which pandas would lossily coerce);
+  *  - queries are ANSI-mode safe (Spark 4 runs with ansi=true).
+  */
+object RelationalQueries {
+
+  private val weekdays = Seq(
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
+
+  /** Order-insensitive exact sum of a double column: decimal in, double out. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  // --- Qa analog: COUNT(*) grouped by (month, category), ordered (A1, O1, C5) ---
+  // ref: sql/analysis_queries.sql:6-12 (tickets per month x agency)
+  def qaCountByMonthPriority(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("orders_count"))
+      .orderBy(col("order_month"), col("o_orderpriority"))
+
+  val qaOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderpriority,
+      |       count(*) AS orders_count
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- Qb analog: global COUNT after a date filter (F2, A2) ---
+  // ref: sql/analysis_queries.sql:15-18
+  def qbFilterCount(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .agg(count(lit(1)).as("cnt"))
+
+  val qbOracle: String =
+    "SELECT count(*) AS cnt FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'"
+
+  // --- Qc analog: two-level aggregation + custom weekday order (A3, C2, C3, C15/O3) ---
+  // ref: sql/analysis_queries.sql:21-35 (avg daily tickets per weekday, FIELD order)
+  def qcWeekdayAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("daily_orders"))
+    daily
+      .groupBy(date_format(col("order_day"), "EEEE").as("weekday"))
+      .agg(avg(col("daily_orders")).as("avg_daily_orders"))
+      .withColumn("weekday_num",
+        array_position(array(weekdays.map(lit): _*), col("weekday")))
+      .orderBy(col("weekday_num"))
+  }
+
+  val qcOracle: String =
+    """SELECT dayname(order_day) AS weekday,
+      |       avg(daily_orders) AS avg_daily_orders,
+      |       CAST(list_position(['Monday','Tuesday','Wednesday','Thursday','Friday','Saturday','Sunday'],
+      |                          dayname(order_day)) AS BIGINT) AS weekday_num
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS order_day, count(*) AS daily_orders
+      |      FROM orders GROUP BY 1)
+      |GROUP BY dayname(order_day) ORDER BY weekday_num""".stripMargin
+
+  // --- Qd analog: inner equi-join to a small dimension + filter + count (J1, F4, A2) ---
+  // ref: sql/analysis_queries.sql:38-43 (violations on rainy days). customer is the
+  // dimension side -> explicitly broadcast, like weather_daily in the reference.
+  def qdJoinFilterCount(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+      .agg(count(lit(1)).as("building_orders"))
+  }
+
+  val qdOracle: String =
+    """SELECT count(*) AS building_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+
+  // --- Qe analog: SUM per derived month, rounded (A5, C5, C8) ---
+  // ref: sql/analysis_queries.sql:46-51 (monthly precip totals)
+  def qeSumByMonth(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(round(dsum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("order_month"))
+
+  val qeOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Qf analog: LIKE / NOT LIKE filter + SUM per month (F3, C16, A6) ---
+  // ref: sql/analysis_queries.sql:55-63 (fines for >10mph-over violations)
+  def qfLikeSum(spark: SparkSession, dir: String): DataFrame = {
+    val parts = part(spark, dir)
+      .filter(col("p_name").like("%o%")
+        && !col("p_name").like("%bolt%")
+        && !col("p_name").like("%hot%"))
+    lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(round(dsum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  val qfOracle: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_name LIKE '%o%' AND p.p_name NOT LIKE '%bolt%' AND p.p_name NOT LIKE '%hot%'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Qg analog: two-level aggregation on hour-of-day (A4, C2, C4) ---
+  // ref: sql/analysis_queries.sql:68-80 (avg tickets per hour)
+  def qgHourlyAvg(spark: SparkSession, dir: String): DataFrame = {
+    val perDayHour = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_day"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("hourly_events"))
+    perDayHour
+      .groupBy(col("hour_of_day"))
+      .agg(avg(col("hourly_events")).as("avg_hourly_events"))
+      .orderBy(col("hour_of_day"))
+  }
+
+  val qgOracle: String =
+    """SELECT hour_of_day, avg(hourly_events) AS avg_hourly_events
+      |FROM (SELECT CAST(ts AS DATE) AS event_day, CAST(hour(ts) AS INT) AS hour_of_day,
+      |             count(*) AS hourly_events
+      |      FROM events GROUP BY 1, 2)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- Qh analog: join + conditional aggregation with NULL-aware complement (J2, A7, C14, F5) ---
+  // ref: sql/analysis_queries.sql:83-91 (accidents vs non-accidents by rain flag)
+  def qhConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("finished_orders"),
+        sum(when(col("o_orderstatus").isNull || col("o_orderstatus") =!= "F", 1).otherwise(0))
+          .as("other_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val qhOracle: String =
+    """SELECT c_mktsegment,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+      |       CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS other_orders
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- P1/P2/C11/C17: projection + rename + null-only coalesce + cast ---
+  // ref: etl/daily_load/violation_etl_daily.py:227-278 (transform_row),
+  //      etl/full_load/violation_etl_history.py:108-119 (field coalesce)
+  def qProjCoalesce(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(
+        col("p_partkey").cast(StringType).as("part_id"),
+        col("p_name").as("part_name"),
+        coalesce(nullif(col("p_brand"), lit("Brand#2")), lit("other")).as("brand_or_other"),
+        col("p_retailprice").as("retail_price"))
+      .orderBy(col("part_id"))
+
+  val qProjCoalesceOracle: String =
+    """SELECT CAST(p_partkey AS VARCHAR) AS part_id, p_name AS part_name,
+      |       coalesce(nullif(p_brand, 'Brand#2'), 'other') AS brand_or_other,
+      |       p_retailprice AS retail_price
+      |FROM part ORDER BY 1""".stripMargin
+
+  // --- P3: non-empty-key filter ---
+  // ref: etl/full_load/violation_etl_history.py:124
+  def qFilterNonempty(spark: SparkSession, dir: String): DataFrame =
+    supplier(spark, dir)
+      .filter(length(trim(col("s_name"))) > 0)
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+
+  val qFilterNonemptyOracle: String =
+    "SELECT s_suppkey, s_name FROM supplier WHERE length(trim(s_name)) > 0 ORDER BY 1"
+
+  // --- O1/O2: multi-column sort over a join ---
+  // ref: sql/analysis_queries.sql:12 (ORDER BY month, agency)
+  def qSortMulti(spark: SparkSession, dir: String): DataFrame =
+    nation(spark, dir)
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  val qSortMultiOracle: String =
+    """SELECT r_name AS region_name, n_name AS nation_name
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- A8/S6: MAX watermark probe + row count ---
+  // ref: etl/daily_load/violation_etl_daily.py:120-146; DEPLOYMENT.md:231-241
+  def qMaxWatermark(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir).agg(
+      max(col("o_orderdate")).as("max_order_date"),
+      count(lit(1)).as("total_orders"))
+
+  val qMaxWatermarkOracle: String =
+    "SELECT max(o_orderdate) AS max_order_date, count(*) AS total_orders FROM orders"
+
+  // --- §2.7: union of month slices (the full load's month-loop as one plan) ---
+  // ref: etl/full_load/violation_etl_history.py:160-167
+  def qUnionMonths(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).withColumn("order_month",
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val jan = o.filter(col("order_month") === "1995-01")
+    val feb = o.filter(col("order_month") === "1995-02")
+    jan.unionByName(feb)
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("orders_count"))
+      .orderBy(col("order_month"))
+  }
+
+  val qUnionMonthsOracle: String =
+    """SELECT order_month, count(*) AS orders_count FROM (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month FROM orders
+      |  WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'
+      |  UNION ALL
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS order_month FROM orders
+      |  WHERE strftime(o_orderdate, '%Y-%m') = '1995-02'
+      |) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- S7: upsert (ON DUPLICATE KEY UPDATE) as dedup-keep-last merge ---
+  // ref: etl/full_load/violation_etl_history.py:127-154 (last-writer-wins upsert).
+  // base and updates overlap on keys 3..4 (mod 10); the update wins.
+  def qUpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 10 < 5).withColumn("version", lit(0))
+    val updates = o.filter(col("o_orderkey") % 10 >= 3 && col("o_orderkey") % 10 < 8)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1000.0, 2))
+      .withColumn("version", lit(1))
+    val merged = base.unionByName(updates)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    merged.agg(
+      count(lit(1)).as("merged_rows"),
+      sum(col("version")).cast(LongType).as("updated_rows"),
+      round(dsum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  val qUpsertMergeOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders WHERE o_orderkey % 10 < 5
+      |), updates AS (
+      |  SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS o_totalprice, 1 AS version
+      |  FROM orders WHERE o_orderkey % 10 >= 3 AND o_orderkey % 10 < 8
+      |), merged AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |    FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+      |  ) WHERE rn = 1
+      |)
+      |SELECT count(*) AS merged_rows, CAST(sum(version) AS BIGINT) AS updated_rows,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+      |FROM merged""".stripMargin
+
+  // --- S8: insert-ignore (first-writer-wins) as left-anti join + append ---
+  // ref: etl/daily_load/violation_etl_daily.py:281-311
+  def qInsertIgnore(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val existing = o.filter(col("o_orderkey") % 10 < 5)
+    val incoming = o.filter(col("o_orderkey") % 10 >= 3)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 5000.0, 2))
+    val appended = incoming.join(existing.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    existing.unionByName(appended)
+      .agg(
+        count(lit(1)).as("final_rows"),
+        round(dsum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  val qInsertIgnoreOracle: String =
+    """WITH existing AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+      |), incoming AS (
+      |  SELECT o_orderkey, round(o_totalprice + 5000.0, 2) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 >= 3
+      |), final_t AS (
+      |  SELECT * FROM existing
+      |  UNION ALL
+      |  SELECT * FROM incoming i WHERE NOT EXISTS (
+      |    SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+      |)
+      |SELECT count(*) AS final_rows,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+      |FROM final_t""".stripMargin
+
+  // --- ST1-ST3/C7: watermark incremental date range [max+1d, today-1d] ---
+  // ref: etl/daily_load/violation_etl_daily.py:120-146 ("today" pinned for determinism)
+  def qIncrementalRange(spark: SparkSession, dir: String): DataFrame = {
+    val wm = orders(spark, dir)
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .agg(max(to_date(col("o_orderdate"))).as("wm"))
+    wm.select(explode(sequence(
+        date_add(col("wm"), 1),
+        lit(java.sql.Date.valueOf("1999-01-14")),
+        expr("interval 1 day"))).as("load_date"))
+      .orderBy(col("load_date"))
+  }
+
+  val qIncrementalRangeOracle: String =
+    """SELECT CAST(unnest(generate_series(wm + INTERVAL 1 DAY,
+      |                                   TIMESTAMP '1999-01-14 00:00:00',
+      |                                   INTERVAL 1 DAY)) AS DATE) AS load_date
+      |FROM (SELECT CAST(max(o_orderdate) AS DATE) AS wm FROM orders
+      |      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+      |ORDER BY 1""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
+    "qb_filter_count" -> (qbFilterCount _),
+    "qc_weekday_avg" -> (qcWeekdayAvg _),
+    "qd_join_filter_count" -> (qdJoinFilterCount _),
+    "qe_sum_by_month" -> (qeSumByMonth _),
+    "qf_like_sum" -> (qfLikeSum _),
+    "qg_hourly_avg" -> (qgHourlyAvg _),
+    "qh_conditional_agg" -> (qhConditionalAgg _),
+    "q_proj_coalesce" -> (qProjCoalesce _),
+    "q_filter_nonempty" -> (qFilterNonempty _),
+    "q_sort_multi" -> (qSortMulti _),
+    "q_max_watermark" -> (qMaxWatermark _),
+    "q_union_months" -> (qUnionMonths _),
+    "q_upsert_merge" -> (qUpsertMerge _),
+    "q_insert_ignore" -> (qInsertIgnore _),
+    "q_incremental_range" -> (qIncrementalRange _))
+
+  /** name -> DuckDB oracle SQL. */
+  def oracles: Map[String, String] = Map(
+    "qa_count_by_month_priority" -> qaOracle,
+    "qb_filter_count" -> qbOracle,
+    "qc_weekday_avg" -> qcOracle,
+    "qd_join_filter_count" -> qdOracle,
+    "qe_sum_by_month" -> qeOracle,
+    "qf_like_sum" -> qfOracle,
+    "qg_hourly_avg" -> qgOracle,
+    "qh_conditional_agg" -> qhOracle,
+    "q_proj_coalesce" -> qProjCoalesceOracle,
+    "q_filter_nonempty" -> qFilterNonemptyOracle,
+    "q_sort_multi" -> qSortMultiOracle,
+    "q_max_watermark" -> qMaxWatermarkOracle,
+    "q_union_months" -> qUnionMonthsOracle,
+    "q_upsert_merge" -> qUpsertMergeOracle,
+    "q_insert_ignore" -> qInsertIgnoreOracle,
+    "q_incremental_range" -> qIncrementalRangeOracle)
+}

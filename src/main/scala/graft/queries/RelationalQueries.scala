@@ -317,14 +317,15 @@ object RelationalQueries {
     wm.select(explode(sequence(
         date_add(col("wm"), 1),
         lit(java.sql.Date.valueOf("1999-01-14")),
-        expr("interval 1 day"))).as("load_date"))
+        expr("interval 1 day"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("load_date"))
       .orderBy(col("load_date"))
   }
 
   val qIncrementalRangeOracle: String =
-    """SELECT CAST(unnest(generate_series(wm + INTERVAL 1 DAY,
-      |                                   TIMESTAMP '1999-01-14 00:00:00',
-      |                                   INTERVAL 1 DAY)) AS DATE) AS load_date
+    """SELECT strftime(CAST(unnest(generate_series(wm + INTERVAL 1 DAY,
+      |                                            TIMESTAMP '1999-01-14 00:00:00',
+      |                                            INTERVAL 1 DAY)) AS DATE), '%Y-%m-%d') AS load_date
       |FROM (SELECT CAST(max(o_orderdate) AS DATE) AS wm FROM orders
       |      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
       |ORDER BY 1""".stripMargin

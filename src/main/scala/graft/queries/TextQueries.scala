@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines, over
+  * the documents table: token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting, exact dedup, and n-gram Jaccard
+  * near-dedup.
+  *
+  * All ops are narrow per-row Column expressions (whole-stage codegen,
+  * no UDFs) except the dedup ops, which shuffle once on the
+  * fingerprint/shingle key — the layout that scales to 100 TB: per-row
+  * feature extraction is embarrassingly parallel, candidate generation is
+  * a single hash-partitioned join on a high-cardinality key.
+  */
+object TextQueries {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  // --- token counting + quality scoring (length/punct/stopword ratios) ---
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        size(col("tk")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / size(col("tk"))).as("avg_token_len"),
+        (size(filter(col("tk"), t => t.isin(stop.map(lit(_)): _*)))
+          .cast("double") / size(col("tk"))).as("stopword_ratio"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("punct_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStatsOracle: String =
+    """SELECT doc_id, lang, n_chars,
+      |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |         / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+      |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+      |         / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+      |       CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT)
+      |         AS punct_count
+      |FROM documents ORDER BY 1""".stripMargin
+
+  // --- language-ID: marker-token scoring with deterministic argmax ---
+  // (n-gram/stopword heuristic; CJK char count for zh)
+  def qTextLangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks(lower(col("text"))), t => t.isin(markers.map(lit(_)): _*)))
+    val en = hits(Seq("the", "a", "of", "and", "to", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
+    val es = hits(Seq("el", "la", "de", "y", "es", "que"))
+    val fr = hits(Seq("le", "la", "de", "et", "est", "les"))
+    val zh = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+    val best = greatest(en, de, es, fr, zh)
+    documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        en.as("en_score"), de.as("de_score"), es.as("es_score"),
+        fr.as("fr_score"), zh.as("zh_score"),
+        when(best === 0, "und")
+          .when(best === en, "en").when(best === de, "de")
+          .when(best === es, "es").when(best === fr, "fr")
+          .otherwise("zh").as("guessed_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextLangIdOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |         t -> t IN ('the','a','of','and','to','is'))) AS INT) AS en_score,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |         t -> t IN ('der','die','das','und','ist','nicht'))) AS INT) AS de_score,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |         t -> t IN ('el','la','de','y','es','que'))) AS INT) AS es_score,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |         t -> t IN ('le','la','de','et','est','les'))) AS INT) AS fr_score,
+      |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS INT) AS zh_score
+      |  FROM documents)
+      |SELECT doc_id, lang, en_score, de_score, es_score, fr_score, zh_score,
+      |       CASE WHEN greatest(en_score,de_score,es_score,fr_score,zh_score) = 0 THEN 'und'
+      |            WHEN greatest(en_score,de_score,es_score,fr_score,zh_score) = en_score THEN 'en'
+      |            WHEN greatest(en_score,de_score,es_score,fr_score,zh_score) = de_score THEN 'de'
+      |            WHEN greatest(en_score,de_score,es_score,fr_score,zh_score) = es_score THEN 'es'
+      |            WHEN greatest(en_score,de_score,es_score,fr_score,zh_score) = fr_score THEN 'fr'
+      |            ELSE 'zh' END AS guessed_lang
+      |FROM scored ORDER BY 1""".stripMargin
+
+  // --- document fingerprinting: md5 over the sorted distinct token set ---
+  // (canonical normalized-bag fingerprint; robust to token order/duplication)
+  private def fingerprintCol: Column =
+    md5(array_join(
+      array_sort(array_distinct(filter(
+        split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))),
+      " "))
+
+  private val fingerprintSql =
+    """md5(array_to_string(list_sort(list_distinct(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))), ' '))""".stripMargin
+
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val qTextFingerprintOracle: String =
+    s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents ORDER BY 1"
+
+  // --- exact dedup: hash-groupBy on full text; canonical = min(doc_id) ---
+  // One shuffle on a 128-bit hash key; at 100 TB this is the standard
+  // "group by content hash, keep min id" pass (hash first so the shuffle
+  // carries 32 bytes, not the document).
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy(col("canonical_doc_id"))
+
+  val qDedupExactOracle: String =
+    """SELECT md5(text) AS content_hash, count(*) AS copies,
+      |       min(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 3""".stripMargin
+
+  // --- near-dedup: 3-gram shingle Jaccard via inverted-index self-join ---
+  // Candidate pairs share >=1 shingle (inverted index join on the shingle
+  // key) — never the O(n^2) cross join. Scales: explode is narrow, the
+  // self-join shuffles on shingle, the pair-count agg shuffles on the pair.
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val shingles = docs
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = shingles.as("a")
+      .join(shingles.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupNgramJaccardOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), n AS (
+      |  SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |       CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) AS jaccard
+      |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.6
+      |ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangId _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _))
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsOracle,
+    "q_text_langid" -> qTextLangIdOracle,
+    "q_text_fingerprint" -> qTextFingerprintOracle,
+    "q_dedup_exact" -> qDedupExactOracle,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle)
+}

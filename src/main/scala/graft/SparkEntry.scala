@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FunctionQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{FunctionQueries, MultimodalQueries, RelationalQueries,
+  SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +24,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ FunctionQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      SketchDedupQueries.queries ++ StreamingQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FunctionQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++
+      SketchDedupQueries.oracles ++ StreamingQueries.oracles ++
+      MultimodalQueries.oracles
 }

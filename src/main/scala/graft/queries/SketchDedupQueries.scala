@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Sketch-based near-dedup for training-data pipelines: MinHash + LSH
+  * banding and SimHash, over the documents table.
+  *
+  * Both sketches use only portable integer arithmetic (md5 → hex → int64,
+  * multiply-mod against a 1e9+7 prime, shifts/masks), so the DuckDB
+  * oracle can reproduce them bit-for-bit — no engine-specific hash
+  * function appears anywhere.
+  *
+  * Scale design: signatures are one narrow aggregation per document
+  * (map-side partial min/sum, shuffle carries 16 longs per doc, not the
+  * text); LSH banding turns pair generation into an equi-join on
+  * (band, band_hash) — the only quadratic work is within a bucket, and
+  * the verify stage recomputes exact Jaccard only for LSH candidates.
+  */
+object SketchDedupQueries {
+
+  private val P = 1000000007L
+  private val K = 16                   // minhash functions
+  private val Bands = 4                // 4 bands x 4 rows
+  private val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
+  private val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
+
+  // ---------------------------------------------------------------- MinHash
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    val shingles = docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .as("shingle"))
+    val hashed = shingles.withColumn("xm",
+      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
+
+    val minAggs = (0 until K).map(i =>
+      min(expr(s"(${as(i)}L * xm + ${bs(i)}L) % ${P}L")).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bh"))
+    }
+    val mCols = (0 until K).map(i => col(s"m$i"))
+    val exploded = Seq(col("doc_id")) ++ mCols ++ Seq(explode(array(bandStructs: _*)).as("bb"))
+    val flattened = Seq(col("doc_id")) ++ mCols ++
+      Seq(col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = sig.select(exploded: _*).select(flattened: _*)
+
+    val estExpr = ((0 until K)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K).as("minhash_est")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), estExpr)
+      .distinct()
+
+    // verify stage: exact Jaccard, restricted to LSH candidates
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = shingles.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(shingles.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"), "inner")
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("minhash_est"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupMinhashLshOracle: String = {
+    val minCols = (0 until K)
+      .map(i => s"min((${as(i)} * xm + ${bs(i)}) % $P) AS m$i").mkString(",\n      ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until 4).map(r => s"m${4 * b + r}").mkString(", ")
+      s"SELECT *, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val est = (0 until K).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+       |), s AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk)-2),
+       |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+       |  FROM d
+       |), h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS xm,
+       |         shingle
+       |  FROM s
+       |), sig AS (
+       |  SELECT doc_id,
+       |      $minCols
+       |  FROM h GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST($est AS DOUBLE) / $K AS minhash_est
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), n AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY 1
+       |), common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN s sa ON sa.doc_id = c.doc_a
+       |  JOIN s sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.doc_a, c.doc_b, c.minhash_est,
+       |       CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) AS jaccard
+       |FROM cand c
+       |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+       |JOIN n na ON c.doc_a = na.doc_id
+       |JOIN n nb ON c.doc_b = nb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+  private val SimBits = 32
+  private val SimBands = 4             // 4 bands x 8 bits
+  private val HammingMax = 6
+
+  /** 32-bit simhash per document over its token multiset. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("hx",
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % 4294967296"))
+    val bitSums = (0 until SimBits).map(j =>
+      sum(expr(s"(shiftright(hx, $j) % 2) * 2 - 1")).as(s"s$j"))
+    val fpExpr = (0 until SimBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _).as("simhash")
+    tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr)
+  }
+
+  private def simhashSigSql: String = {
+    val sums = (0 until SimBits)
+      .map(j => s"sum(((hx >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n      ")
+    val fp = (0 until SimBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""t AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4294967296 AS hx
+       |  FROM t WHERE tok <> ''
+       |), bsum AS (
+       |  SELECT doc_id,
+       |      $sums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bsum
+       |)""".stripMargin
+  }
+
+  def qSimhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    simhashSig(spark, dir).orderBy(col("doc_id"))
+
+  val qSimhashFingerprintsOracle: String =
+    s"WITH $simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY 1"
+
+  /** Near-dup pairs: band-blocked candidates, Hamming distance <= 6 of 32. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(spark, dir)
+    val bandStructs = (0 until SimBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${8 * b}) % 256").as("bv")))
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupSimhashOracle: String = {
+    val bandSelects = (0 until SimBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bv FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $simhashSigSql, bands AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_simhash_fingerprints" -> (qSimhashFingerprints _),
+    "q_dedup_simhash" -> (qDedupSimhash _))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,
+    "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,
+    "q_dedup_simhash" -> qDedupSimhashOracle)
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming semantics (SURVEY.md §2.9) as Structured Streaming: the
+  * reference's daily micro-batch incremental load maps to a file source +
+  * event-time windowed aggregation + AvailableNow trigger (process all
+  * available input, then stop — the batch-incremental execution mode).
+  *
+  * The query is deterministic: AvailableNow drains the full file, the
+  * memory sink in complete mode holds every window, and the same
+  * aggregation is expressible as a batch GROUP BY for the oracle.
+  */
+object StreamingQueries {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source requires a directory; pathGlobFilter narrows the
+    // listing to the events table
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 3))).cast(DoubleType).as("value_sum"))
+    val name = "stream_hourly_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  val qStreamHourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly" -> (qStreamHourly _))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_hourly" -> qStreamHourlyOracle)
+}

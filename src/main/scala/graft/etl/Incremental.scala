@@ -1,0 +1,87 @@
+package graft.etl
+
+import java.sql.Date
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermark-driven incremental ingestion (SURVEY.md §2.9 ST1–ST5).
+  *
+  * The reference's daily Lambda loop: probe MAX(key-date) in the sink,
+  * load [max+1 day, yesterday] one day at a time, isolate per-day
+  * failures (ref: etl/daily_load/violation_etl_daily.py:120-146, 332-351).
+  */
+object Incremental {
+
+  /** The [start, end] load range:
+    *  - empty sink → cold-start date (ST3;
+    *    ref: violation_etl_daily.py:132-133, weather_etl_daily.py:69-70)
+    *  - end = today - 1 day: completeness lag (ST2; ref: :139-141)
+    *  - start > end → None: nothing to do, early exit (ref: :143-146)
+    */
+  def range(
+      maxInSink: Option[LocalDate],
+      coldStart: LocalDate,
+      today: LocalDate): Option[(LocalDate, LocalDate)] = {
+    val start = maxInSink.map(_.plusDays(1)).getOrElse(coldStart)
+    val end = today.minusDays(1)
+    if (start.isAfter(end)) None else Some((start, end))
+  }
+
+  /** Watermark probe on a lake table: MAX(dateCol) (ST1; the reference's
+    * `SELECT MAX(violation_date)`, ref: violation_etl_daily.py:125-126).
+    */
+  def watermark(spark: SparkSession, path: String, dateCol: String): Option[LocalDate] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(path)
+      .agg(max(col(dateCol)).as("wm"))
+      .collect()(0).getAs[Date]("wm") match {
+        case null => None
+        case d => Some(d.toLocalDate)
+      }
+  }
+
+  /** Result of one incremental run. */
+  case class RunReport(
+      loaded: Seq[LocalDate],
+      failed: Seq[(LocalDate, String)],
+      skipped: Boolean)
+
+  /** Runs one incremental load: fetch each day's batch, write it through
+    * `sink`, isolate failures per day (ST4). The reference's faithful
+    * behavior never backfills a failed day once a later day succeeded
+    * (SURVEY.md §8.4) — that gap behavior is what per-day isolation +
+    * a MAX-date watermark produces naturally; callers wanting backfill
+    * track `RunReport.failed` explicitly.
+    */
+  def run(
+      spark: SparkSession,
+      sinkPath: String,
+      dateCol: String,
+      coldStart: LocalDate,
+      today: LocalDate,
+      fetchDay: LocalDate => DataFrame,
+      sink: (DataFrame, LocalDate) => Unit): RunReport = {
+    range(watermark(spark, sinkPath, dateCol), coldStart, today) match {
+      case None => RunReport(Nil, Nil, skipped = true)
+      case Some((start, end)) =>
+        val days = Iterator.iterate(start)(_.plusDays(1))
+          .takeWhile(!_.isAfter(end)).toSeq
+        val results = days.map { d =>
+          try {
+            sink(fetchDay(d), d)
+            Right(d)
+          } catch {
+            case e: Exception => Left(d -> e.getMessage)
+          }
+        }
+        RunReport(
+          results.collect { case Right(d) => d },
+          results.collect { case Left(f) => f },
+          skipped = false)
+    }
+  }
+}

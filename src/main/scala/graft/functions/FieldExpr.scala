@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL `FIELD(str, v1, v2, ...)` as a native Catalyst expression with
+  * whole-stage codegen: returns the 1-based position of `str` among the
+  * candidates, 0 if absent, 0 if `str` is NULL (MySQL semantics — never
+  * NULL, so it is safe as a sort key).
+  *
+  * The reference's Qc orders weekdays with
+  * `ORDER BY FIELD(weekday,'Monday',...,'Sunday')`
+  * (ref: sql/analysis_queries.sql:33-35); Spark has no FIELD, so this
+  * expression restores SQL-text parity (SURVEY.md §7.3). Built-in
+  * `array_position` is the composition fallback; this exists so the
+  * original MySQL text runs unchanged and stays codegen'd.
+  */
+case class FieldExpr(children: Seq[Expression])
+    extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val target = children.head.eval(input)
+    if (target == null) 0L
+    else {
+      var i = 1
+      while (i < children.length) {
+        val v = children(i).eval(input)
+        if (v != null && v.asInstanceOf[UTF8String].equals(target)) {
+          return i.toLong
+        }
+        i += 1
+      }
+      0L
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val targetGen = children.head.genCode(ctx)
+    val candGens = children.tail.map(_.genCode(ctx))
+    val matches = candGens.zipWithIndex.map { case (c, idx) =>
+      s"""
+         |if (${ev.value} == 0L) {
+         |  ${c.code}
+         |  if (!${c.isNull} && ${c.value}.equals(${targetGen.value})) {
+         |    ${ev.value} = ${idx + 1}L;
+         |  }
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |${targetGen.code}
+        |long ${ev.value} = 0L;
+        |if (!${targetGen.isNull}) {
+        |  $matches
+        |}
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object FieldExpr {
+
+  /** Column-API form: `field($"weekday", "Monday", ..., "Sunday")`. */
+  def field(str: Column, candidates: String*): Column = {
+    import org.apache.spark.sql.functions.lit
+    Shims.column(FieldExpr(
+      Shims.expression(str) +:
+        candidates.map(c => Shims.expression(lit(c)))))
+  }
+
+  /** Registers `field` (and `dayname`) so the reference's original MySQL
+    * query text runs through `spark.sql` unchanged.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "field", exprs => FieldExpr(exprs), "scala_udf")
+    // DAYNAME(d) -> date_format(d, 'EEEE'). Spark 4 ships a builtin
+    // `dayname` returning the abbreviated name ('Fri'); MySQL returns the
+    // full name (ref: sql/analysis_queries.sql:27), so shadow it with a
+    // temp function built on DateFormatClass.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dayname",
+      exprs => org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+        exprs.head, org.apache.spark.sql.catalyst.expressions.Literal("EEEE")),
+      "scala_udf")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sink semantics pinned to the reference (SURVEY.md §2.1 S7/S8, §8.3)
+  * including the DEPLOYMENT.md:244-249 idempotency requirement.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  private def read(path: String): DataFrame = spark.read.parquet(path)
+
+  private def asMap(path: String): Map[String, Double] =
+    read(path).collect().map(r =>
+      r.getAs[String]("violation_id") -> r.getAs[Double]("fine_amount")).toMap
+
+  private def batch(rows: (String, Double, Int, String)*): DataFrame =
+    rows.toDF("violation_id", "fine_amount", "seq", "month")
+
+  test("upsert: last-writer-wins on key collision (ON DUPLICATE KEY UPDATE)") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    Sinks.upsert(spark, batch(("b", 20.0, 1, "2024-09"), ("c", 3.0, 1, "2024-10")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+  }
+
+  test("upsert: idempotent — same batch twice equals once") {
+    val path = tmpDir()
+    val b = batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09"))
+    Sinks.upsert(spark, b, path, Seq("violation_id"), tiebreak = Some("seq"))
+    val once = asMap(path)
+    Sinks.upsert(spark, b, path, Seq("violation_id"), tiebreak = Some("seq"))
+    assert(asMap(path) == once)
+    assert(read(path).count() == 2)
+  }
+
+  test("upsert: batch-internal duplicates resolve by tiebreak (keep-last)") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch(("a", 1.0, 0, "2024-09"), ("a", 9.0, 1, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    assert(asMap(path) == Map("a" -> 9.0))
+  }
+
+  test("insert-ignore: first-writer-wins (INSERT IGNORE)") {
+    val path = tmpDir()
+    Sinks.insertIgnore(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    Sinks.insertIgnore(spark, batch(("b", 99.0, 1, "2024-09"), ("c", 3.0, 1, "2024-10")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+  }
+
+  test("insert-ignore: idempotent replay (DEPLOYMENT.md double-run check)") {
+    val path = tmpDir()
+    val b = batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09"))
+    Sinks.insertIgnore(spark, b, path, Seq("violation_id"), tiebreak = Some("seq"))
+    Sinks.insertIgnore(spark, b, path, Seq("violation_id"), tiebreak = Some("seq"))
+    assert(read(path).count() == 2)
+  }
+
+  test("partitioned upsert keeps the month lake layout") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-10")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("month=2024-09", "month=2024-10"))
+    // partition column survives the round trip
+    assert(read(path).select("month").distinct().count() == 2)
+  }
+
+  test("upsert and insert-ignore preserve full row content") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,
+      Seq("violation_id"), tiebreak = Some("seq"))
+    val r = read(path).collect()(0)
+    assert(r.getAs[Int]("seq") == 5 && r.getAs[String]("month") == "2024-09")
+  }
+}

@@ -70,6 +70,27 @@ object PipelineDemo {
     val weather = spark.read.parquet(wPath)
     println(s"[demo] lake: violations=${violations.count()} weather=${weather.count()}")
 
+    // --- DSv2 fixture sources: the production read path, driven here ---
+    val fxDir = java.nio.file.Files.createTempDirectory("demo-fx")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val feats = root.putArray("features")
+    (1L to 4200L).foreach { i =>
+      val a = mapper.createObjectNode()
+      a.put("OBJECTID", i)
+      a.put("ISSUE_DATE", 1730463300000L + i * 1000)
+      a.put("ISSUING_AGENCY_NAME", "MPD")
+      a.put("FINE_AMOUNT", "75")
+      feats.add(mapper.createObjectNode().set[com.fasterxml.jackson.databind.node.ObjectNode]("attributes", a))
+    }
+    java.nio.file.Files.write(fxDir.resolve("features.json"),
+      mapper.writeValueAsString(root).getBytes("UTF-8"))
+    val dsv2 = spark.read.format("arcgis")
+      .option("mode", "fixture").option("path", fxDir.toString)
+      .load()
+    println(s"[demo] arcgis DSv2: rows=${dsv2.count()} partitions=${dsv2.rdd.getNumPartitions} " +
+      s"pushed=${dsv2.filter(org.apache.spark.sql.functions.col("ISSUE_DATE") >= 1730463300000L + 1000000L).count()}")
+
     val sqlRes = RefQueries.runAllSql(spark, violations, weather)
     val dfRes = RefQueries.runAllDf(violations, weather)
     for (q <- Seq("qa", "qb", "qc", "qd", "qe", "qf", "qg", "qh")) {

@@ -24,6 +24,7 @@ object SimilarityQueries {
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm", expr(
         "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .persist() // both sides of every pairwise join reuse the normed table
 
   /** cosine between pre-normed sides a and b, rounded for determinism. */
   private val cosineExpr: Column = round(

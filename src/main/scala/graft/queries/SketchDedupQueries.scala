@@ -32,15 +32,20 @@ object SketchDedupQueries {
     val docs = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
+    // the shingle set feeds four plan branches (signatures, per-doc counts,
+    // and both sides of the candidate-verify join) — persist it once
+    // instead of recomputing the explode+md5 per branch
     val shingles = docs.select(col("doc_id"), explode(array_distinct(expr(
       "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
       .as("shingle"))
+      .persist()
     val hashed = shingles.withColumn("xm",
       expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
 
     val minAggs = (0 until K).map(i =>
       min(expr(s"(${as(i)}L * xm + ${bs(i)}L) % ${P}L")).as(s"m$i"))
     val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .persist() // both sides of the band self-join
 
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -61,6 +66,7 @@ object SketchDedupQueries {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), estExpr)
       .distinct()
+      .persist() // joined twice in the verify stage
 
     // verify stage: exact Jaccard, restricted to LSH candidates
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -151,6 +157,8 @@ object SketchDedupQueries {
       .reduce(_ + _).as("simhash")
     tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fpExpr)
+      .persist() // 32 bit-sum aggs over the token explosion; reused by both
+                 // sides of the band self-join
   }
 
   private def simhashSigSql: String = {

@@ -139,10 +139,12 @@ object TextQueries {
     val docs = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
+    // three consumers (counts + both join sides): persist the explode
     val shingles = docs
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("shingle"))
+      .persist()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = shingles.as("a")
       .join(shingles.as("b"),

@@ -330,6 +330,80 @@ object RelationalQueries {
       |      WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
       |ORDER BY 1""".stripMargin
 
+  // --- §2.5: window functions as first-class operators ---
+  // The reference's closest analogs are the two-level aggregations and the
+  // sink-side keep-last dedup; these expose the window machinery directly:
+  // running aggregates and ranked rows per partition key.
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("order_seq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(row_number() OVER w AS INT) AS order_seq,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_total
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** Gap-based sessionization over the events stream via lag + running
+    * sum — the batch-window formulation of session assignment (30-minute
+    * inactivity gap), the exact semantics a stateful streaming session
+    * operator maintains incrementally.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull
+          || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         CAST(sum(new_session) OVER
+      |              (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -347,7 +421,9 @@ object RelationalQueries {
     "q_union_months" -> (qUnionMonths _),
     "q_upsert_merge" -> (qUpsertMerge _),
     "q_insert_ignore" -> (qInsertIgnore _),
-    "q_incremental_range" -> (qIncrementalRange _))
+    "q_incremental_range" -> (qIncrementalRange _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_sessionize" -> (qSessionize _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -366,5 +442,7 @@ object RelationalQueries {
     "q_union_months" -> qUnionMonthsOracle,
     "q_upsert_merge" -> qUpsertMergeOracle,
     "q_insert_ignore" -> qInsertIgnoreOracle,
-    "q_incremental_range" -> qIncrementalRangeOracle)
+    "q_incremental_range" -> qIncrementalRangeOracle,
+    "q_window_running" -> qWindowRunningOracle,
+    "q_sessionize" -> qSessionizeOracle)
 }

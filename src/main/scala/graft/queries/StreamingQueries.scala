@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming semantics (SURVEY.md §2.9) as Structured Streaming: the
@@ -60,9 +60,66 @@ object StreamingQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  case class RawEvent(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class UserState(n_events: Long, max_ts_micros: Long)
+  case class UserAgg(user_id: Long, n_events: Long, max_ts: String)
+
+  /** Custom per-key state via `mapGroupsWithState` (the §2.9 stateful-
+    * operator surface): a running per-user event counter + latest event
+    * time, maintained incrementally in the state store.
+    *
+    * Counters are monotone, so even if the file source splits input into
+    * several micro-batches, the final value per user is the max over
+    * emitted updates — which is what the terminal aggregation takes.
+    */
+  def qStreamUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[RawEvent]
+    val updated = src
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[RawEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val next = events.foldLeft(prev) { (s, e) =>
+            UserState(s.n_events + 1, math.max(s.max_ts_micros, e.ts / 1000))
+          }
+          state.update(next)
+          UserAgg(user, next.n_events,
+            java.time.Instant.ofEpochMilli(next.max_ts_micros / 1000)
+              .atZone(java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")))
+      }
+    val name = "stream_users_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = updated.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("max_ts")).as("max_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamUserCountsOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_hourly" -> (qStreamHourly _))
+    "q_stream_hourly" -> (qStreamHourly _),
+    "q_stream_user_counts" -> (qStreamUserCounts _))
 
   def oracles: Map[String, String] = Map(
-    "q_stream_hourly" -> qStreamHourlyOracle)
+    "q_stream_hourly" -> qStreamHourlyOracle,
+    "q_stream_user_counts" -> qStreamUserCountsOracle)
 }

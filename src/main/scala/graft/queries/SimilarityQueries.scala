@@ -19,17 +19,24 @@ import graft.Tables._
   */
 object SimilarityQueries {
 
-  /** vector as double + its L2 norm, from the float embedding column. */
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+  import graft.functions.VectorExprs.dot
+
+  /** vector as double + its L2 norm, from the float embedding column.
+    * Norm and cosine use the codegen'd [[graft.functions.DotProduct]]
+    * kernel (same left-to-right summation as the `aggregate` fold, so
+    * results are bit-identical to the composable form — but the inner
+    * loop is generated primitive code, not per-element lambdas).
+    */
+  private def withNorm(df: DataFrame): DataFrame = {
+    val withV = df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    withV
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .persist() // both sides of every pairwise join reuse the normed table
+  }
 
   /** cosine between pre-normed sides a and b, rounded for determinism. */
-  private val cosineExpr: Column = round(
-    expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-      / (col("a.norm") * col("b.norm")), 5)
+  private def cosineExpr: Column = round(
+    dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 5)
 
   // --- brute-force cosine top-k: exact baseline ---
   def qSimCosineTopk(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, FieldExpr}
+
+/** Session-extensions entry point: registers the engine's custom Catalyst
+  * expressions at session build time, so a cluster deployment gets them
+  * via configuration alone:
+  *
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Functions injected:
+  *  - `field(str, v1, ...)` — MySQL FIELD ordering (SURVEY.md §7.3)
+  *  - `dayname(d)` — MySQL full-name DAYNAME (shadows Spark's abbreviated
+  *    builtin)
+  *  - `dot_product(a, b)` — codegen'd vector dot product
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("field"),
+      info("field", "field(str, v1, ...) - 1-based position of str, 0 if absent"),
+      (exprs: Seq[Expression]) => FieldExpr(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("dayname"),
+      info("dayname", "dayname(d) - full English day name"),
+      (exprs: Seq[Expression]) => DateFormatClass(exprs.head, Literal("EEEE"))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of array<double>"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -30,6 +30,11 @@ object TextQueries {
         col("lang"),
         col("n_chars"),
         size(col("tk")).as("n_tokens"),
+        // BPE-ish subword estimate: letter runs, digit runs, and single
+        // non-space symbols as separate tokens (a GPT-style pre-tokenizer
+        // approximation)
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .as("n_tokens_bpe"),
         (length(regexp_replace(col("text"), "\\s+", ""))
           .cast("double") / size(col("tk"))).as("avg_token_len"),
         (size(filter(col("tk"), t => t.isin(stop.map(lit(_)): _*)))
@@ -42,6 +47,8 @@ object TextQueries {
   val qTextStatsOracle: String =
     """SELECT doc_id, lang, n_chars,
       |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT)
+      |         AS n_tokens_bpe,
       |       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
       |         / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
       |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -108,13 +115,35 @@ object TextQueries {
     """md5(array_to_string(list_sort(list_distinct(list_filter(
       |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))), ' '))""".stripMargin
 
+  /** Order-sensitive rolling polynomial hash over the token stream
+    * (h = (h*31 + tokenHash) mod 1e9+7) — portable integer arithmetic,
+    * identical fold order in both engines.
+    */
+  private val rollingHashCol: Column = expr(
+    """aggregate(
+      |  filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''),
+      |  CAST(0 AS BIGINT),
+      |  (acc, t) -> (acc * 31 + CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 1000000007) % 1000000007)
+      |""".stripMargin)
+
+  private val rollingHashSql =
+    """list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(
+      |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''),
+      |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), fingerprintCol.as("fingerprint"))
+      .select(col("doc_id"), fingerprintCol.as("fingerprint"),
+        rollingHashCol.as("rolling_hash"))
       .orderBy(col("doc_id"))
 
   val qTextFingerprintOracle: String =
-    s"SELECT doc_id, $fingerprintSql AS fingerprint FROM documents ORDER BY 1"
+    s"""SELECT doc_id, $fingerprintSql AS fingerprint,
+       |       $rollingHashSql AS rolling_hash
+       |FROM documents ORDER BY 1""".stripMargin
 
   // --- exact dedup: hash-groupBy on full text; canonical = min(doc_id) ---
   // One shuffle on a 128-bit hash key; at 100 TB this is the standard

@@ -139,17 +139,24 @@ object SketchDedupQueries {
   }
 
   // ---------------------------------------------------------------- SimHash
-  private val SimBits = 32
-  private val SimBands = 4             // 4 bands x 8 bits
-  private val HammingMax = 6
+  // 60-bit fingerprint, 4 bands x 15 bits, Hamming <= 3 (the Manku et al.
+  // design): pigeonhole guarantees any pair within distance 3 shares one
+  // of the 4 bands, and 2^15 band values keep candidate generation linear.
+  // (An 8-bit-band variant collapses quadratically: at 50k docs every band
+  // value holds ~200 docs -> 10^8 candidate pairs. Measured via
+  // graft.ScaleProbe before this layout was chosen.)
+  private val SimBits = 60
+  private val SimBands = 4             // 4 bands x 15 bits
+  private val BandBits = 15
+  private val HammingMax = 3
 
-  /** 32-bit simhash per document over its token multiset. */
+  /** 60-bit simhash per document over its token multiset. */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val tokens = documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("hx",
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % 4294967296"))
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
     val bitSums = (0 until SimBits).map(j =>
       sum(expr(s"(shiftright(hx, $j) % 2) * 2 - 1")).as(s"s$j"))
     val fpExpr = (0 until SimBits)
@@ -170,7 +177,7 @@ object SketchDedupQueries {
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents
        |), h AS (
-       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 4294967296 AS hx
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hx
        |  FROM t WHERE tok <> ''
        |), bsum AS (
        |  SELECT doc_id,
@@ -187,12 +194,12 @@ object SketchDedupQueries {
   val qSimhashFingerprintsOracle: String =
     s"WITH $simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY 1"
 
-  /** Near-dup pairs: band-blocked candidates, Hamming distance <= 6 of 32. */
+  /** Near-dup pairs: band-blocked candidates, Hamming distance <= 3 of 60. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
     val bandStructs = (0 until SimBands).map(b =>
       struct(lit(b).as("band"),
-        expr(s"shiftright(simhash, ${8 * b}) % 256").as("bv")))
+        expr(s"shiftright(simhash, ${BandBits * b}) % ${1 << BandBits}").as("bv")))
     val bands = sig
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
@@ -210,7 +217,8 @@ object SketchDedupQueries {
 
   val qDedupSimhashOracle: String = {
     val bandSelects = (0 until SimBands)
-      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bv FROM sig")
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${BandBits * b}) & ${(1 << BandBits) - 1} AS bv FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH $simhashSigSql, bands AS (
        |  $bandSelects

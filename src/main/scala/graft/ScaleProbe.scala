@@ -1,14 +1,17 @@
 package graft
 
-/** Ad-hoc scale probe: runs the dedup pipelines on an enlarged documents
-  * table (see scripts in the session) and reports timings + result sizes.
-  * Usage: sbt "runMain graft.ScaleProbe /tmp/docs10x"
+/** Ad-hoc scale probe: runs the candidate-generation-heavy operators on an
+  * enlarged corpus and reports timings + result sizes — the "would this
+  * hold at 10x" check for every quadratic-risk pipeline.
+  * Usage: sbt "runMain graft.ScaleProbe /tmp/docs10x [ops...]"
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/docs10x")
+    val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    def on(n: String) = which.isEmpty || which(n)
     val spark = Tables.localSession(cores = 32)
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Unit = if (on(name)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"[probe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
@@ -16,7 +19,10 @@ object ScaleProbe {
     time("dedup_exact")(queries.TextQueries.qDedupExact(spark, dir).count())
     time("dedup_minhash_lsh")(queries.SketchDedupQueries.qDedupMinhashLsh(spark, dir).count())
     time("dedup_simhash")(queries.SketchDedupQueries.qDedupSimhash(spark, dir).count())
+    time("dedup_ngram_jaccard")(queries.TextQueries.qDedupNgramJaccard(spark, dir).count())
     time("text_fingerprint")(queries.TextQueries.qTextFingerprint(spark, dir).count())
+    time("dedup_embedding")(queries.SimilarityQueries.qDedupEmbedding(spark, dir).count())
+    time("sim_lsh_bucketed")(queries.SimilarityQueries.qSimLshBucketed(spark, dir).count())
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -160,27 +161,56 @@ object TextQueries {
       |       min(doc_id) AS canonical_doc_id
       |FROM documents GROUP BY 1 ORDER BY 3""".stripMargin
 
-  // --- near-dedup: 3-gram shingle Jaccard via inverted-index self-join ---
-  // Candidate pairs share >=1 shingle (inverted index join on the shingle
-  // key) — never the O(n^2) cross join. Scales: explode is narrow, the
-  // self-join shuffles on shingle, the pair-count agg shuffles on the pair.
+  // --- near-dedup: 3-gram shingle Jaccard with prefix-filtered candidates ---
+  // Candidate generation uses AllPairs/PPJoin prefix filtering (Bayardo et
+  // al. 2007): under a global rarity order, a pair with Jaccard >= t=3/5
+  // must share a shingle within both docs' first (n - ceil(t*n) + 1)
+  // shingles, so the inverted-index join only indexes those prefixes.
+  // Lossless for the threshold — the simple full-index oracle produces
+  // identical rows — but candidate volume stays linear even when common
+  // shingles appear in hundreds of docs (the naive join was measured
+  // quadratic: 525s at 50k docs vs ~20s with prefixes; graft.ScaleProbe).
+  // All threshold arithmetic is integer-exact (t = 3/5): float rounding at
+  // prefix/length boundaries could silently drop qualifying pairs.
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-    // three consumers (counts + both join sides): persist the explode
     val shingles = docs
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("shingle"))
       .persist()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = shingles.as("a")
-      .join(shingles.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+
+    // global canonical order: rarest shingles first, ties by value
+    val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = shingles
+      .join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .join(counts, "doc_id")
+      // prefix size n - ceil(3n/5) + 1, integer-exact (div, not fp division)
+      .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 3 + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"), col("n_shingles"))
+
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          // length filter, integer-exact: min*5 >= max*3
+          && least(col("a.n_shingles"), col("b.n_shingles")) * 5
+             >= greatest(col("a.n_shingles"), col("b.n_shingles")) * 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // verify stage: exact Jaccard over the full shingle sets, candidates only
+    val common = shingles.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(shingles.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    common
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
       .withColumn("jaccard",

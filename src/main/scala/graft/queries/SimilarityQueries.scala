@@ -139,13 +139,78 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- IVF-style ANN: coarse quantizer + inverted lists ---
+  // Coarse centroids are a deterministic sample (vec_id < 16 — IVF with
+  // sampled centroids); every vector joins the inverted list of its
+  // highest-cosine centroid (rounded, centroid-id tiebreak), and queries
+  // search only their own list. At 100 TB the assignment pass is one
+  // narrow broadcast join (16 centroids), and search cost drops by the
+  // list count — same plan family as a trained IVF index, minus the
+  // k-means iterations.
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
+    val centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val assigned = e.as("a")
+      .join(broadcast(centroids).as("b"), lit(true))
+      .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
+        col("b.cid").as("cid"),
+        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crank") === 1)
+      .select("vec_id", "cid", "v", "norm")
+      .persist()
+    val queriesSet = assigned.filter(col("vec_id") % 400 === 0)
+    queriesSet.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("a.cid").as("list_id"),
+        col("b.vec_id").as("neighbor_id"),
+        cosineExpr.as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 3)
+      .select("query_id", "list_id", "neighbor_id", "cosine")
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  val qSimIvfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+      |), assigned AS (
+      |  SELECT vec_id, cid, v FROM (
+      |    SELECT a.vec_id, c.cid, a.v,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
+      |    FROM e a CROSS JOIN c
+      |  ) WHERE crank = 1
+      |), sims AS (
+      |  SELECT a.vec_id AS query_id, a.cid AS list_id, b.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 400 = 0
+      |)
+      |SELECT query_id, list_id, neighbor_id, cosine FROM sims
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3
+      |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
-    "q_sim_lsh_bucketed" -> (qSimLshBucketed _))
+    "q_sim_lsh_bucketed" -> (qSimLshBucketed _),
+    "q_sim_ivf" -> (qSimIvf _))
 
   def oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,
     "q_dedup_embedding" -> qDedupEmbeddingOracle,
-    "q_sim_lsh_bucketed" -> qSimLshBucketedOracle)
+    "q_sim_lsh_bucketed" -> qSimLshBucketedOracle,
+    "q_sim_ivf" -> qSimIvfOracle)
 }

@@ -126,6 +126,30 @@ class SourcesSpec extends SparkSpec {
     assert(canonical.select("violation_id").distinct().count() == 300)
   }
 
+  test("arcgis: count-then-page equals the reference's loop-until-short-page") {
+    // the daily reference pages until a short page (violation_etl_daily.py:
+    // 166-192); the DSv2 source plans pages from a count probe instead.
+    // Both protocols must yield identical row sets — including when the
+    // total is an exact page multiple (the loop does one extra empty pull).
+    for (n <- Seq(4100, 4000, 150, 0)) {
+      val dir = arcgisFixture(n)
+      val viaSource = readArcgis(dir, pageSize = 2000).collect()
+        .map(_.getAs[Long]("OBJECTID")).toSet
+      val fetcher = new FixtureArcGisFetcher(dir)
+      val viaLoop = Iterator.from(0)
+        .map(p => fetcher.page(p.toLong * 2000, 2000, None))
+        .takeWhile(_.nonEmpty)
+        .flatMap(_.iterator)
+        .map { a =>
+          val upper = a.get("OBJECTID")
+          val node = if (upper == null || upper.isNull) a.get("objectid") else upper
+          node.asLong
+        }.toSet
+      assert(viaSource == viaLoop, s"n=$n")
+      assert(viaLoop.size == n)
+    }
+  }
+
   private def vcFixture(startDay: Int, n: Int): String = {
     val dir = Files.createTempDirectory("vc-fx")
     val root = mapper.createObjectNode()

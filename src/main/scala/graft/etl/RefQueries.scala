@@ -24,6 +24,23 @@ object RefQueries {
   private val weekdays =
     Seq("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
 
+  /** Qa in the typed Dataset API: compile-time field checks via the
+    * Violation case class; same plan as [[qa]] (groupByKey compiles to
+    * the identical hash aggregate when keys are simple fields).
+    */
+  def qaTyped(violations: org.apache.spark.sql.Dataset[Model.Violation])
+      : DataFrame = {
+    val spark = violations.sparkSession
+    import spark.implicits._
+    violations
+      .groupByKey(v => (v.month, v.issuing_agency_name.getOrElse("")))
+      .count()
+      .toDF("key", "tickets_count")
+      .select(col("key._1").as("month"), col("key._2").as("issuing_agency_name"),
+        col("tickets_count"))
+      .orderBy(col("month"), col("issuing_agency_name"))
+  }
+
   /** Qa: tickets per (month, agency). ref: sql/analysis_queries.sql:6-12. */
   def qa(violations: DataFrame): DataFrame =
     violations

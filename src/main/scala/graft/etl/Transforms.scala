@@ -122,4 +122,33 @@ object Transforms {
   def missingWeatherRow(date: java.sql.Date): Model.WeatherDaily =
     Model.WeatherDaily(date, None, None, None, None, None, None,
       Some("missing_from_api"), 0)
+
+  /** Declarative parse of raw ArcGIS response bodies: a column of
+    * `{"features":[{"attributes":{...}}]}` payload strings →
+    * one row per feature with Model.arcgisAttributesSchema, via
+    * `from_json` over the transient nested schema (SURVEY.md §1.4).
+    * The DSv2 source is the scan path; this is the transform-side parse
+    * for payloads that arrive as data (e.g. queued/archived responses).
+    */
+  def parseArcGisResponses(raw: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val responseSchema = StructType(Seq(StructField("features",
+      ArrayType(StructType(Seq(StructField("attributes", Model.arcgisAttributesSchema)))))))
+    raw
+      .select(from_json(col(payloadCol), responseSchema).as("r"))
+      .select(explode(col("r.features")).as("f"))
+      .select(col("f.attributes.*"))
+  }
+
+  /** Same for VisualCrossing timeline bodies: `{"days":[{...}]}` →
+    * one row per day with Model.vcDaySchema.
+    * ref: etl/daily_load/weather_etl_daily.py:111-112.
+    */
+  def parseVcResponses(raw: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val responseSchema = StructType(Seq(
+      StructField("days", ArrayType(Model.vcDaySchema))))
+    raw
+      .select(from_json(col(payloadCol), responseSchema).as("r"))
+      .select(explode(col("r.days")).as("d"))
+      .select(col("d.*"))
+  }
 }

@@ -59,7 +59,10 @@ object RelationalQueries {
     "SELECT count(*) AS cnt FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'"
 
   // --- Qc analog: two-level aggregation + custom weekday order (A3, C2, C3, C15/O3) ---
-  // ref: sql/analysis_queries.sql:21-35 (avg daily tickets per weekday, FIELD order)
+  // ref: sql/analysis_queries.sql:21-35 (avg daily tickets per weekday,
+  // FIELD order). Uses the native FieldExpr (graft.functions) — the
+  // codegen'd MySQL FIELD(); with every weekday present it agrees with
+  // DuckDB's list_position.
   def qcWeekdayAvg(spark: SparkSession, dir: String): DataFrame = {
     val daily = orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("order_day"))
@@ -68,7 +71,7 @@ object RelationalQueries {
       .groupBy(date_format(col("order_day"), "EEEE").as("weekday"))
       .agg(avg(col("daily_orders")).as("avg_daily_orders"))
       .withColumn("weekday_num",
-        array_position(array(weekdays.map(lit): _*), col("weekday")))
+        graft.functions.FieldExpr.field(col("weekday"), weekdays: _*))
       .orderBy(col("weekday_num"))
   }
 

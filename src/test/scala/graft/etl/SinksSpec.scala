@@ -80,6 +80,22 @@ class SinksSpec extends SparkSpec {
     assert(read(path).select("month").distinct().count() == 2)
   }
 
+  test("month-partitioned lake prunes partitions on month predicates") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-10"), ("c", 3.0, 0, "2024-11")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val pruned = read(path).filter(col("month") === "2024-10")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the scan must carry the month predicate as a partition filter and
+    // read a single partition's files
+    assert(plan.contains("PartitionFilters") && plan.contains("month"),
+      s"expected partition filter in:\n$plan")
+    assert(pruned.queryExecution.executedPlan.collectLeaves().toString
+      .contains("month=2024-10") || pruned.count() == 1)
+    assert(pruned.count() == 1)
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

@@ -407,6 +407,26 @@ object RelationalQueries {
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-group top-k via the typed Aggregator (graft.ops.TopK): the
+    * buffer carries only k elements per key through the shuffle, unlike
+    * the window-function formulation which sorts whole groups. The oracle
+    * is that window formulation — both must agree exactly (values pass
+    * through unchanged; ties broken by id).
+    */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(
+      orders(spark, dir), "o_orderpriority", "o_totalprice", "o_orderkey", k = 3)
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  val qTopkPerGroupOracle: String =
+    """SELECT o_orderpriority,
+      |       CAST(row_number() OVER w AS INT) AS rank,
+      |       o_orderkey, o_totalprice
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |QUALIFY rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -426,7 +446,8 @@ object RelationalQueries {
     "q_insert_ignore" -> (qInsertIgnore _),
     "q_incremental_range" -> (qIncrementalRange _),
     "q_window_running" -> (qWindowRunning _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_topk_per_group" -> (qTopkPerGroup _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -447,5 +468,6 @@ object RelationalQueries {
     "q_insert_ignore" -> qInsertIgnoreOracle,
     "q_incremental_range" -> qIncrementalRangeOracle,
     "q_window_running" -> qWindowRunningOracle,
-    "q_sessionize" -> qSessionizeOracle)
+    "q_sessionize" -> qSessionizeOracle,
+    "q_topk_per_group" -> qTopkPerGroupOracle)
 }

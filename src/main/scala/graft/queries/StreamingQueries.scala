@@ -16,6 +16,19 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
+  /** Runs `f` with a scoped shuffle-partition count: streaming state is
+    * partitioned by spark.sql.shuffle.partitions at query start, and a
+    * per-core setting (32) means 32 state stores + 32 sink tasks for a
+    * table this size — pure overhead. Results are partition-count
+    * independent (counts + decimal-routed sums).
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
@@ -24,7 +37,8 @@ object StreamingQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def qStreamHourly(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamHourly(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source requires a directory; pathGlobFilter narrows the
     // listing to the events table
@@ -73,7 +87,8 @@ object StreamingQueries {
     * several micro-batches, the final value per user is the max over
     * emitted updates — which is what the terminal aggregation takes.
     */
-  def qStreamUserCounts(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamUserCounts(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream

@@ -28,15 +28,27 @@ object Bench {
     SparkEntry.queries.get("qd_join_filter_count")
       .foreach(q => q(spark, sfDir).count())
 
+    // A failing query must read as a failure, not as a fast success:
+    // its time is reported as -1 and it is excluded from the total.
+    // Cached intermediates (sketch/similarity persists) are cleared after
+    // each query so cache occupancy doesn't grow across the run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      spark.catalog.clearCache()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

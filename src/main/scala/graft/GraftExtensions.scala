@@ -28,7 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("field"),
       info("field", "field(str, v1, ...) - 1-based position of str, 0 if absent"),
-      (exprs: Seq[Expression]) => FieldExpr(exprs)))
+      (exprs: Seq[Expression]) => FieldExpr.withStringCoercion(exprs)))
     ext.injectFunction((
       FunctionIdentifier("dayname"),
       info("dayname", "dayname(d) - full English day name"),

@@ -35,7 +35,9 @@ object Incremental {
   def watermark(spark: SparkSession, path: String, dateCol: String): Option[LocalDate] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    // an existing-but-empty dir (pre-created by tooling, or a failed first
+    // write) is an empty sink, not a crash
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
     else spark.read.parquet(path)
       .agg(max(col(dateCol)).as("wm"))
       .collect()(0).getAs[Date]("wm") match {

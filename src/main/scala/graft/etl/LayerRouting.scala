@@ -23,11 +23,14 @@ object LayerRouting {
   private val layer2025: Map[String, Int] =
     (1 to 12).map(m => f"2025-$m%02d" -> (m - 1)).toMap
 
-  /** ref: violation_etl_daily.py:46-58 (get_layer_url). */
+  /** ref: violation_etl_daily.py:46-58 (get_layer_url). Base URLs honor
+    * the VIOLATIONS_*_BASE_URL env overrides (EtlConfig / S10).
+    */
   def layerUrl(monthKey: String): (String, Int) = {
     val (base, layer) =
-      if (monthKey.startsWith("2024")) (Url2024, layer2024.get(monthKey))
-      else (Url2025, layer2025.get(monthKey))
+      if (monthKey.startsWith("2024"))
+        (EtlConfig.violations2024BaseUrl, layer2024.get(monthKey))
+      else (EtlConfig.violations2025BaseUrl, layer2025.get(monthKey))
     layer match {
       case Some(l) => (base, l)
       case None =>
@@ -49,7 +52,7 @@ object LayerRouting {
   /** DSv2 options for one month's scan against the fixture or http
     * backend — the engine-side form of the reference's routing.
     */
-  def sourceOptions(monthKey: String, pageSize: Int = EtlConfig.defaultPageSize): Map[String, String] = {
+  def sourceOptions(monthKey: String, pageSize: Int = EtlConfig.violationsPageSize): Map[String, String] = {
     val (url, layer) = layerUrl(monthKey)
     Map("mode" -> "http", "url" -> url, "layer" -> layer.toString,
       "pageSize" -> pageSize.toString)

@@ -25,15 +25,15 @@ object RefQueries {
     Seq("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
 
   /** Qa in the typed Dataset API: compile-time field checks via the
-    * Violation case class; same plan as [[qa]] (groupByKey compiles to
-    * the identical hash aggregate when keys are simple fields).
+    * Violation case class; identical results to [[qa]] including the NULL
+    * agency group (the Option stays in the key — no default folding).
     */
   def qaTyped(violations: org.apache.spark.sql.Dataset[Model.Violation])
       : DataFrame = {
     val spark = violations.sparkSession
     import spark.implicits._
     violations
-      .groupByKey(v => (v.month, v.issuing_agency_name.getOrElse("")))
+      .groupByKey(v => (v.month, v.issuing_agency_name))
       .count()
       .toDF("key", "tickets_count")
       .select(col("key._1").as("month"), col("key._2").as("issuing_agency_name"),

@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,47 +16,65 @@ import org.apache.spark.sql.functions._
   *  - insert-ignore (`INSERT IGNORE`): first-writer-wins — the daily
   *    violations path (ref: etl/daily_load/violation_etl_daily.py:281-311).
   *
-  * Scale design: both writes shuffle exactly once on the key. When a
-  * partition column is given (violations.month — the lake layout of
-  * SURVEY.md §4.3), only affected partitions are rewritten (dynamic
-  * partition overwrite), so a daily increment touching one month never
-  * rewrites history. Batch-internal duplicates are resolved before the
-  * merge (keep-last for upsert / keep-first for insert-ignore by a
-  * stable tiebreak), which makes both operations idempotent: applying
-  * the same batch twice equals applying it once (DEPLOYMENT.md:244-249).
+  * Scale design:
+  *  - insert-ignore never rewrites anything: one anti-join on the key
+  *    (reading only the key column of the lake) and an append of the
+  *    fresh rows. A re-run after a partial append self-heals — the
+  *    anti-join skips whatever landed.
+  *  - partitioned upsert merges and swaps ONLY the partitions the batch
+  *    touches: existing rows of affected partitions (partition-pruned
+  *    read) union the batch, keep-last per key, then a per-partition
+  *    directory swap. A daily increment touching one month never
+  *    rewrites history. Requires the partition value to be stable per
+  *    key (true for violations: month is derived from the id's date) —
+  *    a key that moves partitions would leave its old-partition copy.
+  *  - unpartitioned upsert rewrites the table with a crash-safe swap:
+  *    write tmp → rename current aside → rename tmp in → delete old.
+  *    No window where the table is deleted before its replacement exists.
+  *  - batch-internal duplicates resolve before the merge (keep-last for
+  *    upsert / keep-first for insert-ignore by a stable tiebreak), making
+  *    both ops idempotent: same batch twice ≡ once (DEPLOYMENT.md:244-249).
   */
 object Sinks {
 
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    val fs = fsFor(spark, path)
+    fs.exists(new Path(path)) && fs.listStatus(new Path(path)).nonEmpty
   }
 
   private def readLake(spark: SparkSession, path: String): Option[DataFrame] =
     if (tableExists(spark, path)) Some(spark.read.parquet(path)) else None
 
-  /** Write to a temp sibling then swap directories. A cached-DataFrame
-    * overwrite of the path being read is unsafe (evicted partitions would
-    * recompute from a half-overwritten source); the temp-and-rename swap
-    * never reads and writes the same files.
+  /** Swap `target` with `replacement` (both directories): rename target
+    * aside, rename replacement in, delete the aside copy. At no point is
+    * the data absent without a recoverable copy next to it.
     */
-  private def safeOverwrite(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  private def swapDirs(fs: FileSystem, target: Path, replacement: Path): Unit = {
+    val aside = new Path(target.getParent,
+      target.getName + "._old_" + java.util.UUID.randomUUID.toString.take(8))
+    val hadOld = fs.exists(target)
+    if (hadOld) fs.rename(target, aside)
+    fs.mkdirs(target.getParent)
+    fs.rename(replacement, target)
+    if (hadOld) fs.delete(aside, true)
+  }
+
+  /** Keep one row per key: highest `_precedence`, then tiebreak desc. */
+  private def keepLast(
+      df: DataFrame, keys: Seq[String], tiebreak: Option[String]): DataFrame = {
+    val order = col("_precedence").desc +: tiebreak.map(c => col(c).desc).toSeq
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_precedence")
   }
 
   /** Last-writer-wins upsert of `batch` into the lake table at `path`.
-    *
-    * New batch rows take precedence over existing rows with the same key;
-    * within the batch, `tiebreak` desc decides (a stable ordering column,
-    * e.g. an ingest sequence). One shuffle, on `keys`.
+    * One shuffle on `keys`; with `partitionBy` given, only the batch's
+    * partitions are read, merged, and swapped.
     */
   def upsert(
       spark: SparkSession,
@@ -65,23 +84,52 @@ object Sinks {
       partitionBy: Seq[String] = Nil,
       tiebreak: Option[String] = None): Unit = {
     val newRows = batch.withColumn("_precedence", lit(1))
-    val merged = readLake(spark, path) match {
-      case None => newRows
-      case Some(existing) =>
-        existing.withColumn("_precedence", lit(0)).unionByName(newRows)
+    val fs = fsFor(spark, path)
+
+    if (partitionBy.isEmpty || !tableExists(spark, path)) {
+      // whole-table merge + crash-safe swap (or first write)
+      val merged = readLake(spark, path) match {
+        case None => newRows
+        case Some(existing) =>
+          existing.withColumn("_precedence", lit(0)).unionByName(newRows)
+      }
+      val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+      val w = keepLast(merged, keys, tiebreak).write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+      swapDirs(fs, new Path(path), new Path(tmp))
+    } else {
+      // partition-scoped merge: touch only the partitions in the batch
+      val pcol = partitionBy.head
+      require(partitionBy.size == 1,
+        "partition-scoped upsert supports a single partition column")
+      val affected = batch.select(col(pcol)).distinct().collect().map(_.get(0))
+      val nonNull = affected.filter(_ != null)
+      val hasNull = affected.exists(_ == null)
+      val existing = spark.read.parquet(path)
+      val partPred = {
+        val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*) else lit(false)
+        if (hasNull) in || col(pcol).isNull else in
+      }
+      val merged = keepLast(
+        existing.filter(partPred).withColumn("_precedence", lit(0))
+          .unionByName(newRows),
+        keys, tiebreak)
+      val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
+      // swap exactly the partition dirs the merge produced (directory
+      // names carry Hive-escaped values — no re-encoding here)
+      fs.listStatus(new Path(tmp))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+        .foreach { s =>
+          swapDirs(fs, new Path(path, s.getPath.getName), s.getPath)
+        }
+      fs.delete(new Path(tmp), true)
     }
-    val order = col("_precedence").desc +:
-      tiebreak.map(c => col(c).desc).toSeq
-    val deduped = merged
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_precedence")
-    safeOverwrite(deduped, path, partitionBy)
   }
 
-  /** First-writer-wins append of `batch`: rows whose key already exists in
-    * the lake are dropped (left-anti join on the key — one shuffle).
+  /** First-writer-wins append: rows whose key already exists in the lake
+    * are dropped (left-anti join on the key), the rest append as new
+    * files — nothing existing is ever rewritten.
     */
   def insertIgnore(
       spark: SparkSession,
@@ -97,13 +145,12 @@ object Sinks {
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
       .filter(col("_rn") === 1)
       .drop("_rn")
-    readLake(spark, path) match {
-      case None =>
-        safeOverwrite(dedupedBatch, path, partitionBy)
+    val fresh = readLake(spark, path) match {
+      case None => dedupedBatch
       case Some(existing) =>
-        val fresh = dedupedBatch.join(
-          existing.select(keys.map(col): _*), keys, "left_anti")
-        safeOverwrite(existing.unionByName(fresh), path, partitionBy)
+        dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
     }
+    val w = fresh.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 }

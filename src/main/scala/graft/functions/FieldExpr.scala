@@ -23,6 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class FieldExpr(children: Seq[Expression])
     extends Expression {
 
+  require(children.nonEmpty, "FIELD() requires at least the search argument")
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def foldable: Boolean = children.forall(_.foldable)
@@ -73,12 +75,25 @@ case class FieldExpr(children: Seq[Expression])
 
 object FieldExpr {
 
+  /** MySQL coerces every FIELD argument to string; wrapping children in a
+    * string cast reproduces that and keeps non-string inputs from hitting
+    * the UTF8String comparison uncast. Unconditional (children may be
+    * unresolved here — no dataType yet); SimplifyCasts removes the no-op.
+    */
+  private def asStrings(exprs: Seq[Expression]): Seq[Expression] =
+    exprs.map(e => org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.StringType))
+
+  /** Registry-builder form with MySQL string coercion applied. */
+  def withStringCoercion(exprs: Seq[Expression]): FieldExpr =
+    FieldExpr(asStrings(exprs))
+
   /** Column-API form: `field($"weekday", "Monday", ..., "Sunday")`. */
   def field(str: Column, candidates: String*): Column = {
     import org.apache.spark.sql.functions.lit
-    Shims.column(FieldExpr(
+    Shims.column(FieldExpr(asStrings(
       Shims.expression(str) +:
-        candidates.map(c => Shims.expression(lit(c)))))
+        candidates.map(c => Shims.expression(lit(c))))))
   }
 
   /** Registers `field` (and `dayname`) so the reference's original MySQL
@@ -86,7 +101,7 @@ object FieldExpr {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "field", exprs => FieldExpr(exprs), "scala_udf")
+      "field", exprs => FieldExpr(asStrings(exprs)), "scala_udf")
     // DAYNAME(d) -> date_format(d, 'EEEE'). Spark 4 ships a builtin
     // `dayname` returning the abbreviated name ('Fri'); MySQL returns the
     // full name (ref: sql/analysis_queries.sql:27), so shadow it with a

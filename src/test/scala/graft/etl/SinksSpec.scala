@@ -96,6 +96,42 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  private def partFiles(path: String, part: String): Map[String, Long] = {
+    val d = new java.io.File(path, part)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("partition-scoped upsert leaves untouched months' files unmodified") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-10"), ("c", 3.0, 0, "2024-11")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val sept = partFiles(path, "month=2024-09")
+    val nov = partFiles(path, "month=2024-11")
+    assert(sept.nonEmpty && nov.nonEmpty)
+    // second upsert touches only 2024-10
+    Sinks.upsert(spark, batch(("b", 20.0, 1, "2024-10"), ("d", 4.0, 1, "2024-10")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    assert(partFiles(path, "month=2024-09") == sept) // same files, same mtimes
+    assert(partFiles(path, "month=2024-11") == nov)
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0, "d" -> 4.0))
+  }
+
+  test("insert-ignore appends: existing files are never rewritten") {
+    val path = tmpDir()
+    Sinks.insertIgnore(spark, batch(("a", 1.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val before = partFiles(path, ".")
+    Sinks.insertIgnore(spark, batch(("a", 9.0, 1, "2024-09"), ("b", 2.0, 1, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val after = partFiles(path, ".")
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    assert(after.size > before.size) // new file(s) appended
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 2.0))
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

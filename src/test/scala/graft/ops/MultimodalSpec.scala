@@ -27,6 +27,40 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.values.forall(_.media_type == "text/plain"))
   }
 
+  test("resize preserves aspect within the target box") {
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs))
+    val r = Multimodal.withResize(meta, maxSide = 100).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("resized_width"), x.getAs[Int]("resized_height")))).toMap
+    r.values.foreach { case (w, h) => assert(w <= 100 && h <= 100 && w > 0 && h > 0) }
+    // doc 1: 11 bytes -> 75 x 141 -> scaled by 100/141
+    assert(r(1L) == ((75 * 100 / 141, 100)))
+  }
+
+  test("byte-histogram features are a real normalized distribution and feed cosine") {
+    val feats = Multimodal.byteHistogramFeatures(
+      Multimodal.withPayload(docs.filter(col("doc_id") =!= 3)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Double](r.fieldIndex("features"))).toMap
+    feats.values.foreach { h =>
+      assert(h.length == 16)
+      assert(math.abs(h.sum - 1.0) < 1e-9) // normalized
+    }
+    // 'x'*600: every byte = 'x' (0x78) -> bin 7 holds all mass
+    assert(feats(2L)(7) == 1.0)
+    // cosine between the two docs' features is computable via DotProduct
+    import graft.functions.VectorExprs.dot
+    val fdf = Multimodal.byteHistogramFeatures(
+      Multimodal.withPayload(docs.filter(col("doc_id") =!= 3)))
+    val cos = fdf.as("a").join(fdf.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select((dot(col("a.features"), col("b.features")) /
+        (sqrt(dot(col("a.features"), col("a.features"))) *
+          sqrt(dot(col("b.features"), col("b.features"))))).as("c"))
+      .collect()(0).getDouble(0)
+    assert(cos >= 0.0 && cos <= 1.0)
+  }
+
   test("frame sampling explodes deterministic indexes") {
     val meta = Multimodal.decodeMeta(Multimodal.withPayload(
       Seq((9L, "y" * 25000)).toDF("doc_id", "text"))) // frames = 3

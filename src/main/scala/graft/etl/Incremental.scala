@@ -33,11 +33,9 @@ object Incremental {
     * `SELECT MAX(violation_date)`, ref: violation_etl_daily.py:125-126).
     */
   def watermark(spark: SparkSession, path: String, dateCol: String): Option[LocalDate] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing-but-empty dir (pre-created by tooling, or a failed first
-    // write) is an empty sink, not a crash
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    // missing, empty, or containing only write leftovers (_temporary /
+    // _SUCCESS) — all read as an empty sink, not a crash
+    if (!LakeFs.nonEmptyDataDir(spark, path)) None
     else spark.read.parquet(path)
       .agg(max(col(dateCol)).as("wm"))
       .collect()(0).getAs[Date]("wm") match {

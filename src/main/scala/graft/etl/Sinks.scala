@@ -40,26 +40,35 @@ object Sinks {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val fs = fsFor(spark, path)
-    fs.exists(new Path(path)) && fs.listStatus(new Path(path)).nonEmpty
-  }
-
   private def readLake(spark: SparkSession, path: String): Option[DataFrame] =
-    if (tableExists(spark, path)) Some(spark.read.parquet(path)) else None
+    if (LakeFs.nonEmptyDataDir(spark, path)) Some(spark.read.parquet(path))
+    else None
+
+  private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
+    // Hadoop reports most rename failures by returning false; proceeding
+    // after a false would nest the replacement inside the stale target
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename failed: $from -> $to")
 
   /** Swap `target` with `replacement` (both directories): rename target
-    * aside, rename replacement in, delete the aside copy. At no point is
-    * the data absent without a recoverable copy next to it.
+    * aside (under `asideParent` — NEVER inside a directory Spark scans as
+    * a table, or the leftover reads as a duplicate partition after a
+    * crash), rename replacement in, delete the aside copy. At no point is
+    * the data absent without a recoverable copy.
     */
-  private def swapDirs(fs: FileSystem, target: Path, replacement: Path): Unit = {
-    val aside = new Path(target.getParent,
+  private def swapDirs(
+      fs: FileSystem, target: Path, replacement: Path, asideParent: Path): Unit = {
+    val aside = new Path(asideParent,
       target.getName + "._old_" + java.util.UUID.randomUUID.toString.take(8))
     val hadOld = fs.exists(target)
-    if (hadOld) fs.rename(target, aside)
+    if (hadOld) {
+      fs.mkdirs(asideParent)
+      renameOrThrow(fs, target, aside)
+    }
     fs.mkdirs(target.getParent)
-    fs.rename(replacement, target)
-    if (hadOld) fs.delete(aside, true)
+    renameOrThrow(fs, replacement, target)
+    if (hadOld && !fs.delete(aside, true))
+      throw new java.io.IOException(s"delete failed: $aside")
   }
 
   /** Keep one row per key: highest `_precedence`, then tiebreak desc. */
@@ -83,11 +92,12 @@ object Sinks {
       keys: Seq[String],
       partitionBy: Seq[String] = Nil,
       tiebreak: Option[String] = None): Unit = {
-    val newRows = batch.withColumn("_precedence", lit(1))
     val fs = fsFor(spark, path)
+    val tableRoot = new Path(path)
 
-    if (partitionBy.isEmpty || !tableExists(spark, path)) {
+    if (partitionBy.isEmpty || !LakeFs.nonEmptyDataDir(spark, path)) {
       // whole-table merge + crash-safe swap (or first write)
+      val newRows = batch.withColumn("_precedence", lit(1))
       val merged = readLake(spark, path) match {
         case None => newRows
         case Some(existing) =>
@@ -96,34 +106,46 @@ object Sinks {
       val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
       val w = keepLast(merged, keys, tiebreak).write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-      swapDirs(fs, new Path(path), new Path(tmp))
+      swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
     } else {
-      // partition-scoped merge: touch only the partitions in the batch
+      // partition-scoped merge: touch only the partitions in the batch.
+      // The batch plan feeds both the affected-partition probe and the
+      // merge write — persist so an expensive upstream (API fetch +
+      // transform) evaluates once.
       val pcol = partitionBy.head
       require(partitionBy.size == 1,
         "partition-scoped upsert supports a single partition column")
-      val affected = batch.select(col(pcol)).distinct().collect().map(_.get(0))
-      val nonNull = affected.filter(_ != null)
-      val hasNull = affected.exists(_ == null)
-      val existing = spark.read.parquet(path)
-      val partPred = {
-        val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*) else lit(false)
-        if (hasNull) in || col(pcol).isNull else in
-      }
-      val merged = keepLast(
-        existing.filter(partPred).withColumn("_precedence", lit(0))
-          .unionByName(newRows),
-        keys, tiebreak)
-      val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-      merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
-      // swap exactly the partition dirs the merge produced (directory
-      // names carry Hive-escaped values — no re-encoding here)
-      fs.listStatus(new Path(tmp))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
-        .foreach { s =>
-          swapDirs(fs, new Path(path, s.getPath.getName), s.getPath)
+      val b = batch.persist()
+      try {
+        val newRows = b.withColumn("_precedence", lit(1))
+        val affected = b.select(col(pcol)).distinct().collect().map(_.get(0))
+        val nonNull = affected.filter(_ != null)
+        val hasNull = affected.exists(_ == null)
+        val existing = spark.read.parquet(path)
+        val partPred = {
+          val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*) else lit(false)
+          if (hasNull) in || col(pcol).isNull else in
         }
-      fs.delete(new Path(tmp), true)
+        val merged = keepLast(
+          existing.filter(partPred).withColumn("_precedence", lit(0))
+            .unionByName(newRows),
+          keys, tiebreak)
+        val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+        merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
+        // swap exactly the partition dirs the merge produced (directory
+        // names carry Hive-escaped values — no re-encoding here); asides
+        // live OUTSIDE the table root so a crash never leaves a directory
+        // Spark would discover as a bogus partition
+        val asideRoot = new Path(tableRoot.getParent,
+          tableRoot.getName + "._aside_" + java.util.UUID.randomUUID.toString.take(8))
+        fs.listStatus(new Path(tmp))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
+          .foreach { s =>
+            swapDirs(fs, new Path(path, s.getPath.getName), s.getPath, asideRoot)
+          }
+        fs.delete(new Path(tmp), true)
+        fs.delete(asideRoot, true)
+      } finally b.unpersist()
     }
   }
 

@@ -75,10 +75,13 @@ case class FieldExpr(children: Seq[Expression])
 
 object FieldExpr {
 
-  /** MySQL coerces every FIELD argument to string; wrapping children in a
-    * string cast reproduces that and keeps non-string inputs from hitting
-    * the UTF8String comparison uncast. Unconditional (children may be
-    * unresolved here — no dataType yet); SimplifyCasts removes the no-op.
+  /** All arguments are coerced to string before comparison. This matches
+    * MySQL FIELD for string arguments (the reference's only use — weekday
+    * names); it intentionally diverges from MySQL's all-numeric mode,
+    * where arguments are compared numerically (FIELD(2, 10, 2.0) = 2 in
+    * MySQL, 0 here since '2' <> '2.0'). Unconditional cast because
+    * children may be unresolved (no dataType yet); SimplifyCasts removes
+    * the no-op string→string.
     */
   private def asStrings(exprs: Seq[Expression]): Seq[Expression] =
     exprs.map(e => org.apache.spark.sql.catalyst.expressions.Cast(

@@ -85,17 +85,19 @@ object Multimodal {
   /** Resize metadata: target box with aspect preserved — plan-side
     * integer arithmetic over the decoded dimensions.
     */
-  def withResize(meta: Dataset[MediaMeta], maxSide: Int): DataFrame =
+  def withResize(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    // clamp to >= 1: extreme aspect ratios would otherwise truncate a
+    // scaled dimension to zero
+    def scaled(c: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      greatest(lit(1),
+        when(den <= maxSide, c)
+          .otherwise((c * maxSide).cast("long") / den).cast("int"))
     meta.toDF()
-      .withColumn("scale_num", lit(maxSide))
       .withColumn("scale_den", greatest(col("width"), col("height")))
       .select(col("doc_id"), col("width"), col("height"),
-        when(col("scale_den") <= maxSide, col("width"))
-          .otherwise((col("width") * maxSide).cast("long") / col("scale_den"))
-          .cast("int").as("resized_width"),
-        when(col("scale_den") <= maxSide, col("height"))
-          .otherwise((col("height") * maxSide).cast("long") / col("scale_den"))
-          .cast("int").as("resized_height"))
+        scaled(col("width"), col("scale_den")).as("resized_width"),
+        scaled(col("height"), col("scale_den")).as("resized_height"))
+  }
 
   /** REAL feature extraction over the opaque payload (no stub): a
     * normalized 16-bin byte histogram per document, computed per

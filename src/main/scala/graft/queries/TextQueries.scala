@@ -255,17 +255,61 @@ object TextQueries {
       |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.6
       |ORDER BY 1, 2""".stripMargin
 
+  // --- quality filtering: the keep/drop decision pass of a pipeline ---
+  // Keep documents whose signals sit in healthy bands (enough tokens,
+  // plausible average token length, stopwords not dominating); report
+  // kept/dropped per language — the shape of a corpus-cleaning job's
+  // accounting output.
+  def qTextQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val nTokens = size(tk)
+    val avgLen = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nTokens
+    val stopRatio = size(filter(tk,
+      t => t.isin(Seq("the", "a", "of", "and", "to").map(lit(_)): _*)))
+      .cast("double") / nTokens
+    documents(spark, dir)
+      .withColumn("keep",
+        nTokens >= 10 && avgLen >= 2.0 && avgLen <= 12.0 && stopRatio <= 0.3)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        sum(when(col("keep"), 0).otherwise(1)).as("dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val qTextQualityFilterOracle: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |           / len(string_split_regex(trim(text), '\s+')) AS avg_len,
+      |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |              t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+      |           / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+      |  FROM documents)
+      |SELECT lang,
+      |       CAST(sum(CASE WHEN n_tokens >= 10 AND avg_len >= 2.0
+      |                      AND avg_len <= 12.0 AND stop_ratio <= 0.3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |       CAST(sum(CASE WHEN n_tokens >= 10 AND avg_len >= 2.0
+      |                      AND avg_len <= 12.0 AND stop_ratio <= 0.3
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
-    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _))
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_text_quality_filter" -> (qTextQualityFilter _))
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,
     "q_text_fingerprint" -> qTextFingerprintOracle,
     "q_dedup_exact" -> qDedupExactOracle,
-    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle)
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,
+    "q_text_quality_filter" -> qTextQualityFilterOracle)
 }

@@ -149,6 +149,46 @@ object Sinks {
     }
   }
 
+  /** Small-file compaction — the companion of append-only ingestion: a
+    * year of daily insert-ignore appends leaves one file per day per
+    * partition, and scan/listing cost grows with file count, not data.
+    * Rewrites every directory holding more than `maxFiles` parquet files
+    * into `targetFiles` files via the crash-safe swap; directories at or
+    * below the threshold are untouched.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitioned: Boolean = false,
+      maxFiles: Int = 4,
+      targetFiles: Int = 1): Unit = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    if (!LakeFs.nonEmptyDataDir(spark, path)) return
+
+    def parquetCount(dir: Path): Int =
+      fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+    def rewrite(dir: Path): Unit = {
+      // tmp lives OUTSIDE the table root (sibling of it), like the asides
+      val tmp = new Path(root.getParent,
+        root.getName + "._compact_" + java.util.UUID.randomUUID.toString.take(8))
+      spark.read.parquet(dir.toString)
+        .coalesce(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapDirs(fs, dir, tmp, root.getParent)
+    }
+
+    if (!partitioned) {
+      if (parquetCount(root) > maxFiles) rewrite(root)
+    } else {
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .filter(s => parquetCount(s.getPath) > maxFiles)
+        .foreach(s => rewrite(s.getPath))
+    }
+  }
+
   /** First-writer-wins append: rows whose key already exists in the lake
     * are dropped (left-anti join on the key), the rest append as new
     * files — nothing existing is ever rewritten.

@@ -155,6 +155,30 @@ class SinksSpec extends SparkSpec {
     assert(rows == Map("a" -> "2024-09", "n" -> null))
   }
 
+  test("compaction merges small appended files; untouched dirs keep theirs") {
+    val path = tmpDir()
+    // 6 daily appends -> >= 6 files in month=2024-09; one append in 2024-10
+    (0 until 6).foreach(i =>
+      Sinks.insertIgnore(spark, batch((s"k$i", i.toDouble, i, "2024-09")),
+        path, Seq("violation_id"), partitionBy = Seq("month")))
+    Sinks.insertIgnore(spark, batch(("z", 9.0, 9, "2024-10")),
+      path, Seq("violation_id"), partitionBy = Seq("month"))
+    val before = asMap(path)
+    assert(partFiles(path, "month=2024-09").size >= 6)
+    val octBefore = partFiles(path, "month=2024-10")
+
+    Sinks.compact(spark, path, partitioned = true, maxFiles = 4)
+    assert(partFiles(path, "month=2024-09").size == 1)
+    assert(partFiles(path, "month=2024-10") == octBefore) // below threshold
+    assert(asMap(path) == before) // identical content
+    // partition column still resolves after compaction
+    assert(read(path).filter(col("month") === "2024-09").count() == 6)
+    // no stray tmp/aside dirs left behind inside or next to the table
+    val strays = new java.io.File(path).getParentFile.listFiles()
+      .map(_.getName).filter(n => n.contains("._compact_") || n.contains("._old_"))
+    assert(strays.isEmpty)
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

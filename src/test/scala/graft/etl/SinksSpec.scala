@@ -179,6 +179,18 @@ class SinksSpec extends SparkSpec {
     assert(strays.isEmpty)
   }
 
+  test("compaction on an unpartitioned table") {
+    val path = tmpDir()
+    (0 until 6).foreach(i =>
+      Sinks.insertIgnore(spark, batch((s"k$i", i.toDouble, i, "2024-09")),
+        path, Seq("violation_id")))
+    val before = asMap(path)
+    assert(partFiles(path, ".").size >= 6)
+    Sinks.compact(spark, path, partitioned = false, maxFiles = 4)
+    assert(partFiles(path, ".").size == 1)
+    assert(asMap(path) == before)
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

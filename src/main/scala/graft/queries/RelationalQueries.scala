@@ -427,6 +427,37 @@ object RelationalQueries {
       |QUALIFY rank <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  // --- distinct aggregation (beyond the reference's surface: SURVEY §2.4
+  // notes no DISTINCT anywhere; pipelines need it constantly) ---
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val qDistinctUsersOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- ROLLUP: multi-level totals in one pass (month, priority hierarchy) ---
+  def qRollupCounts(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .rollup(col("order_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("orders_count"))
+      .orderBy(col("order_month").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val qRollupCountsOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderpriority,
+      |       count(*) AS orders_count
+      |FROM orders
+      |GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), o_orderpriority)
+      |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -447,7 +478,9 @@ object RelationalQueries {
     "q_incremental_range" -> (qIncrementalRange _),
     "q_window_running" -> (qWindowRunning _),
     "q_sessionize" -> (qSessionize _),
-    "q_topk_per_group" -> (qTopkPerGroup _))
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_rollup_counts" -> (qRollupCounts _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -469,5 +502,7 @@ object RelationalQueries {
     "q_incremental_range" -> qIncrementalRangeOracle,
     "q_window_running" -> qWindowRunningOracle,
     "q_sessionize" -> qSessionizeOracle,
-    "q_topk_per_group" -> qTopkPerGroupOracle)
+    "q_topk_per_group" -> qTopkPerGroupOracle,
+    "q_distinct_users" -> qDistinctUsersOracle,
+    "q_rollup_counts" -> qRollupCountsOracle)
 }

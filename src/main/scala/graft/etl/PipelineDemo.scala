@@ -66,6 +66,14 @@ object PipelineDemo {
         dailySemantics = true),
       wPath, Seq("weather_date"))
 
+    // compact the per-day appended files (one file/day/partition otherwise)
+    val filesBefore = new java.io.File(vPath, "month=2024-11")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Sinks.compact(spark, vPath, partitioned = true, maxFiles = 1)
+    val filesAfter = new java.io.File(vPath, "month=2024-11")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    println(s"[demo] compaction: month=2024-11 files $filesBefore -> $filesAfter")
+
     val violations = spark.read.parquet(vPath)
     val weather = spark.read.parquet(wPath)
     println(s"[demo] lake: violations=${violations.count()} weather=${weather.count()}")

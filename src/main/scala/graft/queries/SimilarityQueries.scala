@@ -70,30 +70,88 @@ object SimilarityQueries {
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  // --- embedding-cosine near-dup pairs, label-blocked ---
-  // (blocking key = label; the dedup-by-similarity pass of a data pipeline)
+  // --- embedding-cosine near-dup pairs: bounded label x sign-LSH-band blocking ---
+  // The dedup-by-similarity pass of a data pipeline. Blocking on the raw
+  // label alone is a scale hazard: one hot label collapses the join into a
+  // single all-pairs bucket. Candidate generation here is bounded twice:
+  //   1. compound key (label, band, band_value) — 4 sign-LSH bands of
+  //      EmbBandBits sign bits each, so a hot label fans out across
+  //      4 x 2^EmbBandBits buckets (a pair is a candidate if ANY band
+  //      matches, the same banding scheme as MinHash LSH);
+  //   2. a deterministic per-bucket block cap (sorted-neighborhood style):
+  //      rows in a bucket are ranked by vec_id and chopped into blocks of
+  //      EmbBlockCap; a row only pairs with its own and the next block.
+  //      Even if every vector lands in one bucket, candidates grow
+  //      linearly (n x 2*EmbBlockCap), never quadratically.
+  // Both stages are equi-joins; the exact cosine is computed only for
+  // candidates, fetched by vec_id join so each pair's cosine is computed
+  // once. Approximate by design (like MinHash/SimHash above): recall is
+  // governed by the band width — sign-bit agreement probability is
+  // 1 - theta/pi per bit, so wider bands trade recall for pruning.
+  private val EmbBands = 4
+  private val EmbBandBits = 6            // 4 bands x 6 sign bits = dims 1..24
+  private val EmbBlockCap = 64
+
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).select("vec_id", "label", "v", "norm")
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.label").as("label"),
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
-        cosineExpr.as("cosine"))
+    val bandStructs = (0 until EmbBands).map { b =>
+      struct(lit(b).as("band"), expr(
+        s"""aggregate(transform(sequence(1, $EmbBandBits),
+           |  i -> CASE WHEN element_at(v, ${b * EmbBandBits} + i) >= CAST(0.0 AS DOUBLE) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("bv"))
+    }
+    val ranked = e
+      .select(col("vec_id"), col("label"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"), col("band"), col("bv")).orderBy(col("vec_id"))))
+      .withColumn("blk", expr(s"CAST((rn - 1) DIV $EmbBlockCap AS BIGINT)"))
+      .drop("rn")
+    // probe side emits (blk, blk+1) so block-boundary pairs are kept; the
+    // build side keeps its own block — candidate join stays a pure equi-join.
+    val probe = ranked.withColumn("jb", explode(array(col("blk"), col("blk") + lit(1L))))
+    val cand = probe.as("a").join(ranked.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.jb") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair may match in several bands; verify each pair once
+    val ea = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 5).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val qDedupEmbeddingOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH bands AS (
+      |  SELECT e.vec_id, e.label, t.b AS band,
+      |         CAST(list_sum(list_transform(generate_series(1, $EmbBandBits),
+      |           i -> CASE WHEN e.embedding[t.b*$EmbBandBits + i] >= 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS bv
+      |  FROM embeddings e, generate_series(0, ${EmbBands - 1}) AS t(b)
+      |), ranked AS (
+      |  SELECT vec_id, label, band, bv,
+      |         CAST((row_number() OVER (PARTITION BY label, band, bv ORDER BY vec_id) - 1) // $EmbBlockCap AS BIGINT) AS blk
+      |  FROM bands
+      |), probe AS (
+      |  SELECT vec_id, label, band, bv, blk + d AS jb FROM ranked, (VALUES (0),(1)) o(d)
+      |), cand AS (
+      |  SELECT DISTINCT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM probe a JOIN ranked b
+      |    ON a.label = b.label AND a.band = b.band AND a.bv = b.bv
+      |   AND a.jb = b.blk AND a.vec_id < b.vec_id
+      |), e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |)
-      |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |       round(list_cosine_similarity(a.v, b.v), 5) AS cosine
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.3
+      |SELECT c.label AS label, c.vec_a, c.vec_b,
+      |       round(list_cosine_similarity(ea.v, eb.v), 5) AS cosine
+      |FROM cand c
+      |JOIN e ea ON ea.vec_id = c.vec_a
+      |JOIN e eb ON eb.vec_id = c.vec_b
+      |WHERE round(list_cosine_similarity(ea.v, eb.v), 5) >= 0.3
       |ORDER BY 2, 3""".stripMargin
 
   // --- sign-LSH bucketed nearest neighbor: the approximate scale path ---

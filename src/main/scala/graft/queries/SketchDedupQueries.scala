@@ -150,22 +150,28 @@ object SketchDedupQueries {
   private val BandBits = 15
   private val HammingMax = 3
 
-  /** 60-bit simhash per document over its token multiset. */
+  /** 60-bit simhash per document over its token multiset. The 60 signed
+    * bit-sums are ONE array-typed aggregate ([[graft.functions.SignedBitSum]]
+    * — long[60] buffer, map-side partials), not 60 sum columns; the
+    * fingerprint folds the array with a codegen'd `aggregate` expression.
+    * Arithmetic is unchanged (signed popcount, then bit j set iff sum > 0),
+    * so the DuckDB oracle's column-wise form reproduces it exactly.
+    */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
     val tokens = documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("hx",
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    val bitSums = (0 until SimBits).map(j =>
-      sum(expr(s"(shiftright(hx, $j) % 2) * 2 - 1")).as(s"s$j"))
-    val fpExpr = (0 until SimBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _).as("simhash")
-    tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val bitSum = udaf(new graft.functions.SignedBitSum(SimBits))
+    val fpExpr = expr(
+      s"""aggregate(sequence(0, ${SimBits - 1}), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + CASE WHEN element_at(s, j + 1) > 0
+         |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+      .as("simhash")
+    tokens.groupBy(col("doc_id")).agg(bitSum(col("hx")).as("s"))
       .select(col("doc_id"), fpExpr)
-      .persist() // 32 bit-sum aggs over the token explosion; reused by both
-                 // sides of the band self-join
+      .persist() // signature reused by both sides of the band self-join
   }
 
   private def simhashSigSql: String = {

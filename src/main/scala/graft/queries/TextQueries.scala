@@ -183,46 +183,37 @@ object TextQueries {
       .persist()
     val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
 
-    // Cost-based candidate generation (same result either way): below the
-    // threshold the full inverted index with single-pass overlap counting
-    // is cheapest; above it, the prefix filter's df-ranking overhead pays
-    // for itself by keeping the self-join linear, and exact overlap is
-    // recounted for candidates only.
-    val nDocs = docs.select(col("doc_id")).count()
-    val common =
-      if (nDocs < 10000) {
-        shingles.as("a")
-          .join(shingles.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("common"))
-      } else {
-        // global canonical order: rarest shingles first, ties by value
-        val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val prefixes = shingles
-          .join(docFreq, "shingle")
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-          .join(counts, "doc_id")
-          // prefix size n - ceil(3n/5) + 1, integer-exact (div, not fp)
-          .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 3 + 4) div 5") + 1)
-          .select(col("doc_id"), col("shingle"), col("n_shingles"))
-        val cand = prefixes.as("a")
-          .join(prefixes.as("b"),
-            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-              // length filter, integer-exact: min*5 >= max*3
-              && least(col("a.n_shingles"), col("b.n_shingles")) * 5
-                 >= greatest(col("a.n_shingles"), col("b.n_shingles")) * 3)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        // verify: exact overlap over full shingle sets, candidates only
-        shingles.as("sa")
-          .join(cand, col("sa.doc_id") === col("doc_a"))
-          .join(shingles.as("sb"),
-            col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("common"))
-      }
+    // Candidate generation is ALWAYS the lossless prefix-filter path — no
+    // driver-side count() cost switch (an extra full-table job per
+    // invocation at scale, for a branch whose small-input win is a few
+    // hundred ms). The prefix filter's df-ranking overhead is two narrow
+    // aggregations; at every scale it keeps the self-join linear, and the
+    // result is identical to the full inverted-index join by construction.
+    // global canonical order: rarest shingles first, ties by value
+    val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = shingles
+      .join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .join(counts, "doc_id")
+      // prefix size n - ceil(3n/5) + 1, integer-exact (div, not fp)
+      .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 3 + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"), col("n_shingles"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          // length filter, integer-exact: min*5 >= max*3
+          && least(col("a.n_shingles"), col("b.n_shingles")) * 5
+             >= greatest(col("a.n_shingles"), col("b.n_shingles")) * 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify: exact overlap over full shingle sets, candidates only
+    val common = shingles.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(shingles.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
     common
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")

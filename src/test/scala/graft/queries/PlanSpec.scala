@@ -55,6 +55,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  /** Physical plan, one node per line (countable, unlike `formatted`
+    * which repeats each node in its detail section).
+    */
+  private def simple(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("ANN scale path: sign-LSH bucketed candidate join stays an equi-join") {
+    val plan = simple(SimilarityQueries.qSimLshBucketed(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("embedding near-dup: banded blocking + fetch joins stay equi-joins") {
+    val plan = simple(SimilarityQueries.qDedupEmbedding(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("IVF: only the bounded centroid assignment is a broadcast nested loop") {
+    val plan = formatted(SimilarityQueries.qSimIvf(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // exactly one BNLJ node — the 16-row broadcast centroid assignment (a
+    // deliberate, bounded cross join; the cached assignment subtree prints
+    // under both scan sites, so count distinct node ids, not lines); the
+    // inverted-list search itself must be a hash/sort equi-join on cid
+    val bnljIds = raw"\((\d+)\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(bnljIds.size == 1)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

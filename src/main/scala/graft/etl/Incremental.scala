@@ -50,12 +50,45 @@ object Incremental {
       failed: Seq[(LocalDate, String)],
       skipped: Boolean)
 
+  /** Dates in [coldStart, watermark] absent from the sink — the gaps that
+    * per-day failure isolation leaves behind once a later day succeeded.
+    * Stateless by design: derived from the sink itself, not a ledger that
+    * a crashed run could lose. One distinct scan of the date column (on a
+    * date-partitioned lake the values come from the partition listing);
+    * the result is bounded by the calendar span, not the data volume.
+    */
+  def gaps(
+      spark: SparkSession,
+      path: String,
+      dateCol: String,
+      coldStart: LocalDate): Seq[LocalDate] =
+    gapsBelow(spark, path, dateCol, coldStart, watermark(spark, path, dateCol))
+
+  private def gapsBelow(
+      spark: SparkSession,
+      path: String,
+      dateCol: String,
+      coldStart: LocalDate,
+      wm: Option[LocalDate]): Seq[LocalDate] = wm match {
+    case None => Nil
+    case Some(hi) =>
+      val present = spark.read.parquet(path)
+        .select(col(dateCol)).distinct()
+        .collect().flatMap(r => Option(r.getAs[Date](0)).map(_.toLocalDate))
+        .toSet
+      Iterator.iterate(coldStart)(_.plusDays(1))
+        .takeWhile(!_.isAfter(hi)).filterNot(present).toSeq
+  }
+
   /** Runs one incremental load: fetch each day's batch, write it through
     * `sink`, isolate failures per day (ST4). The reference's faithful
-    * behavior never backfills a failed day once a later day succeeded
+    * default never backfills a failed day once a later day succeeded
     * (SURVEY.md §8.4) — that gap behavior is what per-day isolation +
-    * a MAX-date watermark produces naturally; callers wanting backfill
-    * track `RunReport.failed` explicitly.
+    * a MAX-date watermark produces naturally. With
+    * `backfillGaps = true`, each run first retries the dates missing
+    * below the watermark (detected via [[gaps]]), then proceeds with the
+    * normal [watermark+1, yesterday] range; a day that keeps failing is
+    * re-reported and retried on the next run, never silently dropped.
     */
   def run(
       spark: SparkSession,
@@ -64,24 +97,31 @@ object Incremental {
       coldStart: LocalDate,
       today: LocalDate,
       fetchDay: LocalDate => DataFrame,
-      sink: (DataFrame, LocalDate) => Unit): RunReport = {
-    range(watermark(spark, sinkPath, dateCol), coldStart, today) match {
-      case None => RunReport(Nil, Nil, skipped = true)
+      sink: (DataFrame, LocalDate) => Unit,
+      backfillGaps: Boolean = false): RunReport = {
+    val wm = watermark(spark, sinkPath, dateCol)
+    val gapDays =
+      if (backfillGaps) gapsBelow(spark, sinkPath, dateCol, coldStart, wm) else Nil
+    val rangeDays = range(wm, coldStart, today) match {
+      case None => Nil
       case Some((start, end)) =>
-        val days = Iterator.iterate(start)(_.plusDays(1))
-          .takeWhile(!_.isAfter(end)).toSeq
-        val results = days.map { d =>
-          try {
-            sink(fetchDay(d), d)
-            Right(d)
-          } catch {
-            case e: Exception => Left(d -> e.getMessage)
-          }
+        Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
+    }
+    val days = gapDays ++ rangeDays
+    if (days.isEmpty) RunReport(Nil, Nil, skipped = true)
+    else {
+      val results = days.map { d =>
+        try {
+          sink(fetchDay(d), d)
+          Right(d)
+        } catch {
+          case e: Exception => Left(d -> e.getMessage)
         }
-        RunReport(
-          results.collect { case Right(d) => d },
-          results.collect { case Left(f) => f },
-          skipped = false)
+      }
+      RunReport(
+        results.collect { case Right(d) => d },
+        results.collect { case Left(f) => f },
+        skipped = false)
     }
   }
 }

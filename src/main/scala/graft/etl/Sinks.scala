@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *    touches: existing rows of affected partitions (partition-pruned
   *    read) union the batch, keep-last per key, then a per-partition
   *    directory swap. A daily increment touching one month never
-  *    rewrites history. Requires the partition value to be stable per
-  *    key (true for violations: month is derived from the id's date) —
-  *    a key that moves partitions would leave its old-partition copy.
+  *    rewrites history. By default the partition value must be stable
+  *    per key (true for violations: month is derived from the id's
+  *    date); `globalKeys = true` lifts that requirement by also merging
+  *    the partitions a batch key previously lived in.
   *  - unpartitioned upsert rewrites the table with a crash-safe swap:
   *    write tmp → rename current aside → rename tmp in → delete old.
   *    No window where the table is deleted before its replacement exists.
@@ -84,6 +85,16 @@ object Sinks {
   /** Last-writer-wins upsert of `batch` into the lake table at `path`.
     * One shuffle on `keys`; with `partitionBy` given, only the batch's
     * partitions are read, merged, and swapped.
+    *
+    * `globalKeys = true` extends the partition-scoped merge to keys whose
+    * partition value CHANGED (e.g. a violation's date corrected into
+    * another month): a narrow key+partition scan of the lake, semi-joined
+    * against the broadcast batch keys, finds the partitions holding a
+    * previous version of any batch key; those partitions join the merge
+    * so the stale copy is dropped (and a partition left empty by the move
+    * is deleted). Costs one extra column-pruned scan of the lake's key
+    * column — leave it off when keys can't move (the reference's
+    * month-from-id layout), turn it on when they can.
     */
   def upsert(
       spark: SparkSession,
@@ -91,7 +102,8 @@ object Sinks {
       path: String,
       keys: Seq[String],
       partitionBy: Seq[String] = Nil,
-      tiebreak: Option[String] = None): Unit = {
+      tiebreak: Option[String] = None,
+      globalKeys: Boolean = false): Unit = {
     val fs = fsFor(spark, path)
     val tableRoot = new Path(path)
 
@@ -118,10 +130,18 @@ object Sinks {
       val b = batch.persist()
       try {
         val newRows = b.withColumn("_precedence", lit(1))
-        val affected = b.select(col(pcol)).distinct().collect().map(_.get(0))
+        val batchParts = b.select(col(pcol)).distinct().collect().map(_.get(0))
+        val existing = spark.read.parquet(path)
+        // with globalKeys, partitions holding a previous version of a
+        // batch key are merged too — their stale copies lose keepLast
+        val staleParts: Array[Any] =
+          if (!globalKeys) Array.empty
+          else existing.select((pcol +: keys).distinct.map(col): _*)
+            .join(broadcast(b.select(keys.map(col): _*).distinct()), keys, "left_semi")
+            .select(col(pcol)).distinct().collect().map(_.get(0))
+        val affected = (batchParts ++ staleParts).distinct
         val nonNull = affected.filter(_ != null)
         val hasNull = affected.exists(_ == null)
-        val existing = spark.read.parquet(path)
         val partPred = {
           val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*) else lit(false)
           if (hasNull) in || col(pcol).isNull else in
@@ -138,11 +158,22 @@ object Sinks {
         // Spark would discover as a bogus partition
         val asideRoot = new Path(tableRoot.getParent,
           tableRoot.getName + "._aside_" + java.util.UUID.randomUUID.toString.take(8))
-        fs.listStatus(new Path(tmp))
+        val producedDirs = fs.listStatus(new Path(tmp))
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
-          .foreach { s =>
-            swapDirs(fs, new Path(path, s.getPath.getName), s.getPath, asideRoot)
-          }
+        val producedNames = producedDirs.map(_.getPath.getName).toSet
+        producedDirs.foreach { s =>
+          swapDirs(fs, new Path(path, s.getPath.getName), s.getPath, asideRoot)
+        }
+        // globalKeys: an affected partition whose rows ALL moved elsewhere
+        // produces no output dir — its stale directory is deleted outright
+        // (dir names via Spark's own Hive escaping, so values round-trip)
+        if (globalKeys) {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          affected.map {
+            case null => s"$pcol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+            case v => s"$pcol=${ExternalCatalogUtils.escapePathName(v.toString)}"
+          }.filterNot(producedNames).foreach(n => fs.delete(new Path(path, n), true))
+        }
         fs.delete(new Path(tmp), true)
         fs.delete(asideRoot, true)
       } finally b.unpersist()

@@ -121,7 +121,11 @@ object VcFetcher {
       case "fixture" => new FixtureVcFetcher(options("path"))
       case "http" => new HttpVcFetcher(
         options("url"), options("location"),
-        options.getOrElse("timeoutSec", "60").toInt)
+        options.getOrElse("timeoutSec", "60").toInt,
+        apiKey = options.getOrElse("key", throw new IllegalArgumentException(
+          "vc http mode requires option 'key' (the reference sends key=" +
+            "{API_KEY} on every timeline request)")),
+        unitGroup = options.getOrElse("unitGroup", "metric"))
       case m => throw new IllegalArgumentException(s"unknown vc mode: $m")
     }
 }
@@ -146,16 +150,32 @@ class FixtureVcFetcher(dir: String) extends VcFetcher {
 }
 
 /** Real-HTTP VisualCrossing timeline fetcher (production path).
-  * ref: etl/full_load/weather_etl_history.py:62-69.
+  *
+  * Request shape mirrors the reference exactly: the API key rides on
+  * every request and the unit group is caller-chosen — the full load
+  * uses `unitGroup=us` over a `/start/end` range
+  * (ref: etl/full_load/weather_etl_history.py:62-69) while the daily
+  * load uses `unitGroup=metric` over a single `/date` segment
+  * (ref: etl/daily_load/weather_etl_daily.py:96-107).
   */
-class HttpVcFetcher(base: String, location: String, timeoutSec: Int)
-    extends VcFetcher {
+class HttpVcFetcher(base: String, location: String, timeoutSec: Int,
+    apiKey: String, unitGroup: String) extends VcFetcher {
+
+  /** The full request URI (exposed so specs can pin both reference URL
+    * shapes without a network). A single-day request (start == end)
+    * collapses to the daily load's one-segment form.
+    */
+  def requestUri(start: String, end: String): String = {
+    val span = if (start == end) start else s"$start/$end"
+    val key = java.net.URLEncoder.encode(apiKey, "UTF-8")
+    s"$base/$location/$span?unitGroup=$unitGroup&include=days&key=$key&contentType=json"
+  }
+
   override def days(start: String, end: String): Seq[JsonNode] = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
     val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(
-        s"$base/$location/$start/$end?unitGroup=metric&include=days&contentType=json"))
+      .uri(java.net.URI.create(requestUri(start, end)))
       .timeout(java.time.Duration.ofSeconds(timeoutSec)).GET().build()
     val body = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString()).body()

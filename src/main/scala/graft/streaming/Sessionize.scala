@@ -6,20 +6,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 /** Gap-based sessionization as a stateful streaming operator
-  * (`flatMapGroupsWithState`): per-user state carries the open session;
-  * an event beyond the inactivity gap closes it (emitted downstream) and
-  * opens the next. This maintains incrementally exactly what the batch
-  * window formulation (RelationalQueries.qSessionize: lag + running sum)
-  * computes over the full history — the spec pins the two against each
-  * other.
+  * (`flatMapGroupsWithState` + event-time timeout): per-user state
+  * carries the open session; an event beyond the inactivity gap closes
+  * it (emitted downstream) and opens the next, and a session with no
+  * further events closes by itself when the WATERMARK passes its last
+  * event + gap (`GroupStateTimeout.EventTimeTimeout`) — no artificial
+  * flush batch needed. This maintains incrementally exactly what the
+  * batch window formulation (RelationalQueries.qSessionize: lag +
+  * running sum) computes over the full history — the spec pins the two
+  * against each other.
   *
   * Gap arithmetic uses millisecond-truncated timestamps with a strict
   * `> gapMs` comparison, bit-matching the batch form's
   * `unix_millis(ts) - lag(...) > 1800000`.
   *
-  * Open sessions stay in state until a later event closes them (AvailableNow
-  * with no further input leaves the trailing session unemitted — streaming
-  * semantics: it could still grow).
+  * A trailing session within the gap of the final watermark stays in
+  * state unemitted — correct streaming semantics: it could still grow.
+  * (Timeouts for the final watermark fire in the closing no-data
+  * micro-batch — `spark.sql.streaming.noDataMicroBatches.enabled`,
+  * default on.)
   */
 object Sessionize {
 
@@ -46,7 +51,11 @@ object Sessionize {
     * inputs arrive as ordered micro-batches) and returns the CLOSED
     * sessions.
     */
-  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeStream(
+      spark: SparkSession,
+      dir: String,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMs = gapMinutes * 60000L
@@ -54,29 +63,46 @@ object Sessionize {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", watermarkDelay)
       .as[RawEvent]
     val sessions = src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[RawEvent], state: GroupState[OpenSession]) =>
-          // within a micro-batch events are unordered: establish event time
-          val evs = events.toVector.sortBy(e => (e.ts, e.event_id))
-          val closed = Vector.newBuilder[Session]
-          var open = state.getOption
-          evs.foreach { e =>
-            val ms = e.ts / 1000000L // nanos -> ms (truncating, like unix_millis)
-            open match {
-              case Some(s) if ms - s.lastMs > gapMs =>
-                closed += Session(user, s.idx, s.n, fmt(s.startMs), fmt(s.lastMs))
-                open = Some(OpenSession(ms, ms, 1, s.idx + 1))
-              case Some(s) =>
-                open = Some(s.copy(lastMs = math.max(s.lastMs, ms), n = s.n + 1))
-              case None =>
-                open = Some(OpenSession(ms, ms, 1, 1))
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap with no new events: the gap
+            // is certain, close the session and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.idx, s.n, fmt(s.startMs), fmt(s.lastMs)))
+          } else {
+            // within a micro-batch events are unordered: establish event time
+            val evs = events.toVector.sortBy(e => (e.ts, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var open = state.getOption
+            evs.foreach { e =>
+              val ms = e.ts / 1000000L // nanos -> ms (truncating, like unix_millis)
+              open match {
+                case Some(s) if ms - s.lastMs > gapMs =>
+                  closed += Session(user, s.idx, s.n, fmt(s.startMs), fmt(s.lastMs))
+                  open = Some(OpenSession(ms, ms, 1, s.idx + 1))
+                case Some(s) =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, ms), n = s.n + 1))
+                case None =>
+                  open = Some(OpenSession(ms, ms, 1, 1))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // close once the watermark passes last event + gap; clamped
+              // forward so a straggling old batch can't set a timeout
+              // behind the current watermark (which would throw)
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
     val name = "sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = sessions.writeStream

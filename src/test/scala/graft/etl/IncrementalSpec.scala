@@ -69,6 +69,41 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("run: backfillGaps retries the failed day on the next run (§8.4 opt-in)") {
+    val path = Files.createTempDirectory("graft-bf").resolve("t").toString
+    def day(d: LocalDate): DataFrame =
+      Seq((s"id_$d", java.sql.Date.valueOf(d))).toDF("violation_id", "violation_date")
+    def failingFetch(d: LocalDate): DataFrame =
+      if (d == ld("2024-10-02")) throw new RuntimeException("api down")
+      else day(d)
+    // run 1: 10-02 fails, 10-03/10-04 succeed -> watermark passes the gap
+    val first = Incremental.run(spark, path, "violation_date",
+      coldStart = ld("2024-10-01"), today = ld("2024-10-05"),
+      fetchDay = failingFetch,
+      sink = (df, _) => Sinks.insertIgnore(spark, df, path, Seq("violation_id")),
+      backfillGaps = true)
+    assert(first.failed.map(_._1) == Seq(ld("2024-10-02")))
+    assert(Incremental.gaps(spark, path, "violation_date", ld("2024-10-01"))
+      == Seq(ld("2024-10-02")))
+    // run 2 (API healthy, nothing new above the watermark): refills the gap
+    val second = Incremental.run(spark, path, "violation_date",
+      coldStart = ld("2024-10-01"), today = ld("2024-10-05"),
+      fetchDay = day,
+      sink = (df, _) => Sinks.insertIgnore(spark, df, path, Seq("violation_id")),
+      backfillGaps = true)
+    assert(!second.skipped && second.loaded == Seq(ld("2024-10-02")))
+    assert(Incremental.gaps(spark, path, "violation_date", ld("2024-10-01")).isEmpty)
+    assert(spark.read.parquet(path).count() == 4)
+    // run 3: gap filled, nothing new -> clean skip (and without the
+    // opt-in the default faithful semantics never touched the gap)
+    val third = Incremental.run(spark, path, "violation_date",
+      coldStart = ld("2024-10-01"), today = ld("2024-10-05"),
+      fetchDay = day,
+      sink = (df, _) => Sinks.insertIgnore(spark, df, path, Seq("violation_id")),
+      backfillGaps = true)
+    assert(third.skipped)
+  }
+
   test("run: second run resumes from watermark and is idempotent (ST5)") {
     val path = Files.createTempDirectory("graft-run2").resolve("t").toString
     def day(d: LocalDate): DataFrame =

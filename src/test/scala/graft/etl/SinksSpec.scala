@@ -155,6 +155,37 @@ class SinksSpec extends SparkSpec {
     assert(rows == Map("a" -> "2024-09", "n" -> null))
   }
 
+  test("global-key upsert: a key that moves partitions ends with one copy") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09"), ("c", 3.0, 0, "2024-10")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    // "b" corrected into 2024-10: without globalKeys the 2024-09 copy
+    // would survive (partition-scoped merge never reads 2024-09)
+    Sinks.upsert(spark, batch(("b", 20.0, 1, "2024-10")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"),
+      globalKeys = true)
+    val rows = read(path).collect()
+      .map(r => (r.getAs[String]("violation_id"),
+        r.getAs[Double]("fine_amount"), r.getAs[String]("month")))
+    assert(rows.count(_._1 == "b") == 1)
+    assert(rows.toSet == Set(("a", 1.0, "2024-09"), ("b", 20.0, "2024-10"), ("c", 3.0, "2024-10")))
+  }
+
+  test("global-key upsert: a partition emptied by the move is deleted") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("solo", 1.0, 0, "2024-08"), ("x", 2.0, 0, "2024-09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    Sinks.upsert(spark, batch(("solo", 9.0, 1, "2024-09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"),
+      globalKeys = true)
+    assert(read(path).collect().map(r =>
+      (r.getAs[String]("violation_id"), r.getAs[String]("month"))).toSet
+      == Set(("solo", "2024-09"), ("x", "2024-09")))
+    // the emptied 2024-08 directory is gone, not a zombie partition
+    assert(!new java.io.File(path, "month=2024-08").exists())
+  }
+
   test("compaction merges small appended files; untouched dirs keep theirs") {
     val path = tmpDir()
     // 6 daily appends -> >= 6 files in month=2024-09; one append in 2024-10

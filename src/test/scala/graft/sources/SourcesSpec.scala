@@ -195,6 +195,32 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect()(0).getAs[String]("datetime") == "2024-09-10")
   }
 
+  test("visualcrossing http: both reference URL shapes, key required") {
+    // full-load shape: /location/start/end with unitGroup=us
+    // (ref: etl/full_load/weather_etl_history.py:62-69)
+    val hist = VcFetcher(Map("mode" -> "http",
+      "url" -> "https://example.test/timeline", "location" -> "Washington,DC",
+      "key" -> "K EY", "unitGroup" -> "us")).asInstanceOf[HttpVcFetcher]
+    assert(hist.requestUri("2024-01-01", "2024-01-15") ==
+      "https://example.test/timeline/Washington,DC/2024-01-01/2024-01-15" +
+        "?unitGroup=us&include=days&key=K+EY&contentType=json")
+    // daily shape: single /date segment with unitGroup=metric (the
+    // default) (ref: etl/daily_load/weather_etl_daily.py:96-107)
+    val daily = VcFetcher(Map("mode" -> "http",
+      "url" -> "https://example.test/timeline", "location" -> "Washington,DC",
+      "key" -> "SECRET")).asInstanceOf[HttpVcFetcher]
+    assert(daily.requestUri("2024-09-10", "2024-09-10") ==
+      "https://example.test/timeline/Washington,DC/2024-09-10" +
+        "?unitGroup=metric&include=days&key=SECRET&contentType=json")
+    // production parity: the key is not optional (reference reads
+    // WEATHER_API_KEY and sends it on every request)
+    val e = intercept[IllegalArgumentException] {
+      VcFetcher(Map("mode" -> "http",
+        "url" -> "https://example.test/timeline", "location" -> "X"))
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
   test("visualcrossing -> transform end-to-end with both rain semantics") {
     val dir = vcFixture(0, 15)
     val raw = readVc(dir, "2024-09-01", "2024-09-15")

@@ -2,54 +2,62 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.queries.RelationalQueries
 
 /** The streaming sessionizer must emit exactly the sessions the batch
-  * window formulation computes. A flush file (one far-future event per
-  * user, arriving as a later micro-batch) closes every real session, so
-  * streamed-closed == batch-all for the original data.
+  * window formulation computes, closing them via the EVENT-TIME TIMEOUT
+  * (watermark passes last event + gap) — no artificial flush batch. The
+  * expected set is every batch session that ends more than a gap before
+  * the final watermark (= max event time, zero delay); trailing sessions
+  * within the gap correctly stay open in state.
   */
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("flatMapGroupsWithState sessionization equals the batch lag+cumsum form") {
+  test("event-time-timeout sessionization equals the batch lag+cumsum form") {
     val sf = "/root/testdata/sf0.001"
     val dir = Files.createTempDirectory("sess-stream")
-
-    // real events first (earlier mtime), flush file second
     Files.copy(Paths.get(s"$sf/events.parquet"),
-      dir.resolve("a_events.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-    val maxTs = events.agg(max(col("ts"))).collect()(0).getLong(0)
-    val flush = events.select(col("user_id")).distinct()
-      .select(
-        (col("user_id") + 1000000L).as("event_id"),
-        lit(maxTs + 86400L * 1000000000L).as("ts"), // +1 day, nanos
-        col("user_id"),
-        lit("flush").as("event_type"),
-        lit(0.0).as("value"),
-        lit("{}").as("props"))
-    flush.coalesce(1).write.mode("overwrite").parquet(dir.resolve("tmpw").toString)
-    val part = new java.io.File(dir.resolve("tmpw").toString)
-      .listFiles().find(_.getName.endsWith(".parquet")).get
-    val flushTarget = dir.resolve("b_flush.parquet")
-    Files.move(part.toPath, flushTarget)
-    // later modification time -> processed as the second micro-batch
-    flushTarget.toFile.setLastModified(
-      new java.io.File(dir.resolve("a_events.parquet").toString).lastModified() + 600000L)
+      dir.resolve("events.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
 
     val streamed = Sessionize.sessionizeStream(spark, dir.toString)
       .orderBy(col("user_id"), col("session_id"))
       .collect().map(_.toSeq)
 
-    val batch = RelationalQueries.qSessionize(spark, sf)
+    // batch form with millisecond-exact session end times (the string
+    // output truncates to seconds, too coarse to compare against the
+    // watermark), same lag+cumsum arithmetic as qSessionize
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ms", expr("ts div 1000000"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val sessions = ev
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    // final watermark: max event time (micros truncated to ms), no delay
+    val wmMs = ev.agg(max(col("ms"))).collect()(0).getLong(0)
+    val expected = sessions
+      .filter(col("end_ms") + 1800000L < wmMs)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_millis(col("end_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
       .collect().map(_.toSeq)
 
-    assert(streamed.length == batch.length)
-    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.length == expected.length)
+    assert(streamed.toSeq == expected.toSeq)
   }
 }

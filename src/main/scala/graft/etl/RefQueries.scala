@@ -114,12 +114,16 @@ object RefQueries {
       .agg(round(sum(col("precip")), 2).as("total_precip"))
       .orderBy(col("year_month"))
 
+  /** Qe with the original MySQL surface — `DATE_FORMAT('%Y-%m')` runs
+    * as-is via the [[graft.functions.FieldExpr.register]] hybrid shadow
+    * (ref: sql/analysis_queries.sql:45-51, text parity like Qc's FIELD).
+    */
   val qeSql: String =
-    """SELECT date_format(weather_date, 'yyyy-MM') AS year_month,
-      |       ROUND(SUM(precip), 2) AS total_precip
+    """SELECT DATE_FORMAT(weather_date, '%Y-%m') AS year_month_,
+      |       ROUND(SUM(precip),2) AS total_precipitation
       |FROM weather_daily
-      |GROUP BY date_format(weather_date, 'yyyy-MM')
-      |ORDER BY year_month""".stripMargin
+      |GROUP BY year_month_
+      |ORDER BY year_month_""".stripMargin
 
   /** Qf: monthly fines for >10-mph-over speeding.
     * ref: sql/analysis_queries.sql:55-63.

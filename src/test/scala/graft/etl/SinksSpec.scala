@@ -222,6 +222,38 @@ class SinksSpec extends SparkSpec {
     assert(asMap(path) == before)
   }
 
+  test("S9 DDL-on-write: ensure-table DDL, then sink writes read back via the catalog") {
+    // the reference issues CREATE TABLE IF NOT EXISTS before every load
+    // (ref: etl/full_load/violation_etl_history.py:44-64); here the same
+    // ensure-then-write shape runs through the session catalog: DDL with
+    // MySQL-ish types (VARCHAR widths; the PRIMARY KEY contract is what
+    // Sinks.upsert's keep-last merge enforces), idempotent re-run, sink
+    // writes landing at the table location, reads via spark.table
+    val loc = tmpDir()
+    val ddl =
+      s"""CREATE TABLE IF NOT EXISTS violations_s9 (
+         |  violation_id VARCHAR(50),
+         |  fine_amount  DOUBLE,
+         |  seq          INT,
+         |  month        VARCHAR(7)
+         |) USING parquet LOCATION '$loc'""".stripMargin
+    spark.sql(ddl)
+    spark.sql(ddl) // IF NOT EXISTS: second ensure is a no-op, like the reference
+    try {
+      Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+        loc, Seq("violation_id"), tiebreak = Some("seq"))
+      spark.catalog.refreshTable("violations_s9")
+      assert(spark.table("violations_s9").count() == 2)
+      Sinks.upsert(spark, batch(("b", 20.0, 1, "2024-09")),
+        loc, Seq("violation_id"), tiebreak = Some("seq"))
+      spark.catalog.refreshTable("violations_s9")
+      val m = spark.table("violations_s9").collect()
+        .map(r => r.getAs[String]("violation_id") -> r.getAs[Double]("fine_amount"))
+        .toMap
+      assert(m == Map("a" -> 1.0, "b" -> 20.0))
+    } finally spark.sql("DROP TABLE IF EXISTS violations_s9")
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

@@ -63,13 +63,14 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         decoder.open()
-        val out = rows.map { case (id, mt, payload) =>
+        // release codec/model resources when the task finishes (normally
+        // or on failure) — the iterator itself can't know when it's done
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+        rows.map { case (id, mt, payload) =>
           val (w, h, fr) = decoder.decode(payload)
           MediaMeta(id, mt, payload.length.toLong, w, h, fr)
         }
-        // note: close() after full iteration would need TaskContext hooks;
-        // the stub has nothing to release
-        out
       }
   }
 

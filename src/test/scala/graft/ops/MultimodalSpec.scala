@@ -27,6 +27,16 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.values.forall(_.media_type == "text/plain"))
   }
 
+  test("decodeMeta closes the decoder exactly once per task") {
+    CountingDecoder.reset()
+    val df = Multimodal.withPayload(docs).repartition(3)
+    Multimodal.decodeMeta(df, new CountingDecoder).collect()
+    // local[n]: tasks share the JVM, so the static counters see all
+    // partitions; every open() must be paired with a close()
+    assert(CountingDecoder.opens.get() == 3)
+    assert(CountingDecoder.closes.get() == 3)
+  }
+
   test("resize preserves aspect within the target box") {
     val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs))
     val r = Multimodal.withResize(meta, maxSide = 100).collect()
@@ -68,4 +78,18 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getAs[Int]("frame_idx")).sorted
     assert(idx.toSeq == Seq(0, 2))
   }
+}
+
+/** Decoder whose lifecycle is observable via JVM-wide counters (valid in
+  * local mode: executor tasks share this JVM).
+  */
+object CountingDecoder {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0) }
+}
+
+class CountingDecoder extends Multimodal.StubDecoder {
+  override def open(): Unit = CountingDecoder.opens.incrementAndGet()
+  override def close(): Unit = CountingDecoder.closes.incrementAndGet()
 }

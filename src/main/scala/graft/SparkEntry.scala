@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FunctionQueries, MultimodalQueries, RelationalQueries,
-  SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
+import graft.queries.{FunctionQueries, MultimodalQueries, PipelineQueries,
+  RelationalQueries, SimilarityQueries, SketchDedupQueries, StreamingQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +27,7 @@ object SparkEntry {
     RelationalQueries.queries ++ FunctionQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       SketchDedupQueries.queries ++ StreamingQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ FunctionQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       SketchDedupQueries.oracles ++ StreamingQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Training-data-pipeline operators beyond the dedup/similarity/text set:
+  * temporal as-of join, deterministic sampling/splitting, TF-IDF term
+  * scoring, and embedding quantization.
+  *
+  * Scale design notes:
+  *  - The as-of join is the union+window formulation: tag both sides,
+  *    one shuffle on the join key, sort within key, carry the last
+  *    right-side value forward (`last(..., ignoreNulls)` over an
+  *    unbounded-preceding window). No range explosion, no per-row probe
+  *    — the same single-shuffle shape a dedicated as-of operator gives.
+  *  - Sampling/splitting hash on md5 of the stable id (portable integer
+  *    arithmetic, reproducible by the DuckDB oracle bit-for-bit), so a
+  *    sample is a pushdown-friendly filter, not a `TABLESAMPLE` whose
+  *    result depends on partitioning.
+  *  - TF-IDF's only non-equi join is a broadcast of the single-row
+  *    corpus count (bounded, like the IVF centroid assignment).
+  *  - Quantization is pure per-row array arithmetic (codegen'd
+  *    higher-order functions, no UDFs).
+  */
+object PipelineQueries {
+
+  // --- as-of join: purchase -> most recent prior-or-same-time click ---
+  // The attribution pass of an event pipeline. Left = purchases, right =
+  // clicks (deduped to one per (user, ms) for a deterministic match),
+  // at-or-before semantics via side ordering at equal timestamps.
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ms"), col("click_id"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), lit(null).cast("long").as("click_id"),
+        lit(1).as("side"), col("event_id").as("purchase_id"))
+    // one shuffle on user_id; within each user, clicks sort before
+    // purchases at equal ms (side 0 < 1) so "at-or-before" includes ties
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ms",
+        last(when(col("side") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("asof_click_id").as("click_id"),
+        (col("ms") - col("asof_click_ms")).as("lag_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle uses DuckDB's native ASOF JOIN — an independent implementation
+    * of the same semantics, so agreement is meaningful.
+    */
+  val qAsofJoinOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), c AS (
+      |  SELECT user_id, ms, max(event_id) AS click_id
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT user_id, ms, event_id AS purchase_id
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, c.click_id, p.ms - c.ms AS lag_ms
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
+      |ORDER BY 1""".stripMargin
+
+  // --- deterministic stratified sampling ---
+  // Per-stratum rates (the downsample-dominant-language pass of a corpus
+  // pipeline): keep 50% of English, 20% of everything else, decided by a
+  // portable hash of the doc id — re-running anywhere yields the same
+  // sample, and the sample is a plain filter (column-pruned, pushdown
+  // friendly), not a partitioning-dependent TABLESAMPLE.
+  private val hashBucketSql =
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10000"
+
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket", expr(hashBucketSql))
+      .filter(col("bucket") <
+        when(col("lang") === "en", 5000L).otherwise(2000L))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val qSampleStratifiedOracle: String =
+    """SELECT doc_id, lang,
+      |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+      |      < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+      |ORDER BY 1""".stripMargin
+
+  // --- deterministic train/test split ---
+  // Salted hash split (salt isolates this split from the sampling hash
+  // above — correlated splits leak). Reported as counts per (lang, split)
+  // so the gate pins both the assignment and the stratification balance.
+  def qTrainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('split42:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("split", when(col("h") < 90, "train").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  val qTrainTestSplitOracle: String =
+    """WITH a AS (
+      |  SELECT lang,
+      |         CASE WHEN CAST('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT lang, split, count(*) AS n_docs
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- TF-IDF top terms per document ---
+  // tf and df are two narrow aggregations over the token explosion; the
+  // corpus size joins in as a broadcast single-row aggregate (bounded
+  // cross join, same family as the IVF centroid broadcast). Scores are
+  // rounded to 5 decimals so ln() agrees across engines.
+  def qTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist() // feeds df, the corpus count, and the score join
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("nd"))
+    tf.join(dfreq, "tok")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("nd").cast("double") / col("dfreq")), 5))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val qTfidfTopkOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tt AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok <> '' GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, count(*) AS dfreq FROM tt GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS nd FROM tt
+      |), s AS (
+      |  SELECT tt.doc_id, tt.tok,
+      |         round(tf * ln(CAST(nd AS DOUBLE) / dfreq), 5) AS tfidf
+      |  FROM tt JOIN df USING (tok) CROSS JOIN n
+      |)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank,
+      |       tok AS term, tfidf
+      |FROM s
+      |QUALIFY rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // --- int8 symmetric embedding quantization ---
+  // The vector-compression pass before ANN at scale (4 bytes -> 1 byte
+  // per dim). scale = max|v| / 127 per vector; reported as checksums
+  // (sum / L1 / max of the quantized codes) so the gate pins every code
+  // without comparing raw arrays.
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE)"))
+      .withColumn("q", expr(
+        """CASE WHEN scale = CAST(0.0 AS DOUBLE)
+          |  THEN transform(v, x -> CAST(0 AS BIGINT))
+          |  ELSE transform(v, x -> CAST(round(x / scale) AS BIGINT)) END""".stripMargin))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("q_l1"),
+        expr("array_max(q)").as("q_max"))
+      .orderBy(col("vec_id"))
+
+  val qEmbedQuantizeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |         CASE WHEN scale = 0
+      |           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |           ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) END AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, round(scale, 6) AS scale_r,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      |       list_max(qv) AS q_max
+      |FROM q ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_train_test_split" -> (qTrainTestSplit _),
+    "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_embed_quantize" -> (qEmbedQuantize _))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinOracle,
+    "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_train_test_split" -> qTrainTestSplitOracle,
+    "q_tfidf_topk" -> qTfidfTopkOracle,
+    "q_embed_quantize" -> qEmbedQuantizeOracle)
+}

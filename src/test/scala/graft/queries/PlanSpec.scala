@@ -86,6 +86,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
   }
 
+  test("as-of join is the union+window shape: no range explosion, no BNLJ") {
+    val plan = simple(PipelineQueries.qAsofJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window")) // last-value carry-forward, one key shuffle
+  }
+
+  test("tfidf: the only non-equi join is the single-row corpus-count broadcast") {
+    val plan = simple(PipelineQueries.qTfidfTopk(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))) // tf x df join stays equi
+  }
+
+  test("stratified sample is a plain filter over the scan (no shuffle before it)") {
+    val df = PipelineQueries.qSampleStratified(spark, sf)
+    val plan = simple(df)
+    assert(!plan.contains("Join"))
+    // the sampling predicate sits in a Filter directly over the file scan
+    assert(plan.contains("Filter"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

@@ -210,17 +210,59 @@ object PipelineQueries {
       |       list_max(qv) AS q_max
       |FROM q ORDER BY 1""".stripMargin
 
+  // --- sequence packing: fill fixed token budgets (context windows) ---
+  // The pretraining packing pass: within each (lang, shard), documents
+  // are laid out in stable doc_id order and cut into sequences of budget
+  // 4096 tokens by the EXCLUSIVE running token count — a document starts
+  // a new sequence when the budget is crossed (contiguous packing; a doc
+  // may straddle its boundary, which real packers handle by splitting —
+  // the assignment is what's computed here). The shard key (doc_id % 8)
+  // is what makes this scale: packing is a window function, and sharding
+  // bounds every sort partition instead of serializing per language.
+  private val PackBudget = 4096
+
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"CAST((cum - n_tokens) DIV $PackBudget AS BIGINT)"))
+      .groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("shard"), col("seq_id"))
+  }
+
+  val qPackSequencesOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, doc_id % 8 AS shard,
+      |         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, shard, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT lang, shard, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
-    "q_embed_quantize" -> (qEmbedQuantize _))
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
-    "q_embed_quantize" -> qEmbedQuantizeOracle)
+    "q_embed_quantize" -> qEmbedQuantizeOracle,
+    "q_pack_sequences" -> qPackSequencesOracle)
 }

@@ -130,11 +130,61 @@ object StreamingQueries {
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stream-stream interval join (the remaining §2.9 join surface):
+    * purchases joined to same-user clicks that happened at most 30
+    * minutes earlier. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so the state store evicts rows once the
+    * watermark passes — state stays O(window), never O(stream). The
+    * result set is pure event-time logic, so a batch interval join is an
+    * exact oracle.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tpe: String, alias: String): DataFrame =
+      spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${alias}_id"),
+          col("user_id").as(s"${alias}_user"), col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = side("purchase", "purchase").join(side("click", "click"),
+      col("purchase_user") === col("click_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("purchase_id"), col("click_id"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts"))).as("lag_ms"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val qStreamJoinOracle: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |       epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (qStreamHourly _),
-    "q_stream_user_counts" -> (qStreamUserCounts _))
+    "q_stream_user_counts" -> (qStreamUserCounts _),
+    "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_hourly" -> qStreamHourlyOracle,
-    "q_stream_user_counts" -> qStreamUserCountsOracle)
+    "q_stream_user_counts" -> qStreamUserCountsOracle,
+    "q_stream_join" -> qStreamJoinOracle)
 }

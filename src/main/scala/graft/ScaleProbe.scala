@@ -23,6 +23,8 @@ object ScaleProbe {
     time("text_fingerprint")(queries.TextQueries.qTextFingerprint(spark, dir).count())
     time("dedup_embedding")(queries.SimilarityQueries.qDedupEmbedding(spark, dir).count())
     time("sim_lsh_bucketed")(queries.SimilarityQueries.qSimLshBucketed(spark, dir).count())
+    time("tfidf_topk")(queries.PipelineQueries.qTfidfTopk(spark, dir).count())
+    time("asof_join")(queries.PipelineQueries.qAsofJoin(spark, dir).count())
     spark.stop()
   }
 }

@@ -42,23 +42,27 @@ object SketchDedupQueries {
     val hashed = shingles.withColumn("xm",
       expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
 
-    val minAggs = (0 until K).map(i =>
-      min(expr(s"(${as(i)}L * xm + ${bs(i)}L) % ${P}L")).as(s"m$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // all K permutations + running mins inside ONE array-typed aggregate
+    // (long[16] buffer, map-side partials) instead of 16 min() columns —
+    // same fusion as the SimHash SignedBitSum; arithmetic unchanged, so
+    // the oracle's per-column mins still match bit-for-bit
+    val minVec = udaf(new graft.functions.MinPermVec(as.toArray, bs.toArray, P))
+    val sig = hashed.groupBy(col("doc_id")).agg(minVec(col("xm")).as("m"))
       .persist() // both sides of the band self-join
 
+    def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bh"))
+        md5(concat_ws(",",
+          (0 until 4).map(r => element_at(col("m"), 4 * b + r + 1)): _*)).as("bh"))
     }
-    val mCols = (0 until K).map(i => col(s"m$i"))
-    val exploded = Seq(col("doc_id")) ++ mCols ++ Seq(explode(array(bandStructs: _*)).as("bb"))
-    val flattened = Seq(col("doc_id")) ++ mCols ++
-      Seq(col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val bands = sig.select(exploded: _*).select(flattened: _*)
+    val bands = sig
+      .select(col("doc_id"), col("m"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("m"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
 
     val estExpr = ((0 until K)
-      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .map(i => when(m("a", i) === m("b", i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / K).as("minhash_est")
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -29,15 +30,31 @@ object SketchDedupQueries {
 
   // ---------------------------------------------------------------- MinHash
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
+    // identical-set collapse (same technique as qDedupNgramJaccard): the
+    // signature/banding/verify pipeline runs on one representative per
+    // distinct shingle set — k exact copies of a doc would otherwise
+    // multiply every band bucket by k and the candidate join by k².
+    // Identical sets have identical signatures, so within-group pairs are
+    // exactly (est=1, jaccard=1) and a cross-group rep pair's values hold
+    // for every member pair. Lossless by construction.
+    val base = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-    // the shingle set feeds four plan branches (signatures, per-doc counts,
-    // and both sides of the candidate-verify join) — persist it once
-    // instead of recomputing the explode+md5 per branch
-    val shingles = docs.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
-      .as("shingle"))
+      .withColumn("sarr", array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("sarr"),
+        // newline-delimited sorted set: collision-free (tokens are \s+ split)
+        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
+      .persist()
+    val reps = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sarr"), col("set_hash"))
+    // the shingle set feeds several plan branches (signatures and both
+    // sides of the candidate-verify join) — persist it once instead of
+    // recomputing the explode+md5 per branch
+    val shingles = reps.select(col("doc_id"), explode(col("sarr")).as("shingle"))
       .persist()
     val hashed = shingles.withColumn("xm",
       expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
@@ -73,21 +90,42 @@ object SketchDedupQueries {
       .persist() // joined twice in the verify stage
 
     // verify stage: exact Jaccard, restricted to LSH candidates
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // (representatives only — n_shingles from size(), no counting shuffle)
+    val counts = reps.select(col("doc_id"), size(col("sarr")).as("n_shingles"),
+      col("set_hash"))
     val common = shingles.as("sa")
       .join(cand, col("sa.doc_id") === col("doc_a"))
       .join(shingles.as("sb"),
         col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    cand
+    val repPairs = cand
       .join(common, Seq("doc_a", "doc_b"), "inner")
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("minhash_est"), col("jaccard"))
+      .select(col("ha"), col("hb"), col("minhash_est"), col("jaccard"))
+
+    // reassemble the full pair set from the group structure
+    val members = base.select(col("set_hash"), col("doc_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("minhash_est"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
+      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("minhash_est"), col("jaccard"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

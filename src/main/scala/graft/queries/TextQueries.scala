@@ -173,30 +173,46 @@ object TextQueries {
   // All threshold arithmetic is integer-exact (t = 3/5): float rounding at
   // prefix/length boundaries could silently drop qualifying pairs.
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Per-doc shingle SET as an array, its size (from size(), no counting
+    // shuffle), and a collision-free set hash (newline delimiter: tokens
+    // come from a \s+ split, so no shingle can contain it).
+    //
+    // Identical-set collapse: dedup corpora are duplicate-heavy by
+    // definition, and exact copies are poison for ALL-pairs candidate
+    // generation — k copies of a doc multiply every posting list by k and
+    // the candidate join by k². So the expensive pipeline (prefix filter +
+    // verify) runs on one REPRESENTATIVE per distinct shingle set, and
+    // the full answer is reassembled afterwards: within-group pairs have
+    // jaccard exactly 1, and a cross-group rep pair's jaccard holds for
+    // every member pair (identical sets). Lossless by construction; on
+    // the 10x probe corpus (every doc x10) this cuts candidate generation
+    // from 50k docs back to the ~5k distinct sets.
     val docs = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-    val shingles = docs
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .withColumn("sarr", array_distinct(expr(
         "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
-        .as("shingle"))
+      .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
+        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .persist()
-    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val reps = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
+    val shingles = reps
+      .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
+      .persist()
 
     // Candidate generation is ALWAYS the lossless prefix-filter path — no
-    // driver-side count() cost switch (an extra full-table job per
-    // invocation at scale, for a branch whose small-input win is a few
-    // hundred ms). The prefix filter's df-ranking overhead is two narrow
-    // aggregations; at every scale it keeps the self-join linear, and the
-    // result is identical to the full inverted-index join by construction.
-    // global canonical order: rarest shingles first, ties by value
+    // driver-side count() cost switch. Global canonical order: rarest
+    // shingles first, ties by value; prefix size n - ceil(3n/5) + 1,
+    // integer-exact (div, not fp).
     val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefixes = shingles
       .join(docFreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-      .join(counts, "doc_id")
-      // prefix size n - ceil(3n/5) + 1, integer-exact (div, not fp)
       .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 3 + 4) div 5") + 1)
       .select(col("doc_id"), col("shingle"), col("n_shingles"))
     val cand = prefixes.as("a")
@@ -207,20 +223,41 @@ object TextQueries {
              >= greatest(col("a.n_shingles"), col("b.n_shingles")) * 3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify: exact overlap over full shingle sets, candidates only
-    val common = shingles.as("sa")
+
+    // verify: exact overlap over full shingle sets, candidates only —
+    // representatives only, so volume scales with distinct content
+    val counts = reps.select(col("doc_id"), col("n_shingles"), col("set_hash"))
+    val repPairs = shingles.as("sa")
       .join(cand, col("sa.doc_id") === col("doc_a"))
       .join(shingles.as("sb"),
         col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.6)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("ha"), col("hb"), col("jaccard"))
+
+    // reassemble the full pair set from the group structure
+    val members = docs.select(col("set_hash"), col("doc_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
+      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("jaccard"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

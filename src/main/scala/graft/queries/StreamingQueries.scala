@@ -178,13 +178,99 @@ object StreamingQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY 1, 2""".stripMargin
 
+  /** Streaming -> lake-sink integration: the per-user running counters
+    * stream (Update mode) lands in a parquet lake through
+    * `foreachBatch` + [[graft.etl.Sinks.upsert]] — the reference's
+    * "incremental load into an upsert sink", executed as a stream.
+    * Counters are monotone and the upsert keeps the highest
+    * `n_events` per user, so the final lake state equals the batch
+    * GROUP BY regardless of how the source splits into micro-batches —
+    * and a re-run against the same lake is idempotent (ST5).
+    */
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val lake = java.nio.file.Files.createTempDirectory("stream-upsert")
+      .resolve("t").toString
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[RawEvent]
+    val updated = src
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[RawEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          val next = events.foldLeft(prev) { (s, e) =>
+            UserState(s.n_events + 1, math.max(s.max_ts_micros, e.ts / 1000))
+          }
+          state.update(next)
+          UserAgg(user, next.n_events,
+            java.time.Instant.ofEpochMilli(next.max_ts_micros / 1000)
+              .atZone(java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")))
+      }
+    val q = updated.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.etl.Sinks.upsert(spark, batch.toDF(), lake,
+          keys = Seq("user_id"), tiebreak = Some("n_events"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(lake).orderBy(col("user_id"))
+  }
+
+  /** Final lake state must equal the batch aggregation — same oracle as
+    * the in-memory stateful counters.
+    */
+  val qStreamUpsertOracle: String = qStreamUserCountsOracle
+
+  /** Streaming exactly-once dedup: `dropDuplicates` on the event id under
+    * a watermark (late re-sends beyond the watermark age out of state).
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+      withShufflePartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val name = "stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = src.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
+  val qStreamDedupOracle: String =
+    """SELECT event_type, count(DISTINCT event_id) AS n_unique
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
-    "q_stream_join" -> (qStreamJoin _))
+    "q_stream_join" -> (qStreamJoin _),
+    "q_stream_upsert" -> (qStreamUpsert _),
+    "q_stream_dedup" -> (qStreamDedup _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,
-    "q_stream_join" -> qStreamJoinOracle)
+    "q_stream_join" -> qStreamJoinOracle,
+    "q_stream_upsert" -> qStreamUpsertOracle,
+    "q_stream_dedup" -> qStreamDedupOracle)
 }

@@ -17,6 +17,9 @@ import graft.functions.{DotProduct, FieldExpr}
   *  - `field(str, v1, ...)` — MySQL FIELD ordering (SURVEY.md §7.3)
   *  - `dayname(d)` — MySQL full-name DAYNAME (shadows Spark's abbreviated
   *    builtin)
+  *  - `date_format(d, fmt)` — hybrid shadow: a `%`-bearing format literal
+  *    is translated from MySQL specifiers at plan-build time
+  *    (graft.functions.MySqlFormat); Spark patterns pass through
   *  - `dot_product(a, b)` — codegen'd vector dot product
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,6 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dayname"),
       info("dayname", "dayname(d) - full English day name"),
       (exprs: Seq[Expression]) => DateFormatClass(exprs.head, Literal("EEEE"))))
+    ext.injectFunction((
+      FunctionIdentifier("date_format"),
+      info("date_format",
+        "date_format(d, fmt) - fmt accepts MySQL %-specifiers or Java patterns"),
+      (exprs: Seq[Expression]) => {
+        val fmt = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+              org.apache.spark.sql.types.StringType) if s.toString.contains("%") =>
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              graft.functions.MySqlFormat.toJavaPattern(s.toString)),
+              org.apache.spark.sql.types.StringType)
+          case other => other
+        }
+        DateFormatClass(exprs.head, fmt)
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of array<double>"),

@@ -41,8 +41,12 @@ object Sinks {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // mergeSchema: a lake written by batches whose schema evolved (new
+  // columns appearing over time) reads as the union schema, older files
+  // null-filling the columns they predate
   private def readLake(spark: SparkSession, path: String): Option[DataFrame] =
-    if (LakeFs.nonEmptyDataDir(spark, path)) Some(spark.read.parquet(path))
+    if (LakeFs.nonEmptyDataDir(spark, path))
+      Some(spark.read.option("mergeSchema", "true").parquet(path))
     else None
 
   private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
@@ -96,6 +100,14 @@ object Sinks {
     * column — leave it off when keys can't move (the reference's
     * month-from-id layout), turn it on when they can.
     */
+  /** Sort rows within each write task so parquet row-group min/max
+    * statistics become selective — the data-skipping layout knob: a scan
+    * filtered on a `sortBy` column prunes row groups instead of reading
+    * them (the poor man's Z-order; one column is usually the right call).
+    */
+  private def sorted(df: DataFrame, sortBy: Seq[String]): DataFrame =
+    if (sortBy.isEmpty) df else df.sortWithinPartitions(sortBy.map(col): _*)
+
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -103,7 +115,8 @@ object Sinks {
       keys: Seq[String],
       partitionBy: Seq[String] = Nil,
       tiebreak: Option[String] = None,
-      globalKeys: Boolean = false): Unit = {
+      globalKeys: Boolean = false,
+      sortBy: Seq[String] = Nil): Unit = {
     val fs = fsFor(spark, path)
     val tableRoot = new Path(path)
 
@@ -113,10 +126,16 @@ object Sinks {
       val merged = readLake(spark, path) match {
         case None => newRows
         case Some(existing) =>
-          existing.withColumn("_precedence", lit(0)).unionByName(newRows)
+          // schema evolution: a batch may add columns (existing rows
+          // null-fill them) or omit columns the lake has (batch rows
+          // null-fill — the upserted row carries exactly what the batch
+          // declared, like ON DUPLICATE KEY UPDATE of every batch column)
+          existing.withColumn("_precedence", lit(0))
+            .unionByName(newRows, allowMissingColumns = true)
       }
       val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-      val w = keepLast(merged, keys, tiebreak).write.mode(SaveMode.Overwrite)
+      val w = sorted(keepLast(merged, keys, tiebreak), sortBy)
+        .write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
       swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
     } else {
@@ -148,10 +167,11 @@ object Sinks {
         }
         val merged = keepLast(
           existing.filter(partPred).withColumn("_precedence", lit(0))
-            .unionByName(newRows),
+            .unionByName(newRows, allowMissingColumns = true),
           keys, tiebreak)
         val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-        merged.write.mode(SaveMode.Overwrite).partitionBy(pcol).parquet(tmp)
+        sorted(merged, sortBy).write.mode(SaveMode.Overwrite)
+          .partitionBy(pcol).parquet(tmp)
         // swap exactly the partition dirs the merge produced (directory
         // names carry Hive-escaped values — no re-encoding here); asides
         // live OUTSIDE the table root so a crash never leaves a directory
@@ -230,7 +250,8 @@ object Sinks {
       path: String,
       keys: Seq[String],
       partitionBy: Seq[String] = Nil,
-      tiebreak: Option[String] = None): Unit = {
+      tiebreak: Option[String] = None,
+      sortBy: Seq[String] = Nil): Unit = {
     // batch-internal dedup: keep-first by tiebreak asc (stable)
     val order = tiebreak.map(c => col(c).asc).toSeq :+ lit(1).asc
     val dedupedBatch = batch
@@ -243,7 +264,7 @@ object Sinks {
       case Some(existing) =>
         dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
     }
-    val w = fresh.write.mode(SaveMode.Append)
+    val w = sorted(fresh, sortBy).write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 }

@@ -222,6 +222,59 @@ class SinksSpec extends SparkSpec {
     assert(asMap(path) == before)
   }
 
+  test("upsert schema evolution: batches may add or omit columns") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    // later batch adds a column: existing rows null-fill it
+    Sinks.upsert(spark,
+      Seq(("c", 3.0, 1, "2024-09", "note-c"))
+        .toDF("violation_id", "fine_amount", "seq", "month", "note"),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val withNote = read(path).collect()
+      .map(r => r.getAs[String]("violation_id") -> r.getAs[String]("note")).toMap
+    assert(withNote == Map("a" -> null, "b" -> null, "c" -> "note-c"))
+    // later batch OMITS the column: the upserted row carries exactly what
+    // the batch declared (every batch column updated, rest null)
+    Sinks.upsert(spark, batch(("c", 30.0, 2, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val after = read(path).collect()
+      .map(r => r.getAs[String]("violation_id") ->
+        (r.getAs[Double]("fine_amount"), r.getAs[String]("note"))).toMap
+    assert(after("c") == (30.0, null))
+    assert(after.keySet == Set("a", "b", "c"))
+  }
+
+  test("insert-ignore schema evolution: appended files with a new column merge on read") {
+    val path = tmpDir()
+    Sinks.insertIgnore(spark, batch(("a", 1.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    Sinks.insertIgnore(spark,
+      Seq(("b", 2.0, 1, "2024-09", "note-b"))
+        .toDF("violation_id", "fine_amount", "seq", "month", "note"),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val got = spark.read.option("mergeSchema", "true").parquet(path).collect()
+      .map(r => r.getAs[String]("violation_id") -> r.getAs[String]("note")).toMap
+    assert(got == Map("a" -> null, "b" -> "note-b"))
+  }
+
+  test("sortBy layout: every written file is internally sorted (skippable row groups)") {
+    val path = tmpDir()
+    val rows = (0 until 200).map(i =>
+      (f"id_${(i * 37) % 200}%04d", i.toDouble, i, "2024-09")) // scrambled ids
+    Sinks.upsert(spark, rows.toDF("violation_id", "fine_amount", "seq", "month"),
+      path, Seq("violation_id"), tiebreak = Some("seq"),
+      sortBy = Seq("violation_id"))
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .collect().map(_.getAs[String]("violation_id")).toSeq
+      assert(ids == ids.sorted, s"${f.getName} not sorted")
+    }
+  }
+
   test("S9 DDL-on-write: ensure-table DDL, then sink writes read back via the catalog") {
     // the reference issues CREATE TABLE IF NOT EXISTS before every load
     // (ref: etl/full_load/violation_etl_history.py:44-64); here the same

@@ -86,6 +86,22 @@ object Sinks {
       .drop("_rn", "_precedence")
   }
 
+  /** Sort rows within each write task so parquet row-group min/max
+    * statistics become selective — the data-skipping layout knob: a scan
+    * filtered on a `sortBy` column prunes row groups instead of reading
+    * them (the poor man's Z-order; one column is usually the right call).
+    */
+  private def sorted(df: DataFrame, sortBy: Seq[String]): DataFrame =
+    if (sortBy.isEmpty) df else df.sortWithinPartitions(sortBy.map(col): _*)
+
+  /** File-size hygiene at scale: cap records per output file so one fat
+    * task can't emit a multi-GB file (0 = no cap). Listing cost, scan
+    * parallelism, and retry granularity all key off file size at 100 TB.
+    */
+  private def capped(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      maxRecordsPerFile: Long) =
+    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+
   /** Last-writer-wins upsert of `batch` into the lake table at `path`.
     * One shuffle on `keys`; with `partitionBy` given, only the batch's
     * partitions are read, merged, and swapped.
@@ -100,14 +116,6 @@ object Sinks {
     * column — leave it off when keys can't move (the reference's
     * month-from-id layout), turn it on when they can.
     */
-  /** Sort rows within each write task so parquet row-group min/max
-    * statistics become selective — the data-skipping layout knob: a scan
-    * filtered on a `sortBy` column prunes row groups instead of reading
-    * them (the poor man's Z-order; one column is usually the right call).
-    */
-  private def sorted(df: DataFrame, sortBy: Seq[String]): DataFrame =
-    if (sortBy.isEmpty) df else df.sortWithinPartitions(sortBy.map(col): _*)
-
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -116,7 +124,8 @@ object Sinks {
       partitionBy: Seq[String] = Nil,
       tiebreak: Option[String] = None,
       globalKeys: Boolean = false,
-      sortBy: Seq[String] = Nil): Unit = {
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
     val fs = fsFor(spark, path)
     val tableRoot = new Path(path)
 
@@ -134,8 +143,8 @@ object Sinks {
             .unionByName(newRows, allowMissingColumns = true)
       }
       val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-      val w = sorted(keepLast(merged, keys, tiebreak), sortBy)
-        .write.mode(SaveMode.Overwrite)
+      val w = capped(sorted(keepLast(merged, keys, tiebreak), sortBy)
+        .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
       swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
     } else {
@@ -170,8 +179,8 @@ object Sinks {
             .unionByName(newRows, allowMissingColumns = true),
           keys, tiebreak)
         val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-        sorted(merged, sortBy).write.mode(SaveMode.Overwrite)
-          .partitionBy(pcol).parquet(tmp)
+        capped(sorted(merged, sortBy).write.mode(SaveMode.Overwrite),
+          maxRecordsPerFile).partitionBy(pcol).parquet(tmp)
         // swap exactly the partition dirs the merge produced (directory
         // names carry Hive-escaped values — no re-encoding here); asides
         // live OUTSIDE the table root so a crash never leaves a directory
@@ -251,7 +260,8 @@ object Sinks {
       keys: Seq[String],
       partitionBy: Seq[String] = Nil,
       tiebreak: Option[String] = None,
-      sortBy: Seq[String] = Nil): Unit = {
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
     // batch-internal dedup: keep-first by tiebreak asc (stable)
     val order = tiebreak.map(c => col(c).asc).toSeq :+ lit(1).asc
     val dedupedBatch = batch
@@ -264,7 +274,8 @@ object Sinks {
       case Some(existing) =>
         dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
     }
-    val w = sorted(fresh, sortBy).write.mode(SaveMode.Append)
+    val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
+      maxRecordsPerFile)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 }

@@ -275,6 +275,19 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("maxRecordsPerFile caps output file size; content unchanged") {
+    val path = tmpDir()
+    val rows = (0 until 200).map(i => (f"id_$i%04d", i.toDouble, i, "2024-09"))
+    Sinks.upsert(spark, rows.toDF("violation_id", "fine_amount", "seq", "month")
+        .coalesce(1), // one task would otherwise emit one 200-row file
+      path, Seq("violation_id"), tiebreak = Some("seq"),
+      maxRecordsPerFile = 50L)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.length >= 4)
+    assert(read(path).count() == 200)
+  }
+
   test("S9 DDL-on-write: ensure-table DDL, then sink writes read back via the catalog") {
     // the reference issues CREATE TABLE IF NOT EXISTS before every load
     // (ref: etl/full_load/violation_etl_history.py:44-64); here the same

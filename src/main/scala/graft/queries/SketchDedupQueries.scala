@@ -279,13 +279,59 @@ object SketchDedupQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------ dedup group resolution
+  /** Connected components over the SimHash near-dup pair graph — the
+    * survivor-selection step: a~b and b~c put a and c in one dup GROUP
+    * even if never directly compared. Components via iterative min-label
+    * propagation ([[graft.ops.ConnectedComponents]], exact fixpoint);
+    * component id = min doc_id = the kept canonical document.
+    */
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ConnectedComponents
+      .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle computes the same fixpoint independently: transitive closure
+    * via a recursive CTE, component = min reachable vertex (incl. self).
+    */
+  val qDedupComponentsOracle: String = {
+    val bandSelects = (0 until SimBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${BandBits * b}) & ${(1 << BandBits) - 1} AS bv FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $simhashSigSql, bands AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), adj AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM adj
+       |  UNION
+       |  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+       |)
+       |SELECT v.id AS doc_id,
+       |       CAST(least(v.id, min(r.dst)) AS BIGINT) AS component_id
+       |FROM (SELECT DISTINCT src AS id FROM adj) v
+       |LEFT JOIN reach r ON r.src = v.id
+       |GROUP BY v.id
+       |ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_simhash_fingerprints" -> (qSimhashFingerprints _),
-    "q_dedup_simhash" -> (qDedupSimhash _))
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_components" -> (qDedupComponents _))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,
-    "q_dedup_simhash" -> qDedupSimhashOracle)
+    "q_dedup_simhash" -> qDedupSimhashOracle,
+    "q_dedup_components" -> qDedupComponentsOracle)
 }

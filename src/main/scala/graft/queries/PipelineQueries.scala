@@ -250,7 +250,54 @@ object PipelineQueries {
       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --- decontamination: test-set n-gram overlap detection ---
+  // Distinct from dedup: an ASYMMETRIC cross-set check. Training docs
+  // sharing many 3-gram shingles with any held-out benchmark doc are
+  // contaminated and must be dropped before training. The benchmark side
+  // here is a deterministic slice (doc_id % 97 == 0) standing in for an
+  // external eval set; the join is shingle-keyed (one shuffle, benchmark
+  // side is the small one), counts are per (train, benchmark) pair, and
+  // only pairs over the threshold surface. At 100 TB the benchmark
+  // shingle set is small enough to broadcast.
+  private val ContamMinShared = 2
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))
+    val train = shingled.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id").as("train_doc_id"), col("benchmark_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("train_doc_id"), col("benchmark_doc_id"))
+  }
+
+  val qDecontaminateOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |)
+      |SELECT t.doc_id AS train_doc_id, b.doc_id AS benchmark_doc_id,
+      |       count(*) AS n_shared
+      |FROM s t JOIN s b ON t.shingle = b.shingle
+      |WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+      |GROUP BY 1, 2
+      |HAVING count(*) >= $ContamMinShared
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_train_test_split" -> (qTrainTestSplit _),
@@ -259,6 +306,7 @@ object PipelineQueries {
     "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
+    "q_decontaminate" -> qDecontaminateOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_train_test_split" -> qTrainTestSplitOracle,

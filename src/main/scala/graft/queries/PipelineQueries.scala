@@ -8,7 +8,8 @@ import graft.Tables._
 
 /** Training-data-pipeline operators beyond the dedup/similarity/text set:
   * temporal as-of join, deterministic sampling/splitting, TF-IDF term
-  * scoring, and embedding quantization.
+  * scoring, embedding quantization, context-window sequence packing, and
+  * benchmark decontamination.
   *
   * Scale design notes:
   *  - The as-of join is the union+window formulation: tag both sides,
@@ -296,7 +297,27 @@ object PipelineQueries {
       |HAVING count(*) >= $ContamMinShared
       |ORDER BY 1, 2""".stripMargin
 
+  // --- domain mixing weights ---
+  // The mix-rebalancing pass: given a target UNIFORM mix across sources,
+  // the per-source keep-rate is min_count / count (downsample every
+  // source to the rarest one). The global window runs over the tiny
+  // post-aggregation table (one row per source), not the data.
+  def qMixWeights(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("keep_rate",
+        round(min(col("n_docs")).over(Window.partitionBy())
+          .cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+
+  val qMixWeightsOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       round(CAST(min(count(*)) OVER () AS DOUBLE) / count(*), 6) AS keep_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> (qMixWeights _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -306,6 +327,7 @@ object PipelineQueries {
     "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
+    "q_mix_weights" -> qMixWeightsOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,

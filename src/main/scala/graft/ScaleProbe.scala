@@ -25,6 +25,8 @@ object ScaleProbe {
     time("sim_lsh_bucketed")(queries.SimilarityQueries.qSimLshBucketed(spark, dir).count())
     time("tfidf_topk")(queries.PipelineQueries.qTfidfTopk(spark, dir).count())
     time("asof_join")(queries.PipelineQueries.qAsofJoin(spark, dir).count())
+    time("dedup_components")(queries.SketchDedupQueries.qDedupComponents(spark, dir).count())
+    time("decontaminate")(queries.PipelineQueries.qDecontaminate(spark, dir).count())
     spark.stop()
   }
 }

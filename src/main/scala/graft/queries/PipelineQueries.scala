@@ -256,10 +256,11 @@ object PipelineQueries {
   // sharing many 3-gram shingles with any held-out benchmark doc are
   // contaminated and must be dropped before training. The benchmark side
   // here is a deterministic slice (doc_id % 97 == 0) standing in for an
-  // external eval set; the join is shingle-keyed (one shuffle, benchmark
-  // side is the small one), counts are per (train, benchmark) pair, and
-  // only pairs over the threshold surface. At 100 TB the benchmark
-  // shingle set is small enough to broadcast.
+  // external eval set; the join is shingle-keyed, counts are per
+  // (train, benchmark) pair, and only pairs over the threshold surface.
+  // The broadcast is sized for REAL eval suites (fixed, thousands of
+  // docs — tiny next to a 100 TB corpus); a benchmark too big to
+  // broadcast degrades gracefully to the same shuffle equi-join.
   private val ContamMinShared = 2
 
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {

@@ -323,15 +323,66 @@ object SketchDedupQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** End-to-end dedup APPLICATION: detect (SimHash pairs) -> group
+    * (connected components) -> drop every non-canonical member -> report
+    * the cleaned corpus per language. The drop is a broadcast anti-join
+    * on the (small) non-survivor list; at scale the component table is
+    * itself distributed, so the anti-join degrades gracefully to a
+    * shuffle. The survivors count is what a pipeline actually ships.
+    */
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val nonCanonical = qDedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id"))
+    documents(spark, dir)
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val qDedupApplyOracle: String = {
+    val bandSelects = (0 until SimBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${BandBits * b}) & ${(1 << BandBits) - 1} AS bv FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $simhashSigSql, bands AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |), adj AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM adj
+       |  UNION
+       |  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+       |), dropped AS (
+       |  SELECT v.id FROM (SELECT DISTINCT src AS id FROM adj) v
+       |  LEFT JOIN reach r ON r.src = v.id
+       |  GROUP BY v.id
+       |  HAVING v.id <> least(v.id, min(r.dst))
+       |)
+       |SELECT lang, count(*) AS n_docs_kept
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM dropped)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_simhash_fingerprints" -> (qSimhashFingerprints _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_components" -> (qDedupComponents _))
+    "q_dedup_components" -> (qDedupComponents _),
+    "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,
     "q_dedup_simhash" -> qDedupSimhashOracle,
-    "q_dedup_components" -> qDedupComponentsOracle)
+    "q_dedup_components" -> qDedupComponentsOracle,
+    "q_dedup_apply" -> qDedupApplyOracle)
 }

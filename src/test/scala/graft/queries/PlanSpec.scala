@@ -109,6 +109,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"))
   }
 
+  test("decontaminate: the benchmark side broadcasts; no cartesian shapes") {
+    val plan = simple(PipelineQueries.qDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

@@ -27,4 +27,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run((7L, 3L), (7L, 9L), (7L, 8L), (3L, 9L))
     assert(got == Map(3L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
   }
+
+  test("random graphs agree with a union-find reference (seeded)") {
+    // in-memory union-find as the independent oracle
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the component minimum
+      val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      vertices.map(v => v -> find(v.toInt).toLong).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expect = unionFind(n, edges)
+      assert(run(edges: _*) == expect, s"trial $trial: $edges")
+    }
+  }
 }

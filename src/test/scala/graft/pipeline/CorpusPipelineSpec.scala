@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.queries.{PipelineQueries, SketchDedupQueries}
+
+/** The composable pipeline surface must agree stage-for-stage with the
+  * oracle-gated queries on the shared testdata, and the composed chain
+  * must stay one lazy plan with sane row accounting.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("dedupNear over SimHash pairs matches q_dedup_apply per-lang counts") {
+    val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val got = CorpusPipeline(docs).dedupNear(pairs).df
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs_kept"))
+      .orderBy(col("lang")).collect().map(_.toSeq)
+    val expect = SketchDedupQueries.qDedupApply(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("sampleStratified matches q_sample_stratified's kept ids") {
+    val got = CorpusPipeline(docs)
+      .sampleStratified(Map("en" -> 0.5), default = 0.2).df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val expect = PipelineQueries.qSampleStratified(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("withSplit matches q_train_test_split's counts") {
+    val got = CorpusPipeline(docs).withSplit(trainPct = 90).df
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split")).collect().map(_.toSeq)
+    val expect = PipelineQueries.qTrainTestSplit(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("the composed chain runs as one plan with monotone row accounting") {
+    val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    val p0 = docs.count()
+    val p1 = CorpusPipeline(docs).dedupExact().df.count()
+    val chain = CorpusPipeline(docs)
+      .dedupExact()
+      .dedupNear(pairs)
+      .decontaminate(benchmark)
+      .sampleStratified(Map("en" -> 0.5), default = 0.2)
+      .withSplit(trainPct = 90)
+      .df
+    val end = chain.count()
+    assert(p1 <= p0 && end <= p1 && end > 0)
+    // split column present and binary
+    assert(chain.select(col("split")).distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "test")))
+  }
+}

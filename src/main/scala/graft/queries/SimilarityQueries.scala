@@ -260,15 +260,74 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3
       |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
 
+  // --- sign random projection: 64 -> 8 dims before ANN ---
+  // The dimensionality-reduction pass that precedes index build at scale:
+  // y_j = (v . r_j) / sqrt(d) with r_j a FIXED +-1 vector derived from
+  // md5("rp:i:j") parity — the matrix is materialized at plan-build time
+  // as literal arrays (computed once in Scala, embedded in both engines'
+  // SQL), so the per-row work is 8 codegen'd zip_with+fold dot products
+  // and nothing hashes per row. Deterministic everywhere; rounded to 5
+  // decimals so fold order is irrelevant.
+  private val ProjDims = 8
+  private val SrcDims = 64
+
+  /** +-1 from the parity of the first byte of md5("rp:i:j") — any
+    * engine/library reproduces it.
+    */
+  private lazy val projMatrix: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(ProjDims, SrcDims) { (j, i) =>
+      val h = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  def qEmbedProject(spark: SparkSession, dir: String): DataFrame = {
+    val cols = (0 until ProjDims).map { j =>
+      val rj = projMatrix(j).map(s => s"CAST($s.0 AS DOUBLE)").mkString(", ")
+      // + 0.0 maps IEEE negative zero to positive zero (a ~-1e-18 sum
+      // otherwise rounds to -0.0 in one engine and 0.0 in the other)
+      expr(
+        s"""round(aggregate(zip_with(v, array($rj), (x, r) -> x * r),
+           |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 8.0, 5) + CAST(0.0 AS DOUBLE)""".stripMargin)
+        .as(s"y$j")
+    }
+    embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbedProjectOracle: String = {
+    // list_reduce with a prepended 0 is the same LEFT-TO-RIGHT fold as
+    // Spark's aggregate — list_sum may sum in a different order and flip
+    // a rounding boundary (observed: 1/500 rows)
+    val terms = (0 until ProjDims).map { j =>
+      val rj = projMatrix(j).mkString("[", ".0, ", ".0]")
+      s"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, $SrcDims), i -> v[i] * ($rj)[i])), " +
+        s"(a, x) -> a + x) / 8.0, 5) + 0.0 AS y$j"
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |)
+       |SELECT vec_id,
+       |       $terms
+       |FROM e ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_sim_lsh_bucketed" -> (qSimLshBucketed _),
-    "q_sim_ivf" -> (qSimIvf _))
+    "q_sim_ivf" -> (qSimIvf _),
+    "q_embed_project" -> (qEmbedProject _))
 
   def oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,
     "q_dedup_embedding" -> qDedupEmbeddingOracle,
     "q_sim_lsh_bucketed" -> qSimLshBucketedOracle,
-    "q_sim_ivf" -> qSimIvfOracle)
+    "q_sim_ivf" -> qSimIvfOracle,
+    "q_embed_project" -> qEmbedProjectOracle)
 }

@@ -104,6 +104,87 @@ object TextQueries {
       |            ELSE 'zh' END AS guessed_lang
       |FROM scored ORDER BY 1""".stripMargin
 
+  // --- language-ID, trained: naive Bayes over character trigrams ---
+  // A REAL in-engine model, not a marker heuristic: per-language
+  // Laplace-smoothed trigram log-probabilities are TRAINED from the
+  // labeled corpus and every document is scored against every language,
+  // all inside one plan (train and apply are two narrow aggregations plus
+  // one scoring join — nothing leaves the cluster).
+  //
+  // Determinism across engines: log10 values are rounded to 6 decimals
+  // and summed as DECIMAL(28,6) — decimal addition is exact and
+  // order-insensitive, so shuffle order can't flip an argmax (a double
+  // sum here would be nondeterministic across partitionings). Docs are
+  // truncated to their first 200 chars (standard langid practice; bounds
+  // the explode). Output is the confusion matrix (actual, predicted, n).
+  def qLangIdNb(spark: SparkSession, dir: String): DataFrame = {
+    val tri = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
+            |  i -> substring(substring(lower(text), 1, 200), i, 3))""".stripMargin))
+          .as("g"))
+      .persist() // feeds training counts, vocab, and scoring
+    val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
+    val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))
+    val vocab = tri.select(col("g")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    // log-prob table for EVERY (trigram, language) pair — absent pairs get
+    // the smoothed floor. |vocab| x |langs| rows: bounded by the charset,
+    // not the corpus.
+    val logp = vocab
+      .join(broadcast(cL), lit(true))
+      .join(broadcast(vSize), lit(true))
+      .join(cGl, Seq("g", "l"), "left")
+      .select(col("g"), col("l"),
+        round(log10((coalesce(col("c_gl"), lit(0L)) + 1).cast("double") /
+          (col("c_l") + col("v"))), 6).cast("decimal(28,6)").as("lp"))
+    val scored = tri
+      .join(logp, "g")
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(col("lp")).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("l"))))
+      .filter(col("rk") === 1)
+    scored
+      .groupBy(col("lang"), col("l").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val qLangIdNbOracle: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    generate_series(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
+      |    i -> substring(substring(lower(text), 1, 200), i, 3))) AS g
+      |  FROM documents
+      |), c_gl AS (
+      |  SELECT lang AS l, g, count(*) AS c_gl FROM tri GROUP BY 1, 2
+      |), c_l AS (
+      |  SELECT lang AS l, count(*) AS c_l FROM tri GROUP BY 1
+      |), vocab AS (
+      |  SELECT DISTINCT g FROM tri
+      |), v AS (
+      |  SELECT count(*) AS v FROM vocab
+      |), logp AS (
+      |  SELECT vocab.g, c_l.l,
+      |         CAST(round(log10(CAST(coalesce(c_gl.c_gl, 0) + 1 AS DOUBLE)
+      |           / (c_l.c_l + v.v)), 6) AS DECIMAL(28,6)) AS lp
+      |  FROM vocab CROSS JOIN c_l CROSS JOIN v
+      |  LEFT JOIN c_gl ON c_gl.g = vocab.g AND c_gl.l = c_l.l
+      |), scored AS (
+      |  SELECT tri.doc_id, tri.lang, logp.l, sum(logp.lp) AS score
+      |  FROM tri JOIN logp ON tri.g = logp.g
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT doc_id, lang, l AS predicted
+      |  FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) = 1
+      |)
+      |SELECT lang, predicted, count(*) AS n_docs
+      |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- document fingerprinting: md5 over the sorted distinct token set ---
   // (canonical normalized-bag fingerprint; robust to token order/duplication)
   private def fingerprintCol: Column =
@@ -328,6 +409,7 @@ object TextQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
+    "q_langid_nb" -> (qLangIdNb _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -336,6 +418,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,
+    "q_langid_nb" -> qLangIdNbOracle,
     "q_text_fingerprint" -> qTextFingerprintOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,

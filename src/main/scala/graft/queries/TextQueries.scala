@@ -139,10 +139,15 @@ object TextQueries {
       .select(col("g"), col("l"),
         round(log10((coalesce(col("c_gl"), lit(0L)) + 1).cast("double") /
           (col("c_l") + col("v"))), 6).cast("decimal(28,6)").as("lp"))
-    val scored = tri
-      .join(logp, "g")
+    // score with per-doc trigram COUNTS against the BROADCAST log-prob
+    // table (bounded: vocab x languages) — no shuffle of the trigram
+    // instances; lp * cnt in decimal is exactly cnt additions of lp
+    val docG = tri.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = docG
+      .join(broadcast(logp), "g")
       .groupBy(col("doc_id"), col("lang"), col("l"))
-      .agg(sum(col("lp")).as("score"))
+      .agg(sum(col("lp") * col("cnt")).as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("l"))))

@@ -190,6 +190,79 @@ object TextQueries {
       |SELECT lang, predicted, count(*) AS n_docs
       |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- model-based quality: per-doc log-likelihood under its language model ---
+  // The "perplexity filter" of an LLM data pipeline: score every document
+  // by its average trigram log-probability under ITS OWN language's
+  // trained model (same Laplace-smoothed model as q_langid_nb); documents
+  // far below their language's typical likelihood are noise/outliers.
+  // Per-doc totals sum exactly in DECIMAL; the average divides once at
+  // the end (rounded), so the score is order-insensitive. Output: the 10
+  // lowest-likelihood docs per language — the drop candidates.
+  def qLmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val tri = documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
+            |  i -> substring(substring(lower(text), 1, 200), i, 3))""".stripMargin))
+          .as("g"))
+      .persist()
+    val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
+    val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))
+    val vSize = tri.select(col("g")).distinct().agg(count(lit(1)).as("v"))
+    val logp = cGl
+      .join(broadcast(cL), "l")
+      .join(broadcast(vSize))
+      .select(col("g"), col("l"),
+        round(log10((col("c_gl") + 1).cast("double") / (col("c_l") + col("v"))), 6)
+          .cast("decimal(28,6)").as("lp"))
+    tri.groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      // own-language model only: every (lang, g) of a doc exists in its
+      // own counts (it contributed them), so an inner join is lossless
+      .join(broadcast(logp.withColumnRenamed("g", "lg")),
+        col("g") === col("lg") && col("lang") === col("l"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp") * col("cnt")).as("total"), sum(col("cnt")).as("n"))
+      .select(col("doc_id"), col("lang"),
+        round(col("total").cast("double") / col("n"), 5).as("avg_logp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_logp"), col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("avg_logp"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val qLmQualityOracle: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    generate_series(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
+      |    i -> substring(substring(lower(text), 1, 200), i, 3))) AS g
+      |  FROM documents
+      |), c_gl AS (
+      |  SELECT lang AS l, g, count(*) AS c_gl FROM tri GROUP BY 1, 2
+      |), c_l AS (
+      |  SELECT lang AS l, count(*) AS c_l FROM tri GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT g) AS v FROM tri
+      |), logp AS (
+      |  SELECT c_gl.g, c_gl.l,
+      |         CAST(round(log10(CAST(c_gl.c_gl + 1 AS DOUBLE) / (c_l.c_l + v.v)), 6)
+      |           AS DECIMAL(28,6)) AS lp
+      |  FROM c_gl JOIN c_l ON c_gl.l = c_l.l CROSS JOIN v
+      |), dg AS (
+      |  SELECT doc_id, lang, g, count(*) AS cnt FROM tri GROUP BY 1, 2, 3
+      |), s AS (
+      |  SELECT dg.doc_id, dg.lang,
+      |         round(CAST(sum(logp.lp * dg.cnt) AS DOUBLE) / sum(dg.cnt), 5) AS avg_logp
+      |  FROM dg JOIN logp ON dg.g = logp.g AND dg.lang = logp.l
+      |  GROUP BY 1, 2
+      |)
+      |SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_logp, doc_id) AS INT) AS rk,
+      |       doc_id, avg_logp
+      |FROM s
+      |QUALIFY rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
   // --- document fingerprinting: md5 over the sorted distinct token set ---
   // (canonical normalized-bag fingerprint; robust to token order/duplication)
   private def fingerprintCol: Column =
@@ -415,6 +488,7 @@ object TextQueries {
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
     "q_langid_nb" -> (qLangIdNb _),
+    "q_lm_quality" -> (qLmQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -424,6 +498,7 @@ object TextQueries {
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,
     "q_langid_nb" -> qLangIdNbOracle,
+    "q_lm_quality" -> qLmQualityOracle,
     "q_text_fingerprint" -> qTextFingerprintOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,

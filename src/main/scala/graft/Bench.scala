@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
   * A small warmup (range + parquet footer read + one tiny query) runs
   * before timing so JVM/session/codegen startup doesn't land on whichever
   * query happens to run first; queries then run in name order.
+  *
+  * Load robustness: this box carries heavy intermittent external load
+  * (identical code has measured 3x apart minutes apart — see BASELINE.md),
+  * so a single sample per query reads as noise. The harness takes
+  * SPARK_GRAFT_BENCH_SAMPLES samples per query (default 3) and reports
+  * BOTH the per-query median (the headline `queries` map, robust to one
+  * bad sample) and the per-query minimum (`queries_min`, the closest
+  * approximation of quiesced truth BASELINE.md instructs rounds to
+  * compare on).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,11 +38,12 @@ object Bench {
     SparkEntry.queries.get("qd_join_filter_count")
       .foreach(q => q(spark, sfDir).count())
 
-    // A failing query must read as a failure, not as a fast success:
-    // its time is reported as -1 and it is excluded from the total.
-    // Cached intermediates (sketch/similarity persists) are cleared after
-    // each query so cache occupancy doesn't grow across the run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failing query must read as a failure, not as a fast success: its
+    // time is reported as -1 and it is excluded from the totals. Cached
+    // intermediates (sketch/similarity persists) are cleared after each
+    // sample so cache occupancy doesn't grow across the run and every
+    // sample pays the same cold-cache cost.
+    def sampleOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -42,14 +53,30 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // full passes over the query list (not N back-to-back runs of one
+    // query) so a load burst degrades one PASS, not one query's samples
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to samples).map { _ =>
+      names.map { case (name, fn) => name -> sampleOnce(name, fn) }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) =>
+      val xs = passes.map(_(name))
+      if (xs.exists(_ < 0)) (name, -1.0, -1.0)
+      else (name, median(xs), xs.min)
+    }
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val totalMin = results.collect { case (_, v, m) if v >= 0 => m }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"total_min":$totalMin,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

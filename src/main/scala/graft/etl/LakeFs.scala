@@ -19,4 +19,10 @@ object LakeFs {
       !n.startsWith("_") && !n.startsWith(".")
     }
   }
+
+  /** Recursive delete of a scratch directory (no-op when absent). */
+  def deleteRecursively(spark: SparkSession, p: Path): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 }

@@ -8,57 +8,90 @@ import org.apache.spark.sql.functions._
   * one survivor per connected GROUP (a~b, b~c means a,c are dups even if
   * never directly compared).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round takes the min of its own and its
-  * neighbors' labels; converged when no label changes. Exact (not
-  * hop-bounded): the loop runs until a fixpoint, reaching it in
-  * O(diameter) rounds — and dup components are shallow (stars/chains of
-  * near-identical docs), so rounds stay in the single digits at any
-  * corpus size. Per round: one shuffle join + one aggregation; the only
-  * driver-side value is the scalar changed-count that decides
-  * termination.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * rewrites the edge set:
   *
-  * Lineage control: each round's labels are EAGERLY localCheckpoint'ed —
+  *  - large-star: for every vertex u, connect each strictly-LARGER
+  *    neighbor to m = min(N(u) ∪ {u});
+  *  - small-star: for every vertex u (over edges oriented high→low),
+  *    connect each smaller neighbor AND u itself to the minimum.
+  *
+  * Both steps preserve connectivity, and the pair converges in O(log n)
+  * rounds to a fixpoint where every component is a depth-1 star centered
+  * at its minimum vertex — unlike min-label propagation, whose round
+  * count is the graph DIAMETER and whose per-round state (a label per
+  * vertex joined against the full adjacency) never shrinks. Here the
+  * edge set itself contracts toward n-per-component star edges after the
+  * first round, so later rounds touch far less data. Exact, not
+  * approximate: the loop runs to the set-stable fixpoint and the result
+  * is cross-checked against a union-find reference (spec) and a
+  * recursive-CTE transitive-closure oracle (correctness gate).
+  *
+  * Lineage control: each round's edge set is EAGERLY localCheckpoint'ed —
   * without truncation the plan of round k contains every prior round and
-  * planning blows up exponentially (measured: OOM on a 276k-edge graph).
-  * localCheckpoint trades recompute-on-executor-loss for bounded plans;
-  * a cluster deployment wanting fault tolerance should set a reliable
-  * checkpoint dir and use checkpoint() instead.
+  * planning blows up exponentially (measured: OOM on a 276k-edge graph
+  * with the predecessor algorithm). localCheckpoint trades
+  * recompute-on-executor-loss for bounded plans; a cluster deployment
+  * wanting fault tolerance should set a reliable checkpoint dir and use
+  * checkpoint() instead.
   */
 object ConnectedComponents {
 
   /** edges: two long-ish columns (src, dst), undirected (one direction is
-    * enough). Returns (id, component) — component = min vertex id in the
-    * connected component, every vertex of every edge present.
+    * enough). Returns (id, comp) — comp = min vertex id in the connected
+    * component, every vertex of every edge present (self-loop-only
+    * vertices included, labeled themselves).
     */
   def components(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("src", "dst")
-    val adj = e.union(e.select(col("dst"), col("src"))).distinct().persist()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist()
+    // materialize the (possibly expensive) upstream pair query exactly
+    // once — both the vertex list and the initial edge set derive from it
+    val raw = edges.toDF("src", "dst").localCheckpoint(true)
+    val verts = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id")))
+      .distinct()
+    // canonical high→low orientation; self-loops carry no connectivity
+    var e = raw.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
-      val nmin = adj.as("a")
-        .join(labels.as("l"), col("a.dst") === col("l.id"))
-        .groupBy(col("a.src").as("id"))
-        .agg(min(col("l.comp")).as("nmin"))
-      val updated = labels.as("x")
-        .join(nmin.as("n"), Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
-        .persist()
-      changed = updated.filter(col("next") < col("comp")).count()
-      val prev = labels
-      // eager checkpoint BEFORE dropping the parent cache: the new labels
-      // must be concrete data, not a view whose lineage chains through
-      // every earlier round
-      labels = updated.select(col("id"), col("next").as("comp"))
+      // large-star over both directions: m(u) = min(N(u) ∪ {u}); every
+      // neighbor v > u re-attaches to m. Each undirected edge {a,b}, a<b,
+      // is emitted exactly once (from a's star as (b, m(a))), already in
+      // high→low orientation because m(a) <= a < b.
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the high→low output: the group of u holds exactly
+      // its smaller neighbors; all of them plus u re-attach to the min.
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint(true)
-      updated.unpersist()
+      // exact set-equality fixpoint test: symmetric difference of the two
+      // (distinct, canonical, checkpoint-cached) edge sets
+      changed = small.withColumn("_new", lit(1))
+        .join(e.withColumn("_old", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("_new").isNull || col("_old").isNull)
+        .count()
+      val prev = e
+      e = small
       prev.unpersist()
     }
-    adj.unpersist()
-    labels
+    // fixpoint is a star forest centered at component minima: leaves take
+    // their center's id, centers (and isolated vertices) take their own
+    verts.join(e.select(col("u").as("id"), col("v").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

@@ -251,6 +251,54 @@ object PipelineQueries {
       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --- split-aware sequence packing: exact-budget token spans ---
+  // The refinement of qPackSequences a real packer ships: a document that
+  // straddles a 4096-token boundary is SPLIT at the boundary, so every
+  // sequence holds exactly PackBudget tokens (the terminal sequence of
+  // each (lang, shard) stream may run short). Output is one row per
+  // (doc, sequence) span with doc-local [token_start, token_end) offsets;
+  // a doc spanning k boundaries explodes into k+1 rows — bounded by
+  // n_tokens/4096 + 1, so the explode is linear in corpus tokens. Same
+  // single window + narrow explode shape as qPackSequences: one shuffle
+  // on (lang, shard), no global sort.
+  def qPackSpans(spark: SparkSession, dir: String): DataFrame = {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("strt", col("cum") - col("n_tokens")) // global offset of doc start
+      // sequences the doc's token interval [strt, cum) overlaps
+      .withColumn("seq_id", explode(expr(
+        s"sequence(strt DIV $PackBudget, (cum - 1) DIV $PackBudget)")))
+      .select(col("lang"), col("shard"), col("doc_id"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * PackBudget - col("strt")).as("token_start"),
+        least(col("n_tokens"), (col("seq_id") + 1) * PackBudget - col("strt")).as("token_end"))
+      .orderBy(col("lang"), col("shard"), col("doc_id"), col("seq_id"))
+  }
+
+  val qPackSpansOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, doc_id % 8 AS shard,
+      |         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t
+      |), s AS (
+      |  SELECT lang, shard, doc_id, n_tokens, cum, cum - n_tokens AS strt,
+      |         unnest(generate_series((cum - n_tokens) // $PackBudget, (cum - 1) // $PackBudget)) AS seq_id
+      |  FROM c
+      |)
+      |SELECT lang, shard, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+      |       CAST(greatest(0, seq_id * $PackBudget - strt) AS BIGINT) AS token_start,
+      |       CAST(least(n_tokens, (seq_id + 1) * $PackBudget - strt) AS BIGINT) AS token_end
+      |FROM s ORDER BY lang, shard, doc_id, seq_id""".stripMargin
+
   // --- decontamination: test-set n-gram overlap detection ---
   // Distinct from dedup: an ASYMMETRIC cross-set check. Training docs
   // sharing many 3-gram shingles with any held-out benchmark doc are
@@ -298,6 +346,35 @@ object PipelineQueries {
       |HAVING count(*) >= $ContamMinShared
       |ORDER BY 1, 2""".stripMargin
 
+  // --- decontamination, skew-safe fallback: salted shuffle join ---
+  // The documented fallback for when the benchmark side is too big to
+  // broadcast (a mega eval suite, or decontaminating against another
+  // corpus slice): the same shingle equi-join as qDecontaminate, but as a
+  // salted shuffle join ([[graft.ops.SkewJoin]]). Shingle keys are
+  // Zipfian — one hot phrase ("terms of service") can put a whole
+  // reducer's worth of rows on one key — so the train side salts
+  // 8 ways on a hash of its doc_id and the benchmark side replicates
+  // across the salts: the hot key spreads over 8 tasks at the cost of an
+  // 8x fan-out of the (bounded) benchmark side. Output is EXACTLY
+  // qDecontaminate's — the gate runs both against the same oracle.
+  def qDecontaminateSkew(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))
+    val train = shingled.filter(col("doc_id") % 97 =!= 0)
+    graft.ops.SkewJoin
+      .saltedInnerJoin(train, bench, key = "shingle", saltSource = "doc_id")
+      .groupBy(col("doc_id").as("train_doc_id"), col("benchmark_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("train_doc_id"), col("benchmark_doc_id"))
+  }
+
   // --- domain mixing weights ---
   // The mix-rebalancing pass: given a target UNIFORM mix across sources,
   // the per-source keep-rate is min_count / count (downsample every
@@ -325,7 +402,9 @@ object PipelineQueries {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_embed_quantize" -> (qEmbedQuantize _),
-    "q_pack_sequences" -> (qPackSequences _))
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_spans" -> (qPackSpans _),
+    "q_decontaminate_skew" -> (qDecontaminateSkew _))
 
   def oracles: Map[String, String] = Map(
     "q_mix_weights" -> qMixWeightsOracle,
@@ -335,5 +414,8 @@ object PipelineQueries {
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
-    "q_pack_sequences" -> qPackSequencesOracle)
+    "q_pack_sequences" -> qPackSequencesOracle,
+    "q_pack_spans" -> qPackSpansOracle,
+    // identical output contract to the broadcast path — same oracle
+    "q_decontaminate_skew" -> qDecontaminateOracle)
 }

@@ -16,18 +16,33 @@ import org.apache.spark.sql.types._
   */
 object StreamingQueries {
 
-  /** Runs `f` with a scoped shuffle-partition count: streaming state is
-    * partitioned by spark.sql.shuffle.partitions at query start, and a
-    * per-core setting (32) means 32 state stores + 32 sink tasks for a
-    * table this size — pure overhead. Results are partition-count
-    * independent (counts + decimal-routed sums).
+  /** Runs `f` with scoped session confs, restoring (or unsetting) each
+    * key afterwards — no global conf mutation survives a query call.
+    *
+    * Every streaming query here scopes two confs:
+    *  - `spark.sql.shuffle.partitions` (a HARNESS knob, not a semantic
+    *    one): streaming state is partitioned by the setting at query
+    *    start, and a per-core value (32) means 32 state stores + 32 sink
+    *    tasks for tables this size — pure overhead. Results are
+    *    partition-count independent (counts + decimal-routed sums), so a
+    *    deployment sizes this to its own state volume.
+    *  - `spark.sql.legacy.parquet.nanosAsLong`: the events fixture is
+    *    TIMESTAMP(NANOS), which Spark only reads as raw longs with this
+    *    flag; scoped so a caller's session is not left in legacy mode.
     */
-  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  private def withScopedConf[A](spark: SparkSession, kvs: (String, String)*)(f: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
+
+  private def withStreamConfs[A](spark: SparkSession)(f: => A): A =
+    withScopedConf(spark,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true")(f)
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -38,8 +53,7 @@ object StreamingQueries {
     StructField("props", StringType)))
 
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamConfs(spark) {
     // the file source requires a directory; pathGlobFilter narrows the
     // listing to the events table
     val src = spark.readStream
@@ -88,9 +102,8 @@ object StreamingQueries {
     * emitted updates — which is what the terminal aggregation takes.
     */
   def qStreamUserCounts(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
+      withStreamConfs(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -139,8 +152,7 @@ object StreamingQueries {
     * exact oracle.
     */
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamConfs(spark) {
     def side(tpe: String, alias: String): DataFrame =
       spark.readStream
         .schema(eventsSchema)
@@ -188,9 +200,8 @@ object StreamingQueries {
     * and a re-run against the same lake is idempotent (ST5).
     */
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
+      withStreamConfs(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val lake = java.nio.file.Files.createTempDirectory("stream-upsert")
       .resolve("t").toString
     val src = spark.readStream
@@ -222,7 +233,11 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(lake).orderBy(col("user_id"))
+    // materialize before deleting the scratch lake — the returned frame
+    // must not dangle on a temp directory this query created
+    val out = spark.read.parquet(lake).orderBy(col("user_id")).localCheckpoint(true)
+    graft.etl.LakeFs.deleteRecursively(spark, new org.apache.hadoop.fs.Path(lake).getParent)
+    out
   }
 
   /** Final lake state must equal the batch aggregation — same oracle as
@@ -234,8 +249,7 @@ object StreamingQueries {
     * a watermark (late re-sends beyond the watermark age out of state).
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
-      withShufflePartitions(spark, 8) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      withStreamConfs(spark) {
     val src = spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")

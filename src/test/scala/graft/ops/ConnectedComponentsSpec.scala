@@ -2,8 +2,9 @@ package graft.ops
 
 import graft.SparkSpec
 
-/** Min-label propagation must reach the true component fixpoint —
-  * including multi-hop chains where the min id is several edges away.
+/** The alternating large-star/small-star rounds must reach the true
+  * component fixpoint — including multi-hop chains where the min id is
+  * several edges away — cross-checked against an in-memory union-find.
   */
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._

@@ -54,6 +54,47 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pack spans: every non-terminal sequence holds exactly the budget; spans tile each doc") {
+    val rows = PipelineQueries.qPackSpans(spark, "/root/testdata/sf0.001")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // per (lang, shard, seq): sum of span lengths == 4096, except the
+    // stream's terminal sequence which may run short
+    rows.groupBy(t => (t._1, t._3)).foreach { case ((key, seq), spans) =>
+      val total = spans.map(s => s._5 - s._4).sum
+      val lastSeq = rows.filter(_._1 == key).map(_._3).max
+      if (seq < lastSeq) assert(total == 4096L, s"$key seq $seq: $total")
+      else assert(total <= 4096L, s"$key terminal seq $seq: $total")
+    }
+    // per doc: spans are contiguous from 0 and tile the whole token count
+    val packed = PipelineQueries.qPackSequences(spark, "/root/testdata/sf0.001")
+      .groupBy().agg(sum(col("total_tokens"))).collect().head.getLong(0)
+    assert(rows.map(s => s._5 - s._4).sum == packed) // no token lost or duplicated
+    rows.groupBy(_._2).foreach { case (doc, spans) =>
+      val ordered = spans.sortBy(_._4)
+      assert(ordered.head._4 == 0L, s"doc $doc")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"doc $doc gap")
+        case _ =>
+      }
+      // consecutive seq ids: a straddling doc continues in the NEXT sequence
+      assert(ordered.map(_._3).toSeq ==
+        (ordered.head._3 until ordered.head._3 + ordered.length).toSeq, s"doc $doc")
+    }
+  }
+
+  test("salted decontaminate: identical result to the broadcast path; plan carries the salt") {
+    val dir = "/root/testdata/sf0.001"
+    val base = PipelineQueries.qDecontaminate(spark, dir).collect().toSeq
+    val salted = PipelineQueries.qDecontaminateSkew(spark, dir).collect().toSeq
+    assert(base.nonEmpty)
+    assert(salted == base)
+    val plan = PipelineQueries.qDecontaminateSkew(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), "salted join key missing from the optimized plan")
+  }
+
   test("quantization: codes bounded by int8 range, checksums consistent") {
     val rows = PipelineQueries.qEmbedQuantize(spark, "/root/testdata/sf0.001")
       .collect()

@@ -21,6 +21,11 @@ object SimilarityQueries {
 
   import graft.functions.VectorExprs.dot
 
+  // declared first: object vals initialize in declaration order, and the
+  // oracle-SQL strings below interpolate these at init time
+  private val SrcDims = 64             // embedding dimensionality
+  private val ProjDims = 8             // random-projection target dims
+
   /** vector as double + its L2 norm, from the float embedding column.
     * Norm and cosine use the codegen'd [[graft.functions.DotProduct]]
     * kernel (same left-to-right summation as the `aggregate` fold, so
@@ -197,18 +202,59 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) = 1
       |ORDER BY vec_id""".stripMargin
 
-  // --- IVF-style ANN: coarse quantizer + inverted lists ---
-  // Coarse centroids are a deterministic sample (vec_id < 16 — IVF with
-  // sampled centroids); every vector joins the inverted list of its
-  // highest-cosine centroid (rounded, centroid-id tiebreak), and queries
-  // search only their own list. At 100 TB the assignment pass is one
-  // narrow broadcast join (16 centroids), and search cost drops by the
-  // list count — same plan family as a trained IVF index, minus the
-  // k-means iterations.
-  def qSimIvf(spark: SparkSession, dir: String): DataFrame = {
+  // --- IVF-style ANN: TRAINED coarse quantizer + inverted lists ---
+  // Coarse centroids start as a deterministic sample (vec_id < 16) and
+  // are then refined by IvfIters in-plan Lloyd iterations: broadcast the
+  // (tiny) centroid table, assign every vector to its highest-cosine
+  // centroid, re-average each list per dimension, repeat. Every vector
+  // then joins the inverted list of its centroid and queries search only
+  // their own list. At 100 TB each training pass is one narrow broadcast
+  // join (16 centroids) plus one aggregation whose shuffle carries
+  // (cid, dim, partial-sum) — nothing quadratic — and search cost drops
+  // by the list count: the same plan family as a trained IVF index.
+  //
+  // Determinism (the oracle recomputes training bit-for-bit): per-dim
+  // means sum coordinates as DECIMAL(28,6) after a 6-decimal round —
+  // exact integer-like addition, so shuffle order can't flip a mean —
+  // and the resulting centroid coordinate is rounded back to 6 decimals.
+  // Same recipe as the naive-Bayes language-ID scores.
+  private val IvfCentroidSample = 16
+  private[queries] val IvfIters = 2
+
+  /** Lloyd refinement: `iters` rounds of assign + decimal-mean update
+    * starting from the vec_id < IvfCentroidSample sample. Returns
+    * (cid, cv, cnorm); a centroid whose list empties drops out (its
+    * vectors re-assign to surviving lists next round).
+    */
+  private def ivfCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < IvfCentroidSample)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val cn = cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      val assigned = e.as("a")
+        .join(broadcast(cn).as("b"), lit(true))
+        .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"),
+          col("b.cid").as("cid"),
+          round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("crank") === 1)
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(expr("CAST(round(x, 6) AS DECIMAL(28,6))")).as("sx"),
+          count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sx").cast("double") / col("n"), 6))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+          .as("cv"))
+    }
+    cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  def qSimIvfWith(iters: Int)(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
-    val centroids = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cnorm"))
+    val centroids = ivfCentroids(e, iters)
     val assigned = e.as("a")
       .join(broadcast(centroids).as("b"), lit(true))
       .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
@@ -236,29 +282,57 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
   }
 
-  val qSimIvfOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), c AS (
-      |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
-      |), assigned AS (
-      |  SELECT vec_id, cid, v FROM (
-      |    SELECT a.vec_id, c.cid, a.v,
-      |           row_number() OVER (PARTITION BY a.vec_id
-      |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
-      |    FROM e a CROSS JOIN c
-      |  ) WHERE crank = 1
-      |), sims AS (
-      |  SELECT a.vec_id AS query_id, a.cid AS list_id, b.vec_id AS neighbor_id,
-      |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
-      |  FROM assigned a JOIN assigned b
-      |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
-      |  WHERE a.vec_id % 400 = 0
-      |)
-      |SELECT query_id, list_id, neighbor_id, cosine FROM sims
-      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3
-      |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+  def qSimIvf(spark: SparkSession, dir: String): DataFrame =
+    qSimIvfWith(IvfIters)(spark, dir)
+
+  /** The oracle replays the Lloyd iterations as unrolled CTEs: assign-k
+    * then decimal-mean-k, ending in the same list-restricted search.
+    */
+  val qSimIvfOracle: String = {
+    // one Lloyd iteration: assign to `prevC`, emit new centroids `outC`
+    def iterSql(prevC: String, outA: String, outC: String): String =
+      s"""$outA AS (
+         |  SELECT vec_id, cid, v FROM (
+         |    SELECT a.vec_id, c.cid, a.v,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
+         |    FROM e a CROSS JOIN $prevC c
+         |  ) WHERE crank = 1
+         |), ${outC}_s AS (
+         |  SELECT cid, p.pos,
+         |         round(CAST(sum(CAST(round(v[p.pos], 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |               / count(*), 6) AS cx
+         |  FROM $outA CROSS JOIN generate_series(1, $SrcDims) AS p(pos)
+         |  GROUP BY cid, p.pos
+         |), $outC AS (
+         |  SELECT cid, list(cx ORDER BY pos) AS cv FROM ${outC}_s GROUP BY cid
+         |)""".stripMargin
+    val iters = (1 to IvfIters)
+      .map(k => iterSql(if (k == 1) "c0" else s"c${k - 1}", s"a$k", s"c$k"))
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $IvfCentroidSample
+       |), $iters, assigned AS (
+       |  SELECT vec_id, cid, v FROM (
+       |    SELECT a.vec_id, c.cid, a.v,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
+       |    FROM e a CROSS JOIN c$IvfIters c
+       |  ) WHERE crank = 1
+       |), sims AS (
+       |  SELECT a.vec_id AS query_id, a.cid AS list_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 400 = 0
+       |)
+       |SELECT query_id, list_id, neighbor_id, cosine FROM sims
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3
+       |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+  }
 
   // --- sign random projection: 64 -> 8 dims before ANN ---
   // The dimensionality-reduction pass that precedes index build at scale:
@@ -268,9 +342,6 @@ object SimilarityQueries {
   // SQL), so the per-row work is 8 codegen'd zip_with+fold dot products
   // and nothing hashes per row. Deterministic everywhere; rounded to 5
   // decimals so fold order is irrelevant.
-  private val ProjDims = 8
-  private val SrcDims = 64
-
   /** +-1 from the parity of the first byte of md5("rp:i:j") — any
     * engine/library reproduces it.
     */

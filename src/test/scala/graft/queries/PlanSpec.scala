@@ -76,13 +76,14 @@ class PlanSpec extends SparkSpec {
   test("IVF: only the bounded centroid assignment is a broadcast nested loop") {
     val plan = formatted(SimilarityQueries.qSimIvf(spark, sf))
     assert(!plan.contains("CartesianProduct"))
-    // exactly one BNLJ node — the 16-row broadcast centroid assignment (a
-    // deliberate, bounded cross join; the cached assignment subtree prints
-    // under both scan sites, so count distinct node ids, not lines); the
+    // one BNLJ node per 16-row broadcast centroid assignment — the final
+    // assignment plus one per Lloyd training iteration (deliberate,
+    // bounded cross joins; the cached assignment subtree prints under
+    // both scan sites, so count distinct node ids, not lines); the
     // inverted-list search itself must be a hash/sort equi-join on cid
     val bnljIds = raw"\((\d+)\) BroadcastNestedLoopJoin".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(bnljIds.size == 1)
+    assert(bnljIds.size == SimilarityQueries.IvfIters + 1)
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
   }
 

@@ -26,6 +26,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue  # partial Verify run (name filter) — not a failure
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")

@@ -56,6 +56,11 @@ object ConnectedComponents {
         least(col("src"), col("dst")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    // |e| tracked across rounds so the fixpoint test needs no second job:
+    // counting the checkpointed RDD is a cheap one-off here, and every
+    // later round reads the count from the SAME job that materializes the
+    // next edge set (an `observe` metric on the checkpoint pass).
+    var prevCount = e.count()
     var changed = 1L
     while (changed > 0) {
       // large-star over both directions: m(u) = min(N(u) ∪ {u}); every
@@ -77,15 +82,31 @@ object ConnectedComponents {
         .union(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+      // exact set-equality fixpoint test, folded into the SAME job that
+      // materializes the round's edge set: a left join marks which new
+      // edges already existed, an `observe` metric counts rows and
+      // new-only rows during the checkpoint pass, and with the previous
+      // round's |e| the symmetric difference is
+      //   |new \ old| + (|old| - |new ∩ old|)
+      // — no second symmetric-difference action per round. Metrics sit
+      // ABOVE the join and BELOW no filter, so nothing can prune rows out
+      // from under the counts.
+      val obs = org.apache.spark.sql.Observation()
+      val marked = small
+        .join(e.select(col("u"), col("v"), lit(1).as("_old")), Seq("u", "v"), "left")
+        .observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(when(col("_old").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("new_only"))
+        .select(col("u"), col("v"))
         .localCheckpoint(true)
-      // exact set-equality fixpoint test: symmetric difference of the two
-      // (distinct, canonical, checkpoint-cached) edge sets
-      changed = small.withColumn("_new", lit(1))
-        .join(e.withColumn("_old", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("_new").isNull || col("_old").isNull)
-        .count()
+      val m = obs.get
+      val n = m("n").asInstanceOf[Long]
+      val newOnly = m("new_only").asInstanceOf[Long]
+      changed = newOnly + (prevCount - (n - newOnly))
+      prevCount = n
       val prev = e
-      e = small
+      e = marked
       prev.unpersist()
     }
     // fixpoint is a star forest centered at component minima: leaves take

@@ -207,11 +207,14 @@ object SimilarityQueries {
   // are then refined by IvfIters in-plan Lloyd iterations: broadcast the
   // (tiny) centroid table, assign every vector to its highest-cosine
   // centroid, re-average each list per dimension, repeat. Every vector
-  // then joins the inverted list of its centroid and queries search only
-  // their own list. At 100 TB each training pass is one narrow broadcast
-  // join (16 centroids) plus one aggregation whose shuffle carries
-  // (cid, dim, partial-sum) — nothing quadratic — and search cost drops
-  // by the list count: the same plan family as a trained IVF index.
+  // then joins the inverted list of its centroid, and queries search
+  // their IvfNprobe highest-cosine lists (multi-probe: a true neighbor
+  // often sits just across a Voronoi boundary). At 100 TB each training
+  // pass is one narrow broadcast join (16 centroids) collapsed by a
+  // map-side max_by aggregate — the shuffle carries ONE row per vector,
+  // not the 16-way crossed frame — plus a re-average whose shuffle
+  // carries (cid, dim, partial-sum): nothing quadratic, and search cost
+  // drops by listCount/nprobe. The same plan family as a trained IVF index.
   //
   // Determinism (the oracle recomputes training bit-for-bit): per-dim
   // means sum coordinates as DECIMAL(28,6) after a 6-decimal round —
@@ -220,6 +223,7 @@ object SimilarityQueries {
   // Same recipe as the naive-Bayes language-ID scores.
   private val IvfCentroidSample = 16
   private[queries] val IvfIters = 2
+  private[queries] val IvfNprobe = 2
 
   /** Lloyd refinement: `iters` rounds of assign + decimal-mean update
     * starting from the vec_id < IvfCentroidSample sample. Returns
@@ -231,14 +235,21 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val cn = cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      // argmax centroid as ONE map-side-combinable aggregate: the 16-way
+      // crossed frame collapses to a row per vector BEFORE the shuffle
+      // (partial max_by in the scan stage), so assignment shuffles N rows
+      // per iteration — the window-rank form it replaced shuffled the full
+      // 16N crossed frame. Tiebreak min-cid is encoded as max of
+      // (ccos, -cid), the exact order the window's (ccos DESC, cid ASC) had.
       val assigned = e.as("a")
         .join(broadcast(cn).as("b"), lit(true))
         .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"),
           col("b.cid").as("cid"),
           round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-        .filter(col("crank") === 1)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("v")),
+          struct(col("ccos"), negate(col("cid")))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.v").as("v"))
       cents = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -252,26 +263,49 @@ object SimilarityQueries {
     cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
   }
 
-  def qSimIvfWith(iters: Int)(spark: SparkSession, dir: String): DataFrame = {
+  def qSimIvfWith(iters: Int, nprobe: Int = IvfNprobe)(
+      spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
     val centroids = ivfCentroids(e, iters)
-    val assigned = e.as("a")
+    val crossed = e.as("a")
       .join(broadcast(centroids).as("b"), lit(true))
       .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
         col("b.cid").as("cid"),
         round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crank") === 1)
-      .select("vec_id", "cid", "v", "norm")
+    // index side: top-1 list per vector, same map-side max_by as training
+    val assigned = crossed
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("v"), col("norm")),
+        struct(col("ccos"), negate(col("cid")))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.v").as("v"), col("best.norm").as("norm"))
       .persist()
-    val queriesSet = assigned.filter(col("vec_id") % 400 === 0)
+    // multi-probe: each query searches its `nprobe` highest-cosine lists,
+    // the standard IVF recall lever (a true neighbor often sits just over
+    // a Voronoi boundary in the SECOND-nearest list). The probe pick is a
+    // collect_list + comparator sort over the 16 centroid candidates —
+    // still map-side combinable, and queries are a vanishing fraction of
+    // the corpus. Explicit CASE comparator, not a negated double sort key,
+    // so ordering matches the oracle's (ccos DESC, cid ASC) exactly.
+    val probes = e.filter(col("vec_id") % 400 === 0).as("a")
+      .join(broadcast(centroids).as("b"), lit(true))
+      .select(col("a.vec_id").as("query_id"), col("b.cid").as("cid"),
+        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("ccos"), col("cid"))).as("cands"))
+      .select(col("query_id"), explode(expr(
+        s"""transform(slice(array_sort(cands, (l, r) -> CASE
+           |  WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
+           |  WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+           |  ELSE 0 END), 1, $nprobe), c -> c.cid)""".stripMargin)).as("pcid"))
+    val queriesSet = probes.join(
+      e.select(col("vec_id").as("query_id"), col("v"), col("norm")), "query_id")
     queriesSet.as("a")
       .join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.pcid") === col("b.cid") && col("a.query_id") =!= col("b.vec_id"))
       .select(
-        col("a.vec_id").as("query_id"),
-        col("a.cid").as("list_id"),
+        col("a.query_id").as("query_id"),
+        col("b.cid").as("list_id"),
         col("b.vec_id").as("neighbor_id"),
         cosineExpr.as("cosine"))
       .withColumn("rank", row_number().over(
@@ -283,7 +317,7 @@ object SimilarityQueries {
   }
 
   def qSimIvf(spark: SparkSession, dir: String): DataFrame =
-    qSimIvfWith(IvfIters)(spark, dir)
+    qSimIvfWith(IvfIters, IvfNprobe)(spark, dir)
 
   /** The oracle replays the Lloyd iterations as unrolled CTEs: assign-k
     * then decimal-mean-k, ending in the same list-restricted search.
@@ -322,12 +356,20 @@ object SimilarityQueries {
        |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
        |    FROM e a CROSS JOIN c$IvfIters c
        |  ) WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT a.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
+       |    FROM e a CROSS JOIN c$IvfIters c
+       |    WHERE a.vec_id % 400 = 0
+       |  ) WHERE crank <= $IvfNprobe
        |), sims AS (
-       |  SELECT a.vec_id AS query_id, a.cid AS list_id, b.vec_id AS neighbor_id,
-       |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
-       |  FROM assigned a JOIN assigned b
-       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
-       |  WHERE a.vec_id % 400 = 0
+       |  SELECT p.query_id, b.cid AS list_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(qa.v, b.v), 5) AS cosine
+       |  FROM probes p
+       |  JOIN assigned b ON p.cid = b.cid AND p.query_id <> b.vec_id
+       |  JOIN e qa ON qa.vec_id = p.query_id
        |)
        |SELECT query_id, list_id, neighbor_id, cosine FROM sims
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3

@@ -20,8 +20,9 @@ class IvfRecallSpec extends SparkSpec {
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
-  private def recallAt3(iters: Int, truth: Map[Long, Set[Long]]): Double = {
-    val got = SimilarityQueries.qSimIvfWith(iters)(spark, sf)
+  private def recallAt3(
+      iters: Int, nprobe: Int, truth: Map[Long, Set[Long]]): Double = {
+    val got = SimilarityQueries.qSimIvfWith(iters, nprobe)(spark, sf)
       .collect()
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
@@ -34,10 +35,18 @@ class IvfRecallSpec extends SparkSpec {
   test("trained IVF (2 Lloyd iterations) recall@3 >= sampled-centroid recall@3") {
     val truth = exactTop3
     assert(truth.nonEmpty)
-    val sampled = recallAt3(0, truth)
-    val trained = recallAt3(2, truth)
+    val sampled = recallAt3(0, 1, truth)
+    val trained = recallAt3(2, 1, truth)
     info(f"recall@3 sampled=$sampled%.3f trained=$trained%.3f")
     assert(trained >= sampled, f"training lost recall: $trained%.3f < $sampled%.3f")
     assert(trained > 0.0)
+  }
+
+  test("multi-probe (nprobe=2) recall@3 >= single-probe recall@3") {
+    val truth = exactTop3
+    val single = recallAt3(2, 1, truth)
+    val multi = recallAt3(2, 2, truth)
+    info(f"recall@3 nprobe=1 $single%.3f nprobe=2 $multi%.3f")
+    assert(multi >= single, f"multi-probe lost recall: $multi%.3f < $single%.3f")
   }
 }

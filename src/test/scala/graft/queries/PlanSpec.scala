@@ -76,15 +76,31 @@ class PlanSpec extends SparkSpec {
   test("IVF: only the bounded centroid assignment is a broadcast nested loop") {
     val plan = formatted(SimilarityQueries.qSimIvf(spark, sf))
     assert(!plan.contains("CartesianProduct"))
-    // one BNLJ node per 16-row broadcast centroid assignment — the final
-    // assignment plus one per Lloyd training iteration (deliberate,
-    // bounded cross joins; the cached assignment subtree prints under
-    // both scan sites, so count distinct node ids, not lines); the
-    // inverted-list search itself must be a hash/sort equi-join on cid
+    // one BNLJ node per 16-row broadcast centroid cross: per Lloyd
+    // training iteration plus one terminal cross, in BOTH the index
+    // -assignment branch and the query-probe branch (the static explain
+    // prints the shared training subtree under each with fresh node ids;
+    // at runtime the identical broadcast stages are reused). All
+    // deliberate, bounded crosses; the inverted-list search itself must
+    // be a hash/sort equi-join on cid.
     val bnljIds = raw"\((\d+)\) BroadcastNestedLoopJoin".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(bnljIds.size == SimilarityQueries.IvfIters + 1)
+    assert(bnljIds.size == 2 * (SimilarityQueries.IvfIters + 1))
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+  }
+
+  test("IVF: centroid assignment aggregates map-side — no window exchange") {
+    val plan = formatted(SimilarityQueries.qSimIvf(spark, sf))
+    // the ONLY Window in the whole plan is the final per-query top-k
+    // rank (WindowGroupLimit nodes are its rank-limit pushdown, not
+    // windows); every argmax-centroid pick (training iterations, index
+    // assignment, probe selection) must be an aggregate with a partial
+    // phase, not a row_number over the 16-way crossed frame (that shape
+    // shuffled 16N rows per Lloyd iteration)
+    val windowIds = raw"\((\d+)\) Window\b".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(windowIds.size == 1, s"expected 1 window (final top-k), got $windowIds")
+    assert(plan.contains("partial_max_by"))
   }
 
   test("as-of join is the union+window shape: no range explosion, no BNLJ") {

@@ -17,7 +17,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: set) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -26,8 +26,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue  # caller asked for a subset (same names passed to Verify)
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # partial Verify run (name filter) — not a failure
+            # on a FULL run a missing dir means the query crashed before
+            # its write (analysis/planning error) — that must be visible
+            print(f"FAIL {name}: no output dir (query crashed before write?)")
+            failures += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -67,4 +73,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    sys.exit(main(sf, out, set(sys.argv[3:])))

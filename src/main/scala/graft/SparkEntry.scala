@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FunctionQueries, MultimodalQueries, PipelineQueries,
-  RelationalQueries, SimilarityQueries, SketchDedupQueries, StreamingQueries,
-  TextQueries}
+import graft.queries.{FunctionQueries, IncrementalDedupQueries,
+  MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries,
+  SketchDedupQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,8 +26,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ FunctionQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      SketchDedupQueries.queries ++ StreamingQueries.queries ++
-      MultimodalQueries.queries ++ PipelineQueries.queries
+      SketchDedupQueries.queries ++ IncrementalDedupQueries.queries ++
+      StreamingQueries.queries ++ MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FunctionQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
-      SketchDedupQueries.oracles ++ StreamingQueries.oracles ++
-      MultimodalQueries.oracles ++ PipelineQueries.oracles
+      SketchDedupQueries.oracles ++ IncrementalDedupQueries.oracles ++
+      StreamingQueries.oracles ++ MultimodalQueries.oracles ++
+      PipelineQueries.oracles
 }

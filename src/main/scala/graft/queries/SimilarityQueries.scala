@@ -286,7 +286,11 @@ object SimilarityQueries {
     // collect_list + comparator sort over the 16 centroid candidates —
     // still map-side combinable, and queries are a vanishing fraction of
     // the corpus. Explicit CASE comparator, not a negated double sort key,
-    // so ordering matches the oracle's (ccos DESC, cid ASC) exactly.
+    // so ordering matches the oracle's (ccos DESC, cid ASC) exactly —
+    // including NaN (a zero-norm embedding): both Spark's struct ordering
+    // and DuckDB's sort treat NaN as LARGEST, so NaN sorts first under
+    // DESC; the comparator says so explicitly rather than falling through
+    // to the cid tiebreak.
     val probes = e.filter(col("vec_id") % 400 === 0).as("a")
       .join(broadcast(centroids).as("b"), lit(true))
       .select(col("a.vec_id").as("query_id"), col("b.cid").as("cid"),
@@ -295,6 +299,8 @@ object SimilarityQueries {
       .agg(collect_list(struct(col("ccos"), col("cid"))).as("cands"))
       .select(col("query_id"), explode(expr(
         s"""transform(slice(array_sort(cands, (l, r) -> CASE
+           |  WHEN isnan(l.ccos) AND NOT isnan(r.ccos) THEN -1
+           |  WHEN isnan(r.ccos) AND NOT isnan(l.ccos) THEN 1
            |  WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
            |  WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
            |  ELSE 0 END), 1, $nprobe), c -> c.cid)""".stripMargin)).as("pcid"))

@@ -22,14 +22,25 @@ import graft.Tables._
   */
 object SketchDedupQueries {
 
-  private val P = 1000000007L
-  private val K = 16                   // minhash functions
-  private val Bands = 4                // 4 bands x 4 rows
-  private val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
-  private val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
+  // shared with IncrementalDedupQueries — the incremental index stores
+  // signatures under the SAME permutation family, so batch-vs-index pairs
+  // are bit-identical to whole-corpus pairs
+  private[queries] val P = 1000000007L
+  private[queries] val K = 16          // minhash functions
+  private[queries] val Bands = 4       // 4 bands x 4 rows
+  private[queries] val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
+  private[queries] val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
 
   // ---------------------------------------------------------------- MinHash
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(documents(spark, dir))
+
+  /** Whole-corpus MinHash+LSH near-dup pairs over any documents frame —
+    * the corpus-global form; [[IncrementalDedupQueries]] reproduces its
+    * output restricted to batch-touching pairs without re-fingerprinting
+    * the corpus.
+    */
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
     // identical-set collapse (same technique as qDedupNgramJaccard): the
     // signature/banding/verify pipeline runs on one representative per
     // distinct shingle set — k exact copies of a doc would otherwise
@@ -37,7 +48,7 @@ object SketchDedupQueries {
     // Identical sets have identical signatures, so within-group pairs are
     // exactly (est=1, jaccard=1) and a cross-group rep pair's values hold
     // for every member pair. Lossless by construction.
-    val base = documents(spark, dir)
+    val base = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .withColumn("sarr", array_distinct(expr(
@@ -129,7 +140,13 @@ object SketchDedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qDedupMinhashLshOracle: String = {
+  val qDedupMinhashLshOracle: String = minhashPairsSql("")
+
+  /** The whole-corpus MinHash pair SQL, with an optional extra predicate
+    * on the final pair set — the incremental oracle is EXACTLY this
+    * computation restricted to pairs touching the new batch.
+    */
+  private[queries] def minhashPairsSql(extraWhere: String): String = {
     val minCols = (0 until K)
       .map(i => s"min((${as(i)} * xm + ${bs(i)}) % $P) AS m$i").mkString(",\n      ")
     val bandSelects = (0 until Bands).map { b =>
@@ -176,7 +193,7 @@ object SketchDedupQueries {
        |JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
        |JOIN n na ON c.doc_a = na.doc_id
        |JOIN n nb ON c.doc_b = nb.doc_id
-       |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.5
+       |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.5$extraWhere
        |ORDER BY 1, 2""".stripMargin
   }
 

@@ -47,6 +47,12 @@ class IvfRecallSpec extends SparkSpec {
     val single = recallAt3(2, 1, truth)
     val multi = recallAt3(2, 2, truth)
     info(f"recall@3 nprobe=1 $single%.3f nprobe=2 $multi%.3f")
-    assert(multi >= single, f"multi-probe lost recall: $multi%.3f < $single%.3f")
+    // strict monotonicity is not guaranteed under rank ties: at round-5
+    // cosine resolution a second-probe candidate TIED with a true neighbor
+    // but with a lower neighbor_id can displace it from the top-3, so allow
+    // one displaced neighbor of slack (1 neighbor / (3 * |queries|))
+    val eps = 1.0 / (3.0 * truth.size)
+    assert(multi >= single - eps,
+      f"multi-probe lost recall beyond tie slack: $multi%.3f < $single%.3f - $eps%.4f")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ops.ConnectedComponents
+import graft.queries.IncrementalDedupQueries
 
 /** Composable corpus-preparation pipeline — the user-facing surface that
   * chains the engine's training-data operators into one lazy plan:
@@ -52,28 +53,66 @@ final class CorpusPipeline private (
   }
 
   /** Decontamination: drop docs sharing >= minShared distinct 3-gram
-    * shingles with any benchmark doc. Benchmark side broadcasts (real
-    * eval suites are tiny next to a corpus).
+    * shingles with any benchmark doc. The join strategy is a knob:
+    * [[CorpusPipeline.Broadcast]] (default — real eval suites are tiny
+    * next to a corpus) or [[CorpusPipeline.Salted]], the skew-safe
+    * shuffle form for a benchmark too big to broadcast (shingle keys are
+    * Zipfian, so the corpus side salts 8 ways and the benchmark side
+    * replicates across the salts). Output is identical either way — the
+    * gate runs both forms against one oracle (q_decontaminate /
+    * q_decontaminate_skew).
     */
   def decontaminate(
       benchmark: DataFrame,
       textCol: String = "text",
-      minShared: Int = 2): CorpusPipeline = {
+      minShared: Int = 2,
+      strategy: CorpusPipeline.DecontaminateStrategy = CorpusPipeline.Broadcast)
+      : CorpusPipeline = {
     def shingled(d: DataFrame, idc: String): DataFrame = d
       .select(col(idc), split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col(idc), explode(array_distinct(expr(
         "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("_shingle"))
-    val contaminated = shingled(df, idCol)
-      .join(broadcast(
-        shingled(benchmark.withColumnRenamed(idCol, "_bench_id"), "_bench_id")),
-        "_shingle")
+    val corpus = shingled(df, idCol)
+    val bench = shingled(benchmark.withColumnRenamed(idCol, "_bench_id"), "_bench_id")
+    val joined = strategy match {
+      case CorpusPipeline.Broadcast => corpus.join(broadcast(bench), "_shingle")
+      case CorpusPipeline.Salted => graft.ops.SkewJoin
+        .saltedInnerJoin(corpus, bench, key = "_shingle", saltSource = idCol)
+    }
+    val contaminated = joined
       .groupBy(col(idCol), col("_bench_id"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minShared)
       .select(col(idCol)).distinct()
     next(df.join(contaminated, Seq(idCol), "left_anti"))
+  }
+
+  /** Incremental near-dedup: fingerprint THIS pipeline's documents (the
+    * new batch) alone, merge their MinHash signatures into the persisted
+    * index at `indexPath` ([[IncrementalDedupQueries]]), detect near-dup
+    * pairs batch-vs-index, and drop every batch doc that is not its dup
+    * group's canonical (minimum-id) member. The daily-ingest form of
+    * [[dedupNear]]: the standing corpus is never re-fingerprinted, and a
+    * batch doc that near-duplicates an already-indexed doc drops here.
+    * A batch doc with a SMALLER id than all its indexed partners is kept
+    * (the historical copies are already shipped — incremental dedup only
+    * filters the incoming day).
+    *
+    * Unlike the other stages this one is not lazy: it UPDATES the index
+    * (the ingest side effect) and reads it back before the drop.
+    */
+  def dedupNearIncremental(
+      indexPath: String, textCol: String = "text"): CorpusPipeline = {
+    val spark = df.sparkSession
+    val batch = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sigs = IncrementalDedupQueries.signatures(batch)
+    IncrementalDedupQueries.updateIndex(spark, sigs, indexPath)
+    val pairs = IncrementalDedupQueries.pairsAgainstIndex(
+        spark.read.parquet(indexPath), sigs.select(col("doc_id")))
+      .select(col("doc_a"), col("doc_b"))
+    dedupNear(pairs)
   }
 
   /** Deterministic stratified sampling: per-stratum keep rates decided by
@@ -104,4 +143,13 @@ final class CorpusPipeline private (
 object CorpusPipeline {
   def apply(docs: DataFrame, idCol: String = "doc_id"): CorpusPipeline =
     new CorpusPipeline(docs, idCol)
+
+  /** How [[CorpusPipeline.decontaminate]] joins corpus to benchmark. */
+  sealed trait DecontaminateStrategy
+  /** Benchmark side broadcasts — the default; eval suites are tiny. */
+  case object Broadcast extends DecontaminateStrategy
+  /** Salted shuffle join ([[graft.ops.SkewJoin]]) — for a benchmark too
+    * big to broadcast; same output, skew-safe on Zipfian shingle keys.
+    */
+  case object Salted extends DecontaminateStrategy
 }

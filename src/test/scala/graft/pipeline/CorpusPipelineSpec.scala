@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.Tables
-import graft.queries.{PipelineQueries, SketchDedupQueries}
+import graft.queries.{IncrementalDedupQueries, PipelineQueries, SketchDedupQueries}
 
 /** The composable pipeline surface must agree stage-for-stage with the
   * oracle-gated queries on the shared testdata, and the composed chain
@@ -42,6 +42,48 @@ class CorpusPipelineSpec extends SparkSpec {
     val expect = PipelineQueries.qTrainTestSplit(spark, sf)
       .collect().map(_.toSeq)
     assert(got.toSeq == expect.toSeq)
+  }
+
+  test("decontaminate(Salted) keeps exactly the ids the Broadcast strategy keeps") {
+    val benchmark = docs.filter(col("doc_id") % 97 === 0)
+    def keptIds(s: CorpusPipeline.DecontaminateStrategy): Seq[Long] =
+      CorpusPipeline(docs.filter(col("doc_id") % 97 =!= 0))
+        .decontaminate(benchmark, strategy = s).df
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val broadcastKept = keptIds(CorpusPipeline.Broadcast)
+    assert(keptIds(CorpusPipeline.Salted) == broadcastKept)
+    assert(broadcastKept.nonEmpty)
+  }
+
+  test("dedupNearIncremental drops exactly dedupNear over the gated batch-vs-index pairs") {
+    // sf0.01: its batch slice provably carries near-dup pairs (the
+    // q_dedup_incremental gate returns rows there)
+    val sf01 = "/root/testdata/sf0.01"
+    val all = Tables.documents(spark, sf01)
+    val standing = all.filter(col("doc_id") % 5 =!= 4)
+    val batch = all.filter(col("doc_id") % 5 === 4)
+    val lake = java.nio.file.Files.createTempDirectory("pipe-inc")
+      .resolve("sig").toString
+    IncrementalDedupQueries.updateIndex(
+      spark, IncrementalDedupQueries.signatures(standing), lake)
+
+    val kept = CorpusPipeline(batch).dedupNearIncremental(lake).df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+    // expected: the gated pair computation over the (now merged) index,
+    // applied through the batch-global dedupNear stage
+    val pairs = IncrementalDedupQueries.pairsAgainstIndex(
+        spark.read.parquet(lake),
+        batch.select(col("doc_id")))
+      .select(col("doc_a"), col("doc_b"))
+    assert(pairs.count() > 0, "batch produced no near-dup pairs; test is vacuous")
+    val expect = CorpusPipeline(batch).dedupNear(pairs).df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expect)
+    assert(kept.size <= batch.count())
+
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
   }
 
   test("the composed chain runs as one plan with monotone row accounting") {

@@ -26,6 +26,7 @@ object ScaleProbe {
     time("tfidf_topk")(queries.PipelineQueries.qTfidfTopk(spark, dir).count())
     time("asof_join")(queries.PipelineQueries.qAsofJoin(spark, dir).count())
     time("dedup_components")(queries.SketchDedupQueries.qDedupComponents(spark, dir).count())
+    time("dedup_incremental")(queries.IncrementalDedupQueries.qDedupIncremental(spark, dir).count())
     time("decontaminate")(queries.PipelineQueries.qDecontaminate(spark, dir).count())
     spark.stop()
   }

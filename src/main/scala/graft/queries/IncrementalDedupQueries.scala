@@ -64,9 +64,24 @@ object IncrementalDedupQueries {
 
   /** Merge a day's signatures into the persisted index (last-writer-wins
     * on doc_id — a re-ingested or corrected document replaces its row).
+    *
+    * With `ingestDate` given, the index is PARTITIONED by ingest_date and
+    * the merge is partition-scoped: a daily batch writes only its own
+    * partition — O(batch) I/O, not an O(corpus) table rewrite — while
+    * `globalKeys` finds and rewrites the (few) older partitions holding a
+    * previous version of a re-ingested doc_id, so the one-row-per-doc
+    * invariant survives re-ingestion. This is the layout a 100 TB corpus
+    * needs; the unpartitioned form (no `ingestDate`) stays for small
+    * indexes and tests.
     */
-  def updateIndex(spark: SparkSession, batchSigs: DataFrame, path: String): Unit =
-    graft.etl.Sinks.upsert(spark, batchSigs, path, keys = Seq("doc_id"))
+  def updateIndex(
+      spark: SparkSession, batchSigs: DataFrame, path: String,
+      ingestDate: Option[String] = None): Unit = ingestDate match {
+    case None => graft.etl.Sinks.upsert(spark, batchSigs, path, keys = Seq("doc_id"))
+    case Some(d) => graft.etl.Sinks.upsert(
+      spark, batchSigs.withColumn("ingest_date", lit(d)), path,
+      keys = Seq("doc_id"), partitionBy = Seq("ingest_date"), globalKeys = true)
+  }
 
   /** LSH band rows (doc_id, band, bh) from index signature rows — 4 band
     * hashes per doc, derived from the 16 stored minima (never from text).

@@ -70,6 +70,43 @@ class IncrementalDedupSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(lake).getParent)
   }
 
+  test("date-partitioned index: daily merge touches one partition, re-ingest moves the row") {
+    val docs = documents(spark, sf)
+    val lake = java.nio.file.Files.createTempDirectory("inc-dedup-part")
+      .resolve("sig").toString
+    val day1Docs = docs.filter(col("doc_id") % 5 <= 3)
+    val day2Docs = docs.filter(col("doc_id") % 5 === 4)
+    IncrementalDedupQueries.updateIndex(
+      spark, IncrementalDedupQueries.signatures(day1Docs), lake,
+      ingestDate = Some("2026-08-11"))
+    // day 2 re-ingests one day-1 doc (a correction) alongside its batch
+    val reingested = docs.filter(col("doc_id") === 0)
+    val day2Sigs = IncrementalDedupQueries.signatures(day2Docs.union(reingested))
+    IncrementalDedupQueries.updateIndex(
+      spark, day2Sigs, lake, ingestDate = Some("2026-08-12"))
+
+    val index = spark.read.parquet(lake)
+    // one-row-per-doc survives re-ingestion; the corrected row moved to day 2
+    val expectedDocs = docs.filter(col("doc_id") % 5 <= 4)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    assert(index.count() == expectedDocs)
+    assert(index.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0)
+    assert(index.filter(col("doc_id") === 0)
+      .select(col("ingest_date").cast("string")).collect()
+      .map(_.getString(0)).toSeq == Seq("2026-08-12"))
+
+    // the extra partition column changes nothing about pair detection
+    val got = pairSet(IncrementalDedupQueries.pairsAgainstIndex(
+      index, day2Docs.select(col("doc_id"))))
+    val want = pairSet(
+      SketchDedupQueries.minhashPairs(docs)
+        .filter(col("doc_a") % 5 === 4 || col("doc_b") % 5 === 4))
+    assert(got == want)
+
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
+  }
+
   test("batch signatures equal the whole-corpus signature arithmetic") {
     // the in-row (map-only) signature path must reproduce the exploded
     // aggregate path bit-for-bit — same permutations, same md5 prefix mod

@@ -394,8 +394,43 @@ object PipelineQueries {
       |       round(CAST(min(count(*)) OVER () AS DOUBLE) / count(*), 6) AS keep_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --- temperature-scaled mixing weights (UniMax / T5 style) ---
+  // Sampling weight w_i ∝ n_i^(1/T) with T = 2: up-weights rare domains
+  // relative to proportional sampling without flattening to uniform.
+  // n^(1/2) is computed with sqrt (IEEE correctly-rounded in BOTH engines
+  // — a libm pow could differ in the last ulp between JVM and C++),
+  // rounded to 6 decimals, and normalized with an exact DECIMAL window
+  // sum over the one-row-per-source post-aggregation table. Like
+  // q_mix_weights, everything after the single groupBy touches only
+  // |sources| rows.
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("r", round(sqrt(col("n_docs").cast("double")), 6)
+        .cast("decimal(28,6)"))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()), 6).as("p_raw"),
+        round(col("r").cast("double") /
+          sum(col("r")).over(Window.partitionBy()).cast("double"), 6)
+          .as("w_temp"))
+      .orderBy(col("source"))
+
+  val qMixTemperatureOracle: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS r
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs,
+      |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS p_raw,
+      |       round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6) AS w_temp
+      |FROM c ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_weights" -> (qMixWeights _),
+    "q_mix_temperature" -> (qMixTemperature _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -408,6 +443,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q_mix_weights" -> qMixWeightsOracle,
+    "q_mix_temperature" -> qMixTemperatureOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,

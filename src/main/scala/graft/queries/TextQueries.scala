@@ -442,6 +442,82 @@ object TextQueries {
       |WHERE CAST(common AS DOUBLE) / (na.n_shingles + nb.n_shingles - common) >= 0.6
       |ORDER BY 1, 2""".stripMargin
 
+  // --- repetition-based quality rules (the Gopher A1.1 family) ---
+  // Two per-doc repetition signals over whitespace tokens:
+  //   dup2: fraction of bigram OCCURRENCES that are repeats
+  //         (1 - distinct_bigrams / total_bigrams),
+  //   top_ratio: share of the single most frequent token.
+  // Both are pure per-row array expressions — no explode, no shuffle until
+  // the final tiny per-source rollup, so the scoring pass is
+  // embarrassingly parallel at 100 TB. The top-token count is quadratic
+  // in DOC length (distinct-terms x tokens), bounded and cache-local —
+  // strictly cheaper than exploding N x len rows through a shuffle just
+  // to count within a doc.
+  //
+  // Determinism: per-doc metrics are IEEE double quotients of exact
+  // integers (identical in both engines); the per-source averages sum the
+  // 6-decimal-rounded metrics as DECIMAL (exact, order-insensitive) and
+  // divide once at the end.
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val dup2 = when(size(col("bg")) > 0,
+      lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+      .otherwise(lit(0.0))
+    val topRatio = expr(
+      "CAST(array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w)))) AS DOUBLE)")
+      ./(size(col("tk")))
+    documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      // bigrams; `slice(tk, 1, 0)` is a typed-empty fallback for 1-token docs
+      .withColumn("bg", expr(
+        """CASE WHEN size(tk) >= 2
+          |  THEN transform(sequence(1, size(tk) - 1),
+          |         i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
+          |  ELSE slice(tk, 1, 0) END""".stripMargin))
+      .withColumn("dup2", dup2)
+      .withColumn("top_ratio", topRatio)
+      .withColumn("keep", col("dup2") <= 0.03 && col("top_ratio") <= 0.12)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        sum(when(col("keep"), 0).otherwise(1)).as("dropped"),
+        round(sum(round(col("dup2"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 5).as("avg_dup2"),
+        round(sum(round(col("top_ratio"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 5).as("avg_top_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val qRepetitionFilterOracle: String =
+    """WITH t AS (
+      |  SELECT source, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |), m AS (
+      |  SELECT source, tk,
+      |         CASE WHEN len(tk) >= 2
+      |           THEN list_transform(generate_series(1, len(tk) - 1),
+      |                  i -> tk[i] || ' ' || tk[i + 1])
+      |           ELSE [] END AS bg
+      |  FROM t
+      |), s AS (
+      |  SELECT source,
+      |         CASE WHEN len(bg) > 0
+      |           THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |           ELSE 0.0 END AS dup2,
+      |         CAST(list_max(list_transform(list_distinct(tk),
+      |                w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE)
+      |           / len(tk) AS top_ratio
+      |  FROM m
+      |)
+      |SELECT source,
+      |       CAST(sum(CASE WHEN dup2 <= 0.03 AND top_ratio <= 0.12
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |       CAST(sum(CASE WHEN dup2 <= 0.03 AND top_ratio <= 0.12
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+      |       round(CAST(sum(CAST(round(dup2, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |         / count(*), 5) AS avg_dup2,
+      |       round(CAST(sum(CAST(round(top_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |         / count(*), 5) AS avg_top_ratio
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- quality filtering: the keep/drop decision pass of a pipeline ---
   // Keep documents whose signals sit in healthy bands (enough tokens,
   // plausible average token length, stopwords not dominating); report
@@ -492,7 +568,8 @@ object TextQueries {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
-    "q_text_quality_filter" -> (qTextQualityFilter _))
+    "q_text_quality_filter" -> (qTextQualityFilter _),
+    "q_repetition_filter" -> (qRepetitionFilter _))
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
@@ -502,5 +579,6 @@ object TextQueries {
     "q_text_fingerprint" -> qTextFingerprintOracle,
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,
-    "q_text_quality_filter" -> qTextQualityFilterOracle)
+    "q_text_quality_filter" -> qTextQualityFilterOracle,
+    "q_repetition_filter" -> qRepetitionFilterOracle)
 }

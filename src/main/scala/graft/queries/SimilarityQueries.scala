@@ -263,23 +263,28 @@ object SimilarityQueries {
     cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
   }
 
-  def qSimIvfWith(iters: Int, nprobe: Int = IvfNprobe)(
-      spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
-    val centroids = ivfCentroids(e, iters)
-    val crossed = e.as("a")
+  /** Index side: top-1 trained-centroid assignment per vector —
+    * (vec_id, cid, v, norm) — with the same map-side `max_by` collapse as
+    * training (the 16-way crossed frame reduces to one row per vector
+    * BEFORE the shuffle). Shared by the IVF search and SemDeDup.
+    */
+  private def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.as("a")
       .join(broadcast(centroids).as("b"), lit(true))
       .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
         col("b.cid").as("cid"),
         round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-    // index side: top-1 list per vector, same map-side max_by as training
-    val assigned = crossed
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("v"), col("norm")),
         struct(col("ccos"), negate(col("cid")))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"),
         col("best.v").as("v"), col("best.norm").as("norm"))
-      .persist()
+
+  def qSimIvfWith(iters: Int, nprobe: Int = IvfNprobe)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
+    val centroids = ivfCentroids(e, iters)
+    val assigned = ivfAssign(e, centroids).persist()
     // multi-probe: each query searches its `nprobe` highest-cosine lists,
     // the standard IVF recall lever (a true neighbor often sits just over
     // a Voronoi boundary in the SECOND-nearest list). The probe pick is a
@@ -325,10 +330,12 @@ object SimilarityQueries {
   def qSimIvf(spark: SparkSession, dir: String): DataFrame =
     qSimIvfWith(IvfIters, IvfNprobe)(spark, dir)
 
-  /** The oracle replays the Lloyd iterations as unrolled CTEs: assign-k
-    * then decimal-mean-k, ending in the same list-restricted search.
+  /** Shared oracle prefix: the Lloyd iterations replayed as unrolled CTEs
+    * (assign-k then decimal-mean-k), ending in the trained `assigned`
+    * table — everything up to (and including) the index build, used by
+    * both the IVF search oracle and the SemDeDup oracle.
     */
-  val qSimIvfOracle: String = {
+  private val trainedAssignCtes: String = {
     // one Lloyd iteration: assign to `prevC`, emit new centroids `outC`
     def iterSql(prevC: String, outA: String, outC: String): String =
       s"""$outA AS (
@@ -362,7 +369,11 @@ object SimilarityQueries {
        |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS crank
        |    FROM e a CROSS JOIN c$IvfIters c
        |  ) WHERE crank = 1
-       |), probes AS (
+       |)""".stripMargin
+  }
+
+  val qSimIvfOracle: String =
+    s"""$trainedAssignCtes, probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT a.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY a.vec_id
@@ -380,7 +391,53 @@ object SimilarityQueries {
        |SELECT query_id, list_id, neighbor_id, cosine FROM sims
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= 3
        |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin
+
+  // --- SemDeDup: cluster-then-dedup semantic near-duplicate removal ---
+  // The Abbas et al. 2023 recipe re-expressed as two joins: cluster the
+  // corpus with the SAME trained coarse quantizer as the IVF index (k
+  // centroids, 2 Lloyd iterations), then compare pairs only WITHIN a
+  // cluster and drop every vector that has a higher-priority (lower
+  // vec_id) near-twin at cosine >= SemTau. Output: the dropped rows, each
+  // with its cluster, its keeper (`dup_of` = the LOWEST qualifying
+  // vec_id, deterministic), and the cosine to that keeper.
+  //
+  // Scale shape: the quadratic term is confined to a cluster — the
+  // SemDeDup design point — and cluster count is the knob that holds
+  // cluster size ~constant as the corpus grows (the paper runs k = 11k on
+  // LAION; here k = IvfCentroidSample). The pair generator is a pure
+  // equi-join on cid over the already-persisted assignment, the same
+  // frame the IVF index build produces, so an engine running both ANN and
+  // SemDeDup trains ONE quantizer and reuses it.
+  private val SemTau = 0.35
+
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
+    val assigned = ivfAssign(e, ivfCentroids(e, IvfIters)).persist()
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.cid").as("cid"), col("b.vec_id").as("vec_id"),
+        col("a.vec_id").as("vec_a"), cosineExpr.as("cosine"))
+      .filter(col("cosine") >= SemTau)
+      // keeper = lowest qualifying vec_id; min_by is deterministic here
+      // because vec_a is unique within the (cid, vec_id) group
+      .groupBy(col("cid"), col("vec_id"))
+      .agg(min_by(struct(col("vec_a"), col("cosine")), col("vec_a")).as("d"))
+      .select(col("cid"), col("vec_id"), col("d.vec_a").as("dup_of"),
+        col("d.cosine").as("cosine"))
+      .orderBy(col("vec_id"))
   }
+
+  val qSemDedupOracle: String =
+    s"""$trainedAssignCtes, pairs AS (
+       |  SELECT b.cid AS cid, b.vec_id AS vec_id, a.vec_id AS vec_a,
+       |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 5) >= $SemTau
+       |)
+       |SELECT cid, vec_id, vec_a AS dup_of, cosine FROM pairs
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY vec_a) = 1
+       |ORDER BY vec_id""".stripMargin
 
   // --- sign random projection: 64 -> 8 dims before ANN ---
   // The dimensionality-reduction pass that precedes index build at scale:
@@ -441,6 +498,7 @@ object SimilarityQueries {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_sim_lsh_bucketed" -> (qSimLshBucketed _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_semdedup" -> (qSemDedup _),
     "q_embed_project" -> (qEmbedProject _))
 
   def oracles: Map[String, String] = Map(
@@ -448,5 +506,6 @@ object SimilarityQueries {
     "q_dedup_embedding" -> qDedupEmbeddingOracle,
     "q_sim_lsh_bucketed" -> qSimLshBucketedOracle,
     "q_sim_ivf" -> qSimIvfOracle,
+    "q_semdedup" -> qSemDedupOracle,
     "q_embed_project" -> qEmbedProjectOracle)
 }

@@ -56,8 +56,12 @@ object Bench {
       if (ok) elapsed else -1.0
     }
     // full passes over the query list (not N back-to-back runs of one
-    // query) so a load burst degrades one PASS, not one query's samples
+    // query) so a load burst degrades one PASS, not one query's samples.
+    // Optional args name a subset to bench (local iteration only; the
+    // driver passes no args and benches everything).
+    val only = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val passes = (1 to samples).map { _ =>
       names.map { case (name, fn) => name -> sampleOnce(name, fn) }.toMap
     }

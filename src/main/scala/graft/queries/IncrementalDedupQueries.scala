@@ -86,7 +86,7 @@ object IncrementalDedupQueries {
   /** LSH band rows (doc_id, band, bh) from index signature rows — 4 band
     * hashes per doc, derived from the 16 stored minima (never from text).
     */
-  private def bandRows(sigs: DataFrame): DataFrame = {
+  private[queries] def bandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",

@@ -142,19 +142,20 @@ object SketchDedupQueries {
 
   val qDedupMinhashLshOracle: String = minhashPairsSql("")
 
-  /** The whole-corpus MinHash pair SQL, with an optional extra predicate
-    * on the final pair set — the incremental oracle is EXACTLY this
-    * computation restricted to pairs touching the new batch.
+  /** Shared oracle prefix: MinHash signatures + LSH band rows as CTEs
+    * (`bands` carries doc_id, m0..m15, band, bh) — used by the pair
+    * oracles here and by the streaming near-dedup oracle.
     */
-  private[queries] def minhashPairsSql(extraWhere: String): String = {
+  // lazy: referenced by oracle vals declared EARLIER in this object (and
+  // by StreamingQueries) — a strict val here would still be null when
+  // qDedupMinhashLshOracle initializes
+  private[queries] lazy val minhashBandsSqlPrefix: String = {
     val minCols = (0 until K)
       .map(i => s"min((${as(i)} * xm + ${bs(i)}) % $P) AS m$i").mkString(",\n      ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until 4).map(r => s"m${4 * b + r}").mkString(", ")
       s"SELECT *, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    val est = (0 until K).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
        |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
@@ -173,7 +174,17 @@ object SketchDedupQueries {
        |  FROM h GROUP BY doc_id
        |), bands AS (
        |  $bandSelects
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** The whole-corpus MinHash pair SQL, with an optional extra predicate
+    * on the final pair set — the incremental oracle is EXACTLY this
+    * computation restricted to pairs touching the new batch.
+    */
+  private[queries] def minhashPairsSql(extraWhere: String): String = {
+    val est = (0 until K).map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$minhashBandsSqlPrefix, cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST($est AS DOUBLE) / $K AS minhash_est
        |  FROM bands a JOIN bands b

@@ -274,17 +274,105 @@ object StreamingQueries {
     """SELECT event_type, count(DISTINCT event_id) AS n_unique
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  case class DocBand(doc_id: Long, band: Int, bh: String)
+  case class BandEmit(doc_id: Long, band: Int, hit: Boolean)
+
+  /** Streaming NEAR-dedup: incoming documents are MinHash-fingerprinted
+    * in-flight (the same codegen'd map-only signature path as the
+    * incremental batch index — [[IncrementalDedupQueries.signatures]]),
+    * keyed by LSH band hash, and matched against per-bucket state that
+    * remembers the lowest doc_id ever seen in the bucket. A document is
+    * flagged the moment any of its bands lands in a bucket that already
+    * holds (or concurrently receives) a lower-id document — the streaming
+    * form of "candidate near-duplicate against everything ingested so
+    * far", with verification left to the offline pass exactly like a
+    * production ingest gate.
+    *
+    * State is ONE long per occupied (band, hash) bucket — bounded by
+    * distinct band hashes, not by corpus text — and the per-bucket merge
+    * is min(), so replays and out-of-order arrivals within a bucket
+    * cannot change the final state. The emitted flag compares each doc to
+    * the bucket minimum (prior state or this batch), which makes the
+    * result independent of iterator order inside a group call; across
+    * micro-batches it equals the batch answer whenever doc_ids arrive
+    * monotonically (the daily-ingest invariant: new days get new ids),
+    * which StreamNearDedupSpec pins with an explicit two-batch run.
+    */
+  private[queries] def streamNearDedup(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+      withStreamConfs(spark) {
+    import spark.implicits._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir)
+    val bands = IncrementalDedupQueries.bandRows(
+      IncrementalDedupQueries.signatures(src)).as[DocBand]
+    val emitted = bands
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[DocBand], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toVector
+          val prevMin = state.getOption.getOrElse(Long.MaxValue)
+          val floor = math.min(prevMin, ids.min)
+          state.update(floor)
+          ids.iterator.map(id => BandEmit(id, key._1, floor < id))
+      }
+    val name = "stream_neardedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = emitted.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // terminal rollup over the sink (batch): how many of a doc's bands
+    // collided with an earlier document
+    spark.table(name)
+      .filter(col("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_bands"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qStreamNearDedup(spark: SparkSession, dir: String): DataFrame =
+    streamNearDedup(spark, dir, "documents.parquet")
+
+  /** Batch equivalent: for each doc, the number of distinct bands where a
+    * lower-id doc shares the band hash (same signature family as the
+    * MinHash pair oracles — shared CTE prefix).
+    */
+  val qStreamNearDedupOracle: String =
+    s"""${SketchDedupQueries.minhashBandsSqlPrefix}, hits AS (
+       |  SELECT b.doc_id, b.band
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_bands
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_upsert" -> (qStreamUpsert _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_neardedup" -> (qStreamNearDedup _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,
     "q_stream_join" -> qStreamJoinOracle,
     "q_stream_upsert" -> qStreamUpsertOracle,
-    "q_stream_dedup" -> qStreamDedupOracle)
+    "q_stream_dedup" -> qStreamDedupOracle,
+    "q_stream_neardedup" -> qStreamNearDedupOracle)
 }

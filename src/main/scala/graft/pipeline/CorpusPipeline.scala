@@ -115,6 +115,23 @@ final class CorpusPipeline private (
     dedupNear(pairs)
   }
 
+  /** Repetition-based quality filter (the Gopher A1.1 family): keep only
+    * documents whose duplicate-bigram fraction and top-token share sit
+    * under the thresholds — the same per-row signals as the gated
+    * q_repetition_filter. A pure narrow filter: composes into the single
+    * pipeline plan, no shuffle.
+    */
+  def filterRepetition(
+      maxDup2: Double = 0.03,
+      maxTopRatio: Double = 0.12,
+      textCol: String = "text"): CorpusPipeline = {
+    val sig = graft.queries.TextQueries.withRepetitionSignals(
+      df.withColumn("_tk", split(trim(col(textCol)), "\\s+")), "_tk")
+    next(sig
+      .filter(col("dup2") <= maxDup2 && col("top_ratio") <= maxTopRatio)
+      .drop("_tk", "dup2", "top_ratio"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates decided by
     * a portable md5 hash of the id — a plain filter, reproducible across
     * engines and partitionings.

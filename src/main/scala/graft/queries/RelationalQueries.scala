@@ -442,6 +442,35 @@ object RelationalQueries {
       |       count(*) AS n_events
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- exact percentiles per group (the latency/size-distribution op) ---
+  // Spark's `percentile` and DuckDB's `quantile_cont` share the same
+  // definition (sort, index = p*(n-1), linear interpolation), so EXACT
+  // percentiles hash-match across engines — unlike the t-digest/HLL
+  // family, which is engine-specific by construction. At 100 TB exact
+  // percentiles are a real single-shuffle op: one hash partial per group
+  // collects values, and group count here is tiny (event types). For
+  // billion-row groups you'd swap in approx_percentile and drop the
+  // cross-engine hash gate — that tradeoff is the documented line.
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(min(col("value")), 4).as("vmin"),
+        round(max(col("value")), 4).as("vmax"))
+      .orderBy(col("event_type"))
+
+  val qQuantilesOracle: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(quantile_cont(value, 0.99), 4) AS p99,
+      |       round(min(value), 4) AS vmin,
+      |       round(max(value), 4) AS vmax
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- ROLLUP: multi-level totals in one pass (month, priority hierarchy) ---
   def qRollupCounts(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
@@ -480,6 +509,7 @@ object RelationalQueries {
     "q_sessionize" -> (qSessionize _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_users" -> (qDistinctUsers _),
+    "q_quantiles" -> (qQuantiles _),
     "q_rollup_counts" -> (qRollupCounts _))
 
   /** name -> DuckDB oracle SQL. */
@@ -504,5 +534,6 @@ object RelationalQueries {
     "q_sessionize" -> qSessionizeOracle,
     "q_topk_per_group" -> qTopkPerGroupOracle,
     "q_distinct_users" -> qDistinctUsersOracle,
+    "q_quantiles" -> qQuantilesOracle,
     "q_rollup_counts" -> qRollupCountsOracle)
 }

@@ -458,23 +458,30 @@ object TextQueries {
   // integers (identical in both engines); the per-source averages sum the
   // 6-decimal-rounded metrics as DECIMAL (exact, order-insensitive) and
   // divide once at the end.
-  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val dup2 = when(size(col("bg")) > 0,
-      lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
-      .otherwise(lit(0.0))
-    val topRatio = expr(
-      "CAST(array_max(transform(array_distinct(tk), w -> size(filter(tk, x -> x = w)))) AS DOUBLE)")
-      ./(size(col("tk")))
-    documents(spark, dir)
-      .withColumn("tk", toks(col("text")))
+  /** Adds the two repetition signals (`dup2`, `top_ratio`) to a frame
+    * that already carries a token-array column — shared by the gated
+    * query and [[graft.pipeline.CorpusPipeline.filterRepetition]].
+    */
+  private[graft] def withRepetitionSignals(d: DataFrame, tkCol: String): DataFrame =
+    d
       // bigrams; `slice(tk, 1, 0)` is a typed-empty fallback for 1-token docs
-      .withColumn("bg", expr(
-        """CASE WHEN size(tk) >= 2
-          |  THEN transform(sequence(1, size(tk) - 1),
-          |         i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))
-          |  ELSE slice(tk, 1, 0) END""".stripMargin))
-      .withColumn("dup2", dup2)
-      .withColumn("top_ratio", topRatio)
+      .withColumn("_bg", expr(
+        s"""CASE WHEN size($tkCol) >= 2
+           |  THEN transform(sequence(1, size($tkCol) - 1),
+           |         i -> concat(element_at($tkCol, i), ' ', element_at($tkCol, i + 1)))
+           |  ELSE slice($tkCol, 1, 0) END""".stripMargin))
+      .withColumn("dup2", when(size(col("_bg")) > 0,
+        lit(1.0) - size(array_distinct(col("_bg"))).cast("double") / size(col("_bg")))
+        .otherwise(lit(0.0)))
+      .withColumn("top_ratio", expr(
+        s"CAST(array_max(transform(array_distinct($tkCol), " +
+          s"w -> size(filter($tkCol, x -> x = w)))) AS DOUBLE)")
+        ./(size(col(tkCol))))
+      .drop("_bg")
+
+  def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    withRepetitionSignals(
+      documents(spark, dir).withColumn("tk", toks(col("text"))), "tk")
       .withColumn("keep", col("dup2") <= 0.03 && col("top_ratio") <= 0.12)
       .groupBy(col("source"))
       .agg(
@@ -517,6 +524,31 @@ object TextQueries {
       |       round(CAST(sum(CAST(round(top_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE)
       |         / count(*), 5) AS avg_top_ratio
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- document-length histogram: binned corpus-shape accounting ---
+  // Fixed-width buckets over n_chars via integer arithmetic (identical in
+  // any engine — no width_bucket portability trap): one narrow projection
+  // plus a tiny aggregation. The per-bucket token average routes through
+  // DECIMAL so shuffle order can't move it.
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket_lo", (col("n_chars") - (col("n_chars") % 20)))
+      .groupBy(col("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(size(toks(col("text"))).cast("decimal(18,0)")).cast("double")
+          / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy(col("bucket_lo"))
+
+  val qLengthHistogramOracle: String =
+    """SELECT n_chars - (n_chars % 20) AS bucket_lo,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT lang) AS n_langs,
+      |       round(CAST(sum(CAST(len(string_split_regex(trim(text), '\s+'))
+      |                           AS DECIMAL(18,0))) AS DOUBLE)
+      |         / count(*), 4) AS avg_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- quality filtering: the keep/drop decision pass of a pipeline ---
   // Keep documents whose signals sit in healthy bands (enough tokens,
@@ -569,7 +601,8 @@ object TextQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_text_quality_filter" -> (qTextQualityFilter _),
-    "q_repetition_filter" -> (qRepetitionFilter _))
+    "q_repetition_filter" -> (qRepetitionFilter _),
+    "q_length_histogram" -> (qLengthHistogram _))
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
@@ -580,5 +613,6 @@ object TextQueries {
     "q_dedup_exact" -> qDedupExactOracle,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,
     "q_text_quality_filter" -> qTextQualityFilterOracle,
-    "q_repetition_filter" -> qRepetitionFilterOracle)
+    "q_repetition_filter" -> qRepetitionFilterOracle,
+    "q_length_histogram" -> qLengthHistogramOracle)
 }

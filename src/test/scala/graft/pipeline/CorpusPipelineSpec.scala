@@ -35,6 +35,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("filterRepetition matches q_repetition_filter's kept counts per source") {
+    val got = CorpusPipeline(docs).filterRepetition().df
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = graft.queries.TextQueries.qRepetitionFilter(spark, sf)
+      .select(col("source"), col("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0L) // groupBy over kept docs has no all-dropped sources
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("withSplit matches q_train_test_split's counts") {
     val got = CorpusPipeline(docs).withSplit(trainPct = 90).df
       .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))

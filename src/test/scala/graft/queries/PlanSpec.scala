@@ -103,6 +103,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"))
   }
 
+  test("SemDeDup: within-cluster pair join is an equi-join on cid") {
+    val plan = formatted(SimilarityQueries.qSemDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop joins are the bounded 16-row centroid crosses
+    // (training iterations + terminal assignment); the pair generator —
+    // the stage whose input is the whole corpus — must join on cid
+    val bnljIds = raw"\((\d+)\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(bnljIds.size == SimilarityQueries.IvfIters + 1, s"got $bnljIds")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+  }
+
+  test("repetition filter: per-row signals, no shuffle before the rollup") {
+    val plan = simple(TextQueries.qRepetitionFilter(spark, sf))
+    assert(!plan.contains("Join"))
+    assert(!plan.contains("Window"))
+    // exactly one hash exchange (partial -> final per-source agg); the
+    // only other allowed exchange is the presentation sort's range one
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
+  }
+
   test("as-of join is the union+window shape: no range explosion, no BNLJ") {
     val plan = simple(PipelineQueries.qAsofJoin(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"))

@@ -550,6 +550,68 @@ object TextQueries {
       |         / count(*), 4) AS avg_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- inter-document boilerplate filter (corpus-frequent n-grams) ---
+  // The CROSS-document companion to qRepetitionFilter's within-document
+  // signals: a shingle appearing in many DOCUMENTS is boilerplate
+  // (headers, license text, templated pages), and a document composed
+  // mostly of such shingles is a template instance worth dropping
+  // (CCNet/RefinedWeb-style corpus-level repetition removal). The hot
+  // threshold is corpus-RELATIVE (df >= max(4, 0.8% of docs)) so the
+  // definition survives scale-up: "common" means common relative to the
+  // corpus, not an absolute count tuned to one SF.
+  //
+  // 100 TB shape: shingle document-frequency is ONE map-side-combinable
+  // groupBy on the shingle key; the HOT subset (df over threshold) is by
+  // construction a vanishing fraction of the shingle space — small
+  // enough to broadcast — so scoring every document is a broadcast left
+  // join + per-doc agg, never a second corpus-wide shuffle on the
+  // shingle key.
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val hot = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= greatest(lit(4L), ceil(col("n_docs") * 0.008)))
+      .select(col("shingle"), lit(1L).as("_hot"))
+    shingled.join(broadcast(hot), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("_hot")), lit(0L)).as("n_common"))
+      .withColumn("boiler_frac",
+        round(col("n_common").cast("double") / col("n_shingles"), 6))
+      .withColumn("keep", when(col("boiler_frac") <= 0.5, 1).otherwise(0))
+      .select("doc_id", "n_shingles", "n_common", "boiler_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  val qBoilerplateOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), n AS (SELECT count(*) AS nd FROM documents),
+      |hot AS (
+      |  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM s GROUP BY 1), n
+      |  WHERE df >= greatest(4, CAST(ceil(nd * 0.008) AS BIGINT))
+      |), j AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles, count(h.shingle) AS n_common
+      |  FROM s LEFT JOIN hot h USING (shingle) GROUP BY 1
+      |)
+      |SELECT doc_id, n_shingles, n_common,
+      |       round(CAST(n_common AS DOUBLE) / n_shingles, 6) AS boiler_frac,
+      |       CASE WHEN round(CAST(n_common AS DOUBLE) / n_shingles, 6) <= 0.5
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM j ORDER BY doc_id""".stripMargin
+
   // --- quality filtering: the keep/drop decision pass of a pipeline ---
   // Keep documents whose signals sit in healthy bands (enough tokens,
   // plausible average token length, stopwords not dominating); report
@@ -602,7 +664,8 @@ object TextQueries {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_text_quality_filter" -> (qTextQualityFilter _),
     "q_repetition_filter" -> (qRepetitionFilter _),
-    "q_length_histogram" -> (qLengthHistogram _))
+    "q_length_histogram" -> (qLengthHistogram _),
+    "q_boilerplate" -> (qBoilerplate _))
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
@@ -614,5 +677,6 @@ object TextQueries {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccardOracle,
     "q_text_quality_filter" -> qTextQualityFilterOracle,
     "q_repetition_filter" -> qRepetitionFilterOracle,
-    "q_length_histogram" -> qLengthHistogramOracle)
+    "q_length_histogram" -> qLengthHistogramOracle,
+    "q_boilerplate" -> qBoilerplateOracle)
 }

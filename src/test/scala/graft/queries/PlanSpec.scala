@@ -155,6 +155,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("boilerplate: hot-shingle set broadcasts; no corpus-wide second shuffle join") {
+    val plan = simple(TextQueries.qBoilerplate(spark, sf))
+    // the document-scoring join against the hot set must be broadcast —
+    // a SortMergeJoin here would re-shuffle the whole shingled corpus
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

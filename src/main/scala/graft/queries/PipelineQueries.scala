@@ -375,6 +375,42 @@ object PipelineQueries {
       .orderBy(col("train_doc_id"), col("benchmark_doc_id"))
   }
 
+  // --- decontamination, Bloom semi-join reduction ---
+  // The third strategy, for the same can't-broadcast scenario as the
+  // salted join but attacking the SHUFFLE VOLUME instead of the skew: an
+  // 8 KiB Bloom filter over the benchmark's shingles ([[graft.functions
+  // .Bloom]]) broadcasts for free and drops almost every train shingle
+  // BEFORE the corpus-wide shuffle — at 100 TB the exchange then carries
+  // only near-matches, not the corpus. False positives survive the
+  // pre-filter but are removed by the exact equi-join that follows, and
+  // Bloom filters have no false negatives, so the composition is
+  // result-identical to qDecontaminate: the gate runs all three
+  // strategies against the SAME oracle.
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))
+    val train = shingled.filter(col("doc_id") % 97 =!= 0)
+    val bloom = graft.functions.Bloom.build(bench, "shingle")
+    val prefiltered = train
+      .crossJoin(broadcast(bloom))
+      .filter(graft.functions.Bloom.mightContain(col("shingle"), col("bloom_bits")))
+      .drop("bloom_bits")
+    // deliberately NOT broadcast: this strategy exists for when the
+    // benchmark side can't broadcast, so the final exact check is a
+    // shuffle equi-join — over the bloom survivors only
+    prefiltered.join(bench.hint("shuffle_hash"), "shingle")
+      .groupBy(col("doc_id").as("train_doc_id"), col("benchmark_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy(col("train_doc_id"), col("benchmark_doc_id"))
+  }
+
   // --- domain mixing weights ---
   // The mix-rebalancing pass: given a target UNIFORM mix across sources,
   // the per-source keep-rate is min_count / count (downsample every
@@ -439,7 +475,8 @@ object PipelineQueries {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_spans" -> (qPackSpans _),
-    "q_decontaminate_skew" -> (qDecontaminateSkew _))
+    "q_decontaminate_skew" -> (qDecontaminateSkew _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _))
 
   def oracles: Map[String, String] = Map(
     "q_mix_weights" -> qMixWeightsOracle,
@@ -453,5 +490,6 @@ object PipelineQueries {
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_pack_spans" -> qPackSpansOracle,
     // identical output contract to the broadcast path — same oracle
-    "q_decontaminate_skew" -> qDecontaminateOracle)
+    "q_decontaminate_skew" -> qDecontaminateOracle,
+    "q_decontaminate_bloom" -> qDecontaminateOracle)
 }

@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bloom decontaminate: 8KiB filter broadcasts, exact check is a shuffle join") {
+    val plan = simple(PipelineQueries.qDecontaminateBloom(spark, sf))
+    // the bit array rides a broadcast nested loop (single-row build side);
+    // the exact verification join must be the shuffle form — this
+    // strategy exists for benchmark sides too big to broadcast
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "exact check lost its shuffle form")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("boilerplate: hot-shingle set broadcasts; no corpus-wide second shuffle join") {
     val plan = simple(TextQueries.qBoilerplate(spark, sf))
     // the document-scoring join against the hot set must be broadcast —

@@ -612,6 +612,78 @@ object TextQueries {
       |            THEN 1 ELSE 0 END AS keep
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // --- PII scrubbing: regex redaction with per-type accounting ---
+  // The privacy pass every web-scale corpus runs before training:
+  // emails, phone numbers, and IPv4 addresses are replaced with typed
+  // placeholder tokens and counted per document (the counts feed the
+  // pipeline's audit log). Pure per-row regexp_replace/regexp_count —
+  // narrow, codegen'd, embarrassingly parallel at 100 TB.
+  //
+  // The synthetic corpus contains no PII, so the query PLANTS
+  // deterministic fake PII derived from doc_id on a subset of docs
+  // (different moduli per type, so docs carry 0-3 kinds) and then
+  // redacts it: the oracle proves the regex semantics fire identically
+  // in both engines rather than trivially matching nothing. Patterns
+  // stay in the Java-regex/RE2 common subset (no backreferences, no
+  // lookaround) so Spark and DuckDB agree.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = documents(spark, dir).withColumn("txt",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (floor(col("doc_id") / 7).cast("long") % 256).cast("string")))
+          .otherwise(lit(""))))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("txt"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("txt"), lit(EmailRe)).as("n_email"),
+      regexp_count(col("txt"), lit(PhoneRe)).as("n_phone"),
+      regexp_count(col("txt"), lit(Ipv4Re)).as("n_ip"),
+      md5(redacted).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiRedactOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text
+      |         || CASE WHEN doc_id % 3 = 0
+      |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |              ELSE '' END
+      |         || CASE WHEN doc_id % 4 = 0
+      |              THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |              ELSE '' END
+      |         || CASE WHEN doc_id % 5 = 0
+      |              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |                   || CAST(CAST(floor(doc_id / 7) AS BIGINT) % 256 AS VARCHAR)
+      |              ELSE '' END AS txt
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      |       CAST(len(regexp_extract_all(txt, '\d{3}[-.]\d{3}[-.]\d{4}')) AS INT) AS n_phone,
+      |       CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+      |       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+      |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_hash
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // --- quality filtering: the keep/drop decision pass of a pipeline ---
   // Keep documents whose signals sit in healthy bands (enough tokens,
   // plausible average token length, stopwords not dominating); report
@@ -665,7 +737,8 @@ object TextQueries {
     "q_text_quality_filter" -> (qTextQualityFilter _),
     "q_repetition_filter" -> (qRepetitionFilter _),
     "q_length_histogram" -> (qLengthHistogram _),
-    "q_boilerplate" -> (qBoilerplate _))
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
     "q_text_stats" -> qTextStatsOracle,
@@ -678,5 +751,6 @@ object TextQueries {
     "q_text_quality_filter" -> qTextQualityFilterOracle,
     "q_repetition_filter" -> qRepetitionFilterOracle,
     "q_length_histogram" -> qLengthHistogramOracle,
-    "q_boilerplate" -> qBoilerplateOracle)
+    "q_boilerplate" -> qBoilerplateOracle,
+    "q_pii_redact" -> qPiiRedactOracle)
 }

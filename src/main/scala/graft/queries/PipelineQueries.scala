@@ -299,6 +299,42 @@ object PipelineQueries {
       |       CAST(least(n_tokens, (seq_id + 1) * $PackBudget - strt) AS BIGINT) AS token_end
       |FROM s ORDER BY lang, shard, doc_id, seq_id""".stripMargin
 
+  // --- deterministic epoch shuffle + sharding ---
+  // The training-order pass: every epoch needs the corpus in a
+  // different, REPRODUCIBLE pseudo-random order, split into shards
+  // sized for one writer/reader each. Order comes from a salted md5 of
+  // the doc id (salt = epoch tag, so epochs decorrelate and the order
+  // never depends on input layout); the shard is the hash mod N, and
+  // the in-shard position ranks the same hash — one hash-partitioned
+  // shuffle plus a per-shard sort, exactly what `write.partitionBy
+  // (shard) sortWithinPartitions(pos)` executes at 100 TB. N = 8 here;
+  // a real run sizes N so each shard matches the target output file
+  // size, which only widens the exchange, never changes the plan shape.
+  private val ShuffleShards = 8
+  private[queries] def shuffleShardCount: Int = ShuffleShards
+
+  def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("skey", expr(
+        "cast(conv(substring(md5(concat('epoch0:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("shard", pmod(col("skey"), lit(ShuffleShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val qShuffleShardOracle: String =
+    s"""WITH a AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(skey % $ShuffleShards AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY skey % $ShuffleShards
+      |                               ORDER BY skey, doc_id) AS INT) AS pos
+      |FROM a ORDER BY shard, pos""".stripMargin
+
   // --- decontamination: test-set n-gram overlap detection ---
   // Distinct from dedup: an ASYMMETRIC cross-set check. Training docs
   // sharing many 3-gram shingles with any held-out benchmark doc are
@@ -476,7 +512,8 @@ object PipelineQueries {
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_spans" -> (qPackSpans _),
     "q_decontaminate_skew" -> (qDecontaminateSkew _),
-    "q_decontaminate_bloom" -> (qDecontaminateBloom _))
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_shuffle_shard" -> (qShuffleShard _))
 
   def oracles: Map[String, String] = Map(
     "q_mix_weights" -> qMixWeightsOracle,
@@ -491,5 +528,6 @@ object PipelineQueries {
     "q_pack_spans" -> qPackSpansOracle,
     // identical output contract to the broadcast path — same oracle
     "q_decontaminate_skew" -> qDecontaminateOracle,
-    "q_decontaminate_bloom" -> qDecontaminateOracle)
+    "q_decontaminate_bloom" -> qDecontaminateOracle,
+    "q_shuffle_shard" -> qShuffleShardOracle)
 }

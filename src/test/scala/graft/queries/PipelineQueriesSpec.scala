@@ -95,6 +95,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(plan.contains("_salt"), "salted join key missing from the optimized plan")
   }
 
+  test("epoch shuffle: a permutation — shards partition the corpus, pos contiguous, order decorrelated from doc_id") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = PipelineQueries.qShuffleShard(spark, dir).collect()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    // every doc exactly once
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.size.toLong == nDocs)
+    // in-shard positions are 1..size with no gaps
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (s, rs) =>
+      val ps = rs.map(_.getAs[Int]("pos")).sorted
+      assert(ps.head == 1 && ps.last == ps.length, s"shard $s positions not contiguous")
+    }
+    // hash balance: no shard more than 2x the ideal size at 500 docs
+    val sizes = rows.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.max <= 2 * (nDocs.toInt / PipelineQueries.shuffleShardCount + 1))
+    // the shuffle actually shuffles: within a shard, consecutive
+    // positions are not consecutive doc_ids (a sorted-by-id "shuffle"
+    // would be a layout-dependent non-shuffle)
+    val firstShard = rows.filter(_.getAs[Int]("shard") == 0).sortBy(_.getAs[Int]("pos"))
+    val idOrdered = firstShard.map(_.getAs[Long]("doc_id"))
+    assert(idOrdered.sliding(2).count(p => p(1) == p(0) + 1) < idOrdered.length / 4)
+  }
+
   test("quantization: codes bounded by int8 range, checksums consistent") {
     val rows = PipelineQueries.qEmbedQuantize(spark, "/root/testdata/sf0.001")
       .collect()

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{FunctionQueries, IncrementalDedupQueries,
-  MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries,
-  SketchDedupQueries, StreamingQueries, TextQueries}
+  MultimodalQueries, PipelineQueries, PqQueries, RelationalQueries,
+  SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,7 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++
       SketchDedupQueries.queries ++ IncrementalDedupQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ PqQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +38,5 @@ object SparkEntry {
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       SketchDedupQueries.oracles ++ IncrementalDedupQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ PqQueries.oracles
 }

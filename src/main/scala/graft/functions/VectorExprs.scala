@@ -60,11 +60,64 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<double>` columns — the
+  * inner kernel of product-quantization encode/search, where it runs
+  * once per (vector, codeword) candidate. Same design as [[DotProduct]]:
+  * sequential left-to-right summation (bit-identical to an unrolled
+  * `(a0-b0)^2 + (a1-b1)^2 + ...` SQL expression, which is how the oracle
+  * states it), tight generated loop, NULL-propagating, common-prefix on
+  * mismatched lengths.
+  */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   /** Column form: `dot(a, b)` over array<double> columns. */
   def dot(a: Column, b: Column): Column =
     Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+
+  /** Column form: `l2sq(a, b)` over array<double> columns. */
+  def l2sq(a: Column, b: Column): Column =
+    Shims.column(L2Squared(Shims.expression(a), Shims.expression(b)))
 
   /** Registers `dot_product` for the SQL surface. */
   def register(spark: SparkSession): Unit =

@@ -335,6 +335,56 @@ object PipelineQueries {
       |                               ORDER BY skey, doc_id) AS INT) AS pos
       |FROM a ORDER BY shard, pos""".stripMargin
 
+  // --- Z-order layout: multi-dimensional clustering for data skipping ---
+  // The lakehouse layout pass (Delta OPTIMIZE ZORDER, Hudi/Iceberg sort
+  // orders): queries filter events by USER and by DAY, but a file layout
+  // sorted on one column leaves the other's per-file min/max spanning
+  // the whole domain — no skipping. Interleaving the bits of both
+  // dimensions onto a space-filling curve gives every file a tight
+  // bounding BOX in (user, day) space, so either predicate prunes files.
+  //
+  // The z-value is pure codegen'd bit arithmetic (an unrolled 8-bit
+  // interleave — identical in any engine); files are z-PREFIX ranges
+  // (z >> 9), so the whole layout-stats pass is ONE map-side-combinable
+  // groupBy — no global sort. A production writer materializes the same
+  // assignment with repartitionByRange(z) + sortWithinPartitions(z),
+  // a single range exchange at 100 TB; the emitted per-file min/max are
+  // exactly the footer stats a reader prunes on.
+  private def zInterleave(xb: String, yb: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($xb, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($yb, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("xb", (col("user_id") % 256).cast("int"))
+      .withColumn("yb",
+        (expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')") % 256).cast("int"))
+      .withColumn("z", expr(zInterleave("xb", "yb")))
+      .withColumn("z_file", expr("shiftright(z, 9)"))
+      .groupBy(col("z_file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_user"), max(col("xb")).as("max_user"),
+        min(col("yb")).as("min_day"), max(col("yb")).as("max_day"))
+      .orderBy(col("z_file"))
+
+  val qZorderLayoutOracle: String = {
+    val z = (0 until 8).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH a AS (
+      |  SELECT CAST(user_id % 256 AS INT) AS xb,
+      |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256 AS INT) AS yb
+      |  FROM events
+      |), zs AS (SELECT xb, yb, $z AS z FROM a)
+      |SELECT z >> 9 AS z_file, count(*) AS n_rows,
+      |       min(xb) AS min_user, max(xb) AS max_user,
+      |       min(yb) AS min_day, max(yb) AS max_day
+      |FROM zs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --- decontamination: test-set n-gram overlap detection ---
   // Distinct from dedup: an ASYMMETRIC cross-set check. Training docs
   // sharing many 3-gram shingles with any held-out benchmark doc are
@@ -513,7 +563,8 @@ object PipelineQueries {
     "q_pack_spans" -> (qPackSpans _),
     "q_decontaminate_skew" -> (qDecontaminateSkew _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
-    "q_shuffle_shard" -> (qShuffleShard _))
+    "q_shuffle_shard" -> (qShuffleShard _),
+    "q_zorder_layout" -> (qZorderLayout _))
 
   def oracles: Map[String, String] = Map(
     "q_mix_weights" -> qMixWeightsOracle,
@@ -529,5 +580,6 @@ object PipelineQueries {
     // identical output contract to the broadcast path — same oracle
     "q_decontaminate_skew" -> qDecontaminateOracle,
     "q_decontaminate_bloom" -> qDecontaminateOracle,
-    "q_shuffle_shard" -> qShuffleShardOracle)
+    "q_shuffle_shard" -> qShuffleShardOracle,
+    "q_zorder_layout" -> qZorderLayoutOracle)
 }

@@ -118,6 +118,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(idOrdered.sliding(2).count(p => p(1) == p(0) + 1) < idOrdered.length / 4)
   }
 
+  test("z-order files are tight boxes in BOTH dimensions (the skipping guarantee)") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = PipelineQueries.qZorderLayout(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // a z>>9 prefix fixes the top 3 user bits and top 4 day bits, so
+    // every file's bounding box is AT MOST 32 users x 16 days — the
+    // structural guarantee single-column sorting cannot give (a
+    // user-sorted layout leaves day spans at the full domain)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("max_user") - r.getAs[Int]("min_user") <= 31,
+        s"file ${r.getAs[Int]("z_file")} user span escaped its z-prefix box")
+      assert(r.getAs[Int]("max_day") - r.getAs[Int]("min_day") <= 15,
+        s"file ${r.getAs[Int]("z_file")} day span escaped its z-prefix box")
+    }
+    // the layout is a partition of the corpus, not a sample
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.events(spark, dir).count())
+  }
+
   test("quantization: codes bounded by int8 range, checksums consistent") {
     val rows = PipelineQueries.qEmbedQuantize(spark, "/root/testdata/sf0.001")
       .collect()

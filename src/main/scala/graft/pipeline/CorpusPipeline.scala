@@ -80,6 +80,16 @@ final class CorpusPipeline private (
       case CorpusPipeline.Broadcast => corpus.join(broadcast(bench), "_shingle")
       case CorpusPipeline.Salted => graft.ops.SkewJoin
         .saltedInnerJoin(corpus, bench, key = "_shingle", saltSource = idCol)
+      case CorpusPipeline.Bloom =>
+        // 8 KiB summary of the benchmark's shingles drops non-matching
+        // corpus shingles BEFORE the shuffle; the exact equi-join below
+        // removes the false positives (no false negatives by
+        // construction), so the result is strategy-independent
+        val bits = graft.functions.Bloom.build(bench, "_shingle")
+        corpus.crossJoin(broadcast(bits))
+          .filter(graft.functions.Bloom.mightContain(col("_shingle"), col("bloom_bits")))
+          .drop("bloom_bits")
+          .join(bench.hint("shuffle_hash"), "_shingle")
     }
     val contaminated = joined
       .groupBy(col(idCol), col("_bench_id"))
@@ -132,6 +142,44 @@ final class CorpusPipeline private (
       .drop("_tk", "dup2", "top_ratio"))
   }
 
+  /** PII scrubbing: replace emails, phone numbers, and IPv4 addresses in
+    * `textCol` with typed placeholder tokens — the privacy pass before
+    * training. A pure narrow regexp transform (same expression as the
+    * gated q_pii_redact); composes into the single pipeline plan.
+    */
+  def redactPii(textCol: String = "text"): CorpusPipeline =
+    next(df.withColumn(textCol,
+      graft.queries.TextQueries.redactPiiCol(col(textCol))))
+
+  /** Inter-document boilerplate filter: drop documents whose fraction of
+    * corpus-frequent 3-gram shingles (document frequency >= max(4, 0.8%
+    * of docs)) exceeds `maxFrac` — template instances that within-doc
+    * signals miss. Same semantics as the gated q_boilerplate; the hot
+    * set broadcasts, so the stage adds one df aggregation plus a
+    * broadcast join, never a second corpus-wide shuffle.
+    */
+  def filterBoilerplate(
+      maxFrac: Double = 0.5, textCol: String = "text"): CorpusPipeline = {
+    val shingled = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_tk"))
+      .filter(size(col("_tk")) >= 3)
+      .select(col(idCol), explode(array_distinct(expr(
+        "transform(sequence(0, size(_tk)-3), i -> concat_ws(' ', _tk[i], _tk[i+1], _tk[i+2]))")))
+        .as("_shingle"))
+    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    val hot = shingled.groupBy(col("_shingle")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("_df") >= greatest(lit(4L), ceil(col("_n_docs") * 0.008)))
+      .select(col("_shingle"), lit(1L).as("_hot"))
+    val dropIds = shingled.join(broadcast(hot), Seq("_shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(round(coalesce(sum(col("_hot")), lit(0L)).cast("double")
+        / count(lit(1)), 6).as("_frac"))
+      .filter(col("_frac") > maxFrac)
+      .select(col(idCol))
+    next(df.join(dropIds, Seq(idCol), "left_anti"))
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates decided by
     * a portable md5 hash of the id — a plain filter, reproducible across
     * engines and partitionings.
@@ -169,4 +217,10 @@ object CorpusPipeline {
     * big to broadcast; same output, skew-safe on Zipfian shingle keys.
     */
   case object Salted extends DecontaminateStrategy
+  /** Bloom semi-join reduction ([[graft.functions.Bloom]]) — also for a
+    * benchmark too big to broadcast, attacking shuffle volume instead of
+    * skew: an 8 KiB filter drops non-matching corpus shingles before the
+    * exchange; the exact join removes false positives. Same output.
+    */
+  case object Bloom extends DecontaminateStrategy
 }

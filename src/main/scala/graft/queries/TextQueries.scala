@@ -630,6 +630,18 @@ object TextQueries {
   private val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
   private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** The redaction transform itself, shared with CorpusPipeline.redactPii
+    * (order matters: emails first — the later patterns can't create or
+    * destroy earlier matches, and placeholders contain no redactable
+    * text).
+    */
+  private[graft] def redactPiiCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
   def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
     val planted = documents(spark, dir).withColumn("txt",
       concat(col("text"),
@@ -644,11 +656,7 @@ object TextQueries {
           concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
             lit("."), (floor(col("doc_id") / 7).cast("long") % 256).cast("string")))
           .otherwise(lit(""))))
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("txt"), lit(EmailRe), lit("<EMAIL>")),
-        lit(PhoneRe), lit("<PHONE>")),
-      lit(Ipv4Re), lit("<IP>"))
+    val redacted = redactPiiCol(col("txt"))
     planted.select(
       col("doc_id"),
       regexp_count(col("txt"), lit(EmailRe)).as("n_email"),

@@ -63,7 +63,37 @@ class CorpusPipelineSpec extends SparkSpec {
         .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
     val broadcastKept = keptIds(CorpusPipeline.Broadcast)
     assert(keptIds(CorpusPipeline.Salted) == broadcastKept)
+    assert(keptIds(CorpusPipeline.Bloom) == broadcastKept)
     assert(broadcastKept.nonEmpty)
+  }
+
+  test("redactPii scrubs known PII forms and leaves clean text untouched") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "mail me at jo.doe+x@some-host.org today"),
+      (2L, "call 555-867-5309 or 555.867.5309 now"),
+      (3L, "server at 192.168.0.1 responded"),
+      (4L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline(in).redactPii().df
+      .orderBy(col("doc_id")).collect().map(_.getString(1))
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "call <PHONE> or <PHONE> now")
+    assert(got(2) == "server at <IP> responded")
+    assert(got(3) == "nothing sensitive here at all")
+  }
+
+  test("filterBoilerplate keeps exactly q_boilerplate's keep=1 ids") {
+    // sf0.01: the corpus where the boilerplate signal separates (all
+    // docs have >= 3 tokens there, so stage and query cover the same set)
+    val d01 = Tables.documents(spark, "/root/testdata/sf0.01")
+    val kept = CorpusPipeline(d01).filterBoilerplate().df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val expect = graft.queries.TextQueries.qBoilerplate(spark, "/root/testdata/sf0.01")
+      .filter(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < d01.count())
   }
 
   test("dedupNearIncremental drops exactly dedupNear over the gated batch-vs-index pairs") {

@@ -78,11 +78,98 @@ object FunctionQueries {
       |       coalesce(nullif(event_type, ''), 'unknown') AS type_or_unknown
       |FROM events WHERE event_id % 100 = 1 ORDER BY 1""".stripMargin
 
+  // --- semi-structured columns: JSON extraction without a UDF ---
+  // Real event streams carry a JSON props blob; the engine must reach
+  // into it relationally. Both extraction forms are exercised — schema-
+  // on-read `from_json` (typed struct, the 100 TB path: one parse per
+  // row, pushes through codegen) and path-based `get_json_object` — and
+  // proven equal in-row before aggregating per extracted key bucket.
+  // DECIMAL-routed value sums keep the aggregate order-insensitive.
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", from_json(col("props"), StructType(
+        Seq(StructField("k", IntegerType)))).getField("k"))
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
+      // both extraction forms must agree row-by-row; a mismatch poisons
+      // the aggregate rather than silently picking one form
+      .withColumn("k", when(col("k") === col("k_path"), col("k")))
+      .groupBy((col("k") % 10).cast("int").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  val qJsonExtractOracle: String =
+    """SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+      |       count(*) AS n_events,
+      |       round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |         AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- pivot: long-to-wide reshaping ---
+  // The reporting reshape (per-source doc counts fanned across language
+  // columns). Spark's pivot with an EXPLICIT value list compiles to one
+  // hash aggregate of conditional counts — no extra shuffle vs the
+  // groupBy, and the explicit list is the 100 TB form (an unlisted pivot
+  // first runs a distinct scan to discover values). The oracle states
+  // the same computation as conditional sums.
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def qPivotLang(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs)
+      .select(col("source") +: PivotLangs.map(l => col(l).as(s"n_$l")): _*)
+      .orderBy(col("source"))
+
+  val qPivotLangOracle: String = {
+    val cols = PivotLangs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+      .mkString(",\n      |       ")
+    s"""SELECT source,
+      |       $cols
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- CUBE: all grouping-set combinations in one pass ---
+  // Complements the existing ROLLUP query: CUBE(event_type, weekday)
+  // emits every subset's aggregate with one shuffle (Catalyst expands
+  // the grouping sets map-side). grouping() flags disambiguate real
+  // NULLs from super-aggregate rows — the portable way to read cubes.
+  def qCubeTypeDay(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("weekday", date_format(col("ts"), "EEEE"))
+      .cube(col("event_type"), col("weekday"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("weekday")).cast("int").as("g_day"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("g_type"), col("g_day"), col("event_type"), col("weekday"))
+
+  val qCubeTypeDayOracle: String =
+    """SELECT event_type,
+      |       dayname(ts) AS weekday,
+      |       CAST(GROUPING(event_type) AS INT) AS g_type,
+      |       CAST(GROUPING(dayname(ts)) AS INT) AS g_day,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY CUBE(event_type, dayname(ts))
+      |ORDER BY g_type, g_day, event_type, weekday""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scalar_datetime" -> (qScalarDatetime _),
-    "q_scalar_string" -> (qScalarString _))
+    "q_scalar_string" -> (qScalarString _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_pivot_lang" -> (qPivotLang _),
+    "q_cube_type_day" -> (qCubeTypeDay _))
 
   def oracles: Map[String, String] = Map(
     "q_scalar_datetime" -> qScalarDatetimeOracle,
-    "q_scalar_string" -> qScalarStringOracle)
+    "q_scalar_string" -> qScalarStringOracle,
+    "q_json_extract" -> qJsonExtractOracle,
+    "q_pivot_lang" -> qPivotLangOracle,
+    "q_cube_type_day" -> qCubeTypeDayOracle)
 }

@@ -487,6 +487,50 @@ object RelationalQueries {
       |GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), o_orderpriority)
       |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin
 
+  // --- bucketized range join: interval containment without a BNLJ ---
+  // Each purchase joins the same-user daily activity window (min..max ts
+  // of that user's click/view events) containing it. The naive
+  // `BETWEEN` formulation leans on the equi-key to avoid a nested loop;
+  // [[graft.ops.RangeJoin]] instead buckets time (1 h bins) so the join
+  // is a pure (user, bucket) hash equi-join with the exact containment
+  // predicate applied after — the plan shape that survives low-
+  // selectivity keys and 100 TB fact sides. The oracle states the plain
+  // inequality join; equality proves the binning loses nothing.
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val intervals = ev
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("w_date"))
+      .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.RangeJoin.containmentJoin(
+        intervals, probes, key = "user_id",
+        startCol = "w_start", endCol = "w_end", tsCol = "ts",
+        bucketWidthSec = 3600L)
+      .select(col("event_id"), col("user_id"), col("w_date"),
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinOracle: String =
+    """WITH w AS (
+      |  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS w_date,
+      |         min(ts) AS w_start, max(ts) AS w_end
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.event_id, p.user_id, w.w_date,
+      |       strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+      |       strftime(w.w_end, '%Y-%m-%d %H:%M:%S') AS w_end
+      |FROM events p
+      |JOIN w ON p.user_id = w.user_id
+      |      AND p.ts >= w.w_start AND p.ts <= w.w_end
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -510,7 +554,8 @@ object RelationalQueries {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_quantiles" -> (qQuantiles _),
-    "q_rollup_counts" -> (qRollupCounts _))
+    "q_rollup_counts" -> (qRollupCounts _),
+    "q_range_join" -> (qRangeJoin _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -535,5 +580,6 @@ object RelationalQueries {
     "q_topk_per_group" -> qTopkPerGroupOracle,
     "q_distinct_users" -> qDistinctUsersOracle,
     "q_quantiles" -> qQuantilesOracle,
-    "q_rollup_counts" -> qRollupCountsOracle)
+    "q_rollup_counts" -> qRollupCountsOracle,
+    "q_range_join" -> qRangeJoinOracle)
 }

@@ -174,6 +174,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("range join: bucketized containment stays a hash equi-join, no nested loop") {
+    val plan = simple(RelationalQueries.qRangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the join carries the bucket in its equi-keys; containment is a
+    // post-join filter, not a join condition driving a nested loop
+    assert(plan.contains("_bucket"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

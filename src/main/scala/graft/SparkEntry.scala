@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{FunctionQueries, IncrementalDedupQueries,
-  MultimodalQueries, PipelineQueries, PqQueries, RelationalQueries,
-  SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
+import graft.queries.{CorpusOpsQueries, FunctionQueries,
+  IncrementalDedupQueries, MultimodalQueries, PipelineQueries, PqQueries,
+  RelationalQueries, SimilarityQueries, SketchDedupQueries,
+  StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +29,8 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++
       SketchDedupQueries.queries ++ IncrementalDedupQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ PqQueries.queries
+      PipelineQueries.queries ++ PqQueries.queries ++
+      CorpusOpsQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +40,6 @@ object SparkEntry {
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       SketchDedupQueries.oracles ++ IncrementalDedupQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
-      PipelineQueries.oracles ++ PqQueries.oracles
+      PipelineQueries.oracles ++ PqQueries.oracles ++
+      CorpusOpsQueries.oracles
 }

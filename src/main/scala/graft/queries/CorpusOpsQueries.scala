@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Corpus-preparation operators beyond dedup/decontamination: RAG-style
+  * chunking, ExactSubstr-style repeated-span removal, vocabulary pruning
+  * with OOV accounting, per-doc contamination fractions, importance
+  * sampling, and per-label embedding centroids.
+  *
+  * Every op keeps the 100 TB shape: per-row feature extraction is a
+  * narrow codegen'd projection; the only shuffles are single
+  * hash-partitioned aggregations/joins on high-cardinality keys, and
+  * every corpus-level side input (vocabulary, benchmark shingle set,
+  * duplicated-shingle set) is a bounded broadcast.
+  */
+object CorpusOpsQueries {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  // --- RAG-style chunking with overlap ---
+  // Fixed-size token windows (C=64) with stride S=48 (16-token overlap),
+  // the standard retrieval-corpus prep. Chunk count per doc is
+  // k = 1 + max(0, ceil((n-C)/S)) computed with non-negative integer
+  // arithmetic only — Spark's integer division truncates toward zero
+  // while DuckDB's `//` floors, so negative intermediates are clamped
+  // BEFORE dividing to keep both engines bit-identical.
+  // Per-row explode, zero shuffles; chunk text is hashed so the output
+  // stays narrow (the driver gate compares hashes, a real pipeline
+  // would write the text column).
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val c = ChunkSize; val s = ChunkStride
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("k", expr(s"1 + greatest(0, greatest(0, n - $c + ${s - 1}) div $s)").cast("int"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("k") - 1)).as("chunk_id"))
+      .withColumn("start_tok", lit(1) + col("chunk_id") * s)
+      .withColumn("end_tok", least(col("start_tok") + (c - 1), col("n")))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("start_tok"),
+        col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("tk"), col("start_tok"), col("end_tok") - col("start_tok") + 1)))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val qChunkOverlapOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |), n AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |         1 + greatest(0, greatest(0, len(tk) - 64 + 47) // 48) AS k
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, tk, n, unnest(generate_series(0, k - 1)) AS chunk_id FROM n
+      |), b AS (
+      |  SELECT doc_id, tk, n, chunk_id, 1 + chunk_id * 48 AS start_tok,
+      |         least(1 + chunk_id * 48 + 63, n) AS end_tok
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |       CAST(start_tok AS INT) AS start_tok, CAST(end_tok AS INT) AS end_tok,
+      |       CAST(end_tok - start_tok + 1 AS INT) AS n_chunk_tokens,
+      |       md5(array_to_string(tk[start_tok:end_tok], ' ')) AS chunk_hash
+      |FROM b ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --- ExactSubstr-style repeated-span removal ---
+  // Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  // Better") removes substrings duplicated elsewhere in the corpus. The
+  // suffix-array construction doesn't distribute naturally; the standard
+  // cluster-scale approximation is n-gram granularity: a 5-token shingle
+  // occurring more than once corpus-wide marks all 5 covered token
+  // positions for removal, and the doc is rebuilt from the surviving
+  // positions. Shape: shingle explode → one count shuffle → duplicated
+  // set joins back (shingle-keyed equi-join) → position explode bounds
+  // the fan-out at 5× the duplicated occurrences (NOT 5× the corpus) →
+  // per-doc rebuild is one ordered aggregation. Every step is linear in
+  // corpus size; nothing is quadratic in document count.
+  private val SpanN = 5
+
+  def qExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+    val n = SpanN
+    val t = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("nt", size(col("tk")))
+    // (doc_id, pos, shingle) for docs long enough to have one
+    val sh = t.filter(col("nt") >= n)
+      .select(col("doc_id"), col("nt"),
+        posexplode(expr(
+          s"transform(sequence(1, nt - ${n - 1}), i -> concat_ws(' ', slice(tk, i, $n)))"))
+          .as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
+    val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("sh"))
+    // token positions covered by a duplicated shingle
+    val cov = sh.join(dup, "sh")
+      .select(col("doc_id").as("cdoc"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val dupCnt = cov.groupBy(col("cdoc").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    // rebuild: surviving tokens in order (ordered agg via sorted structs)
+    val tox = t.select(col("doc_id"), col("nt"),
+        posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val clean = tox.join(cov,
+        col("doc_id") === col("cdoc") && col("p") === col("tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
+        .as("clean_text"))
+    t.select(col("doc_id"), col("nt"))
+      .join(dupCnt, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("nt").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("nt"), 6)
+          .as("dup_frac"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qExactSubstrOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+      |         len(string_split_regex(trim(text), '\s+')) AS nt
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(generate_series(1, nt - 4)) AS pos, tk
+      |  FROM t WHERE nt >= 5
+      |), sh2 AS (
+      |  SELECT doc_id, pos, array_to_string(tk[pos:pos+4], ' ') AS sh FROM sh
+      |), dup AS (
+      |  SELECT sh FROM (SELECT sh, count(*) AS c FROM sh2 GROUP BY 1) WHERE c > 1
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, tp FROM (
+      |    SELECT s.doc_id, unnest(generate_series(s.pos, s.pos + 4)) AS tp
+      |    FROM sh2 s JOIN dup USING (sh))
+      |), dc AS (
+      |  SELECT doc_id, count(*) AS nd FROM cov GROUP BY 1
+      |), tox AS (
+      |  SELECT doc_id, unnest(generate_series(1, nt)) AS p, tk FROM t
+      |), tox2 AS (
+      |  SELECT doc_id, p, tk[p] AS tok FROM tox
+      |), clean AS (
+      |  SELECT x.doc_id, string_agg(x.tok, ' ' ORDER BY x.p) AS ct
+      |  FROM tox2 x
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = x.doc_id AND c.tp = x.p)
+      |  GROUP BY 1
+      |)
+      |SELECT t.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(dc.nd, 0) AS BIGINT) AS n_dup_tokens,
+      |       round(CAST(coalesce(dc.nd, 0) AS DOUBLE) / nt, 6) AS dup_frac,
+      |       md5(coalesce(clean.ct, '')) AS clean_hash
+      |FROM t LEFT JOIN dc USING (doc_id) LEFT JOIN clean USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- vocabulary pruning + OOV accounting ---
+  // Build the retained vocabulary IN-PLAN: the top-V tokens by corpus
+  // frequency (tiebreak: token asc, so the cut is total-ordered and
+  // engine-independent), then score every document's out-of-vocabulary
+  // token fraction — the signal tokenizer work uses to size vocabularies
+  // and find noise docs. The vocabulary is two narrow aggregations
+  // (token count → rank) and broadcasts; scoring is one explode + one
+  // broadcast semi-join + one per-doc count. No corpus-sized shuffle
+  // beyond the token count itself.
+  private val VocabTopV = 20
+
+  def qVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val tox = documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // top-V as orderBy+limit → TakeOrderedAndProject: each task keeps a
+    // V-row heap, the driver merges — no single-partition window even
+    // when the distinct vocabulary is millions of tokens
+    val vocab = tox.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(VocabTopV)
+      .select(col("tok"))
+    val oov = tox.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).cast("long").as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qVocabOovOracle: String =
+    """WITH tox AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+      |    FROM tox GROUP BY tok)
+      |  WHERE rk <= 20
+      |), oov AS (
+      |  SELECT doc_id, count(*) AS n_oov FROM tox
+      |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY 1
+      |), n AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT n.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+      |       round(CAST(coalesce(n_oov, 0) AS DOUBLE) / n_tokens, 6) AS oov_rate
+      |FROM n LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // --- per-doc contamination fraction ---
+  // The graded companion to the binary decontaminate gate: for every
+  // training doc, the fraction of its distinct 3-gram shingles that
+  // appear anywhere in the benchmark slice (doc_id % 97 == 0, same slice
+  // as q_decontaminate). Pipelines threshold this at different levels
+  // for different evals; reporting the fraction keeps that policy
+  // decision out of the engine. Benchmark shingle set is distinct-ed and
+  // broadcast (eval suites are bounded); scoring is a per-doc count —
+  // the corpus-side shingles never shuffle.
+  def qContamFraction(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val benchSet = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val train = shingled.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(benchSet.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 6).as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qContamFractionOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), bench AS (
+      |  SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0
+      |)
+      |SELECT s.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_hit,
+      |       round(CAST(count(b.shingle) AS DOUBLE) / count(*), 6) AS contam_frac
+      |FROM s LEFT JOIN bench b USING (shingle)
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- importance sampling by a per-row acceptance probability ---
+  // Stratified sampling (q_sample_stratified) keeps a fixed rate per
+  // group; importance sampling keeps each row with its OWN probability —
+  // here min(1, n_chars/400), the "longer docs are likelier kept" shape
+  // quality-weighted corpus subsampling uses. Acceptance is the same
+  // salted-md5 uniform used by the split/sample ops (deterministic,
+  // seed-isolated, portable across engines); the threshold compare is
+  // integer-exact (p scaled by 10000) so no float boundary can flip a
+  // row between engines. Pure per-row filter: zero shuffles.
+  def qImportanceSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('imp7:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 10000"))
+      .withColumn("thresh", least(lit(10000L), col("n_chars") * 25))
+      .filter(col("bucket") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"), col("thresh"))
+      .orderBy(col("doc_id"))
+
+  val qImportanceSampleOracle: String =
+    """SELECT doc_id, lang, n_chars,
+      |       CAST('0x' || substr(md5('imp7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket,
+      |       least(10000, n_chars * 25) AS thresh
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5('imp7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+      |      < least(10000, n_chars * 25)
+      |ORDER BY 1""".stripMargin
+
+  // --- per-label embedding centroids ---
+  // Class centroids over the embedding table (the building block behind
+  // SemDeDup clustering, diversity scoring, and nearest-class-mean
+  // classification), computed with the same order-insensitive decimal
+  // arithmetic as the IVF trainer: coordinates round to 6 decimals, sum
+  // as DECIMAL(28,6) (exact, shuffle-order-proof), divide once. One
+  // map-side-combinable groupBy on (label, dim) — the shuffle carries
+  // 64·L partial cells per mapper regardless of corpus size. Output is
+  // one row per centroid cell, so the gate pins every coordinate.
+  def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        sum(expr("CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(28,6))")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        col("n").as("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
+  val qLabelCentroidsOracle: String =
+    """WITH x AS (
+      |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim, embedding
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |       round(CAST(sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |             / count(*), 6) AS mean,
+      |       count(*) AS n_vecs
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> (qChunkOverlap _),
+    "q_exact_substr" -> (qExactSubstr _),
+    "q_vocab_oov" -> (qVocabOov _),
+    "q_contam_fraction" -> (qContamFraction _),
+    "q_importance_sample" -> (qImportanceSample _),
+    "q_label_centroids" -> (qLabelCentroids _))
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk_overlap" -> qChunkOverlapOracle,
+    "q_exact_substr" -> qExactSubstrOracle,
+    "q_vocab_oov" -> qVocabOovOracle,
+    "q_contam_fraction" -> qContamFractionOracle,
+    "q_importance_sample" -> qImportanceSampleOracle,
+    "q_label_centroids" -> qLabelCentroidsOracle)
+}

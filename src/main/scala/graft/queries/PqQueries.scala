@@ -113,6 +113,77 @@ object PqQueries {
       .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
   }
 
+  /** IVF-PQ: the FAISS IVFPQ architecture — a coarse quantizer prunes the
+    * candidate set to the query's `nprobe` inverted lists, and PQ codes
+    * provide the in-list distances. The two halves already exist
+    * standalone (q_sim_ivf, q_sim_pq_topk); composed, search cost becomes
+    * (corpus/lists × nprobe) LUT lookups instead of a full scan, and
+    * memory per candidate is M bytes instead of the vector — the layout
+    * that serves billion-vector indexes. Coarse centroids here are the
+    * deterministic sample (the trained variant would reuse the IVF
+    * decimal-Lloyd recipe); everything broadcast is bounded (centroids,
+    * probe table, per-query LUT), and the candidate join is
+    * equi-join-only: codes ⋈ lists ⋈ probes ⋈ LUT, no crossed frames.
+    */
+  private val CoarseK = 16
+  private val IvfPqNprobe = 2
+
+  def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val e0 = vectors(spark, dir)
+    val e = e0.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val coarse = e.filter(col("vec_id") < CoarseK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    // index side: top-1 coarse list per vector, map-side max_by collapse
+    // (the crossed frame never reaches a shuffle)
+    val assigned = e.as("a")
+      .join(broadcast(coarse).as("b"), lit(true))
+      .select(col("a.vec_id").as("vec_id"), col("b.cid").as("cid"),
+        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5)
+          .as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cid"))
+    // query side: the nprobe highest-cosine lists, explicit comparator so
+    // the ordering (ccos DESC, cid ASC, NaN-first) matches the oracle
+    val probes = e.filter(col("vec_id") % 400 === 0).as("a")
+      .join(broadcast(coarse).as("b"), lit(true))
+      .select(col("a.vec_id").as("query_id"), col("b.cid").as("cid"),
+        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5)
+          .as("ccos"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("ccos"), col("cid"))).as("cands"))
+      .select(col("query_id"), explode(expr(
+        s"""transform(slice(array_sort(cands, (l, r) -> CASE
+           |  WHEN isnan(l.ccos) AND NOT isnan(r.ccos) THEN -1
+           |  WHEN isnan(r.ccos) AND NOT isnan(l.ccos) THEN 1
+           |  WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
+           |  WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
+           |  ELSE 0 END), 1, $IvfPqNprobe), c -> c.cid)""".stripMargin)).as("pcid"))
+    val cb = codebook(e0)
+    val lut = subspaced(e0.filter(col("vec_id") % 400 === 0))
+      .select(col("vec_id").as("query_id"), col("m"), col("s"))
+      .join(broadcast(cb), "m")
+      .select(col("query_id").as("lq"), col("m").as("lm"), col("k"),
+        round(l2sq(col("s"), col("cw")), 5).as("d"))
+    encoded(e0).as("c")
+      .join(assigned.as("al"), "vec_id")
+      .join(broadcast(probes).as("p"), col("cid") === col("pcid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lut),
+        col("query_id") === col("lq") && col("m") === col("lm") &&
+          col("code") === col("k"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(max(col("cid")).as("list_id"),
+        round(sum(expr("CAST(d AS DECIMAL(18,5))")).cast("double"), 5).as("adist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adist"), col("neighbor_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("list_id"), col("neighbor_id"), col("adist"))
+      .orderBy(col("query_id"), col("adist"), col("neighbor_id"))
+  }
+
   private def unrolledL2(a: String, b: String): String =
     (1 to SubDim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
@@ -161,11 +232,47 @@ object PqQueries {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 3
       |ORDER BY query_id, adist, neighbor_id""".stripMargin
 
+  val qSimIvfPqOracle: String =
+    s"""$commonCtes, coarse AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $CoarseK
+      |), asg AS (
+      |  SELECT e.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 5) DESC, c.cid) AS arn
+      |  FROM e, coarse c
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM asg WHERE arn = 1
+      |), probes AS (
+      |  SELECT vec_id AS query_id, cid FROM asg
+      |  WHERE vec_id % 400 = 0 AND arn <= $IvfPqNprobe
+      |), lut AS (
+      |  SELECT sub.vec_id AS query_id, sub.m, cb.k,
+      |         round(${unrolledL2("sub.s", "cb.cw")}, 5) AS d
+      |  FROM sub JOIN cb ON sub.m = cb.m
+      |  WHERE sub.vec_id % 400 = 0
+      |), cand AS (
+      |  SELECT p.query_id, b.vec_id AS neighbor_id, a2.cid AS list_id, l.d
+      |  FROM (SELECT vec_id, m, code FROM best WHERE rn = 1) b
+      |  JOIN assigned a2 ON b.vec_id = a2.vec_id
+      |  JOIN probes p ON a2.cid = p.cid
+      |  JOIN lut l ON l.query_id = p.query_id AND l.m = b.m AND l.k = b.code
+      |  WHERE b.vec_id <> p.query_id
+      |), ad AS (
+      |  SELECT query_id, neighbor_id, max(list_id) AS list_id,
+      |         round(CAST(sum(CAST(d AS DECIMAL(18,5))) AS DOUBLE), 5) AS adist
+      |  FROM cand GROUP BY 1, 2
+      |)
+      |SELECT query_id, list_id, neighbor_id, adist FROM ad
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 3
+      |ORDER BY query_id, adist, neighbor_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pq" -> (qEmbedPq _),
-    "q_sim_pq_topk" -> (qSimPqTopk _))
+    "q_sim_pq_topk" -> (qSimPqTopk _),
+    "q_sim_ivfpq" -> (qSimIvfPq _))
 
   def oracles: Map[String, String] = Map(
     "q_embed_pq" -> qEmbedPqOracle,
-    "q_sim_pq_topk" -> qSimPqTopkOracle)
+    "q_sim_pq_topk" -> qSimPqTopkOracle,
+    "q_sim_ivfpq" -> qSimIvfPqOracle)
 }

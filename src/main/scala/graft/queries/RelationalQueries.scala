@@ -531,6 +531,66 @@ object RelationalQueries {
       |WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
 
+  // --- outer-join distribution (TPC-H Q13 shape) ---
+  // Orders-per-customer histogram INCLUDING zero-order customers — the
+  // canonical left-outer-join + double aggregation: the outer join is
+  // what a semi/inner join can't express (rows with no match must
+  // survive with count 0). Shape at scale: one shuffle on o_custkey with
+  // map-side partial counts, an outer join against the (smaller)
+  // customer side, and a second agg over at most max(c_count) rows.
+  def qOuterJoinDist(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir)
+      .join(
+        orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qOuterJoinDistOracle: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- analytic window-function coverage ---
+  // lag/lead/ntile/percent_rank/moving-average in one pass over a single
+  // (user, time) window ordering — one shuffle on user_id serves all
+  // five functions (Spark folds same-spec window functions into one
+  // Window exec). The (ts, event_id) ordering is total, so ntile and
+  // percent_rank are deterministic; the 3-row moving average sums in
+  // frame order in both engines and rounds to 6 decimals.
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).as("mov_avg3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qWindowFuncsOracle: String =
+    """SELECT user_id, event_id, value,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       lead(value, 1) OVER w AS next_value,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+      |FROM events
+      |WHERE user_id % 20 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -555,7 +615,9 @@ object RelationalQueries {
     "q_distinct_users" -> (qDistinctUsers _),
     "q_quantiles" -> (qQuantiles _),
     "q_rollup_counts" -> (qRollupCounts _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_outer_join_dist" -> (qOuterJoinDist _),
+    "q_window_funcs" -> (qWindowFuncs _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -581,5 +643,7 @@ object RelationalQueries {
     "q_distinct_users" -> qDistinctUsersOracle,
     "q_quantiles" -> qQuantilesOracle,
     "q_rollup_counts" -> qRollupCountsOracle,
-    "q_range_join" -> qRangeJoinOracle)
+    "q_range_join" -> qRangeJoinOracle,
+    "q_outer_join_dist" -> qOuterJoinDistOracle,
+    "q_window_funcs" -> qWindowFuncsOracle)
 }

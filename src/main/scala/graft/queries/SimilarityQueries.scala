@@ -493,13 +493,58 @@ object SimilarityQueries {
        |FROM e ORDER BY 1""".stripMargin
   }
 
+  // --- hard-negative mining for contrastive training ---
+  // For each anchor (the bounded query batch), the top-5 highest-cosine
+  // vectors with a DIFFERENT label — the "confusable but wrong" examples
+  // contrastive objectives need. The anchor batch broadcasts; candidates
+  // stream past it in one scan; per-anchor top-5 goes through
+  // [[graft.ops.TopK]]'s typed partial-top-k Aggregator, so the shuffle
+  // carries at most 5 rows per anchor instead of the full candidate set
+  // (a window rank here would sort every candidate row — the difference
+  // between k·|anchors| and |corpus|·|anchors| rows through the shuffle
+  // at 100 TB).
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "label", "v", "norm")
+    val anchors = e.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val cand = e.as("b").join(broadcast(anchors).as("a"),
+        col("a.qlabel") =!= col("b.label"))
+      .select(col("a.query_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.qv"), col("b.v")) / (col("a.qnorm") * col("b.norm")), 5)
+          .as("cosine"))
+    graft.ops.TopK.topKPerGroup(cand, "query_id", "cosine", "neighbor_id", 5)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qHardNegativesOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+      |  FROM e a JOIN e b ON a.label <> b.label
+      |  WHERE a.vec_id % 400 = 0
+      |)
+      |SELECT query_id,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+      |       neighbor_id, cosine
+      |FROM c
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_sim_lsh_bucketed" -> (qSimLshBucketed _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_semdedup" -> (qSemDedup _),
-    "q_embed_project" -> (qEmbedProject _))
+    "q_embed_project" -> (qEmbedProject _),
+    "q_hard_negatives" -> (qHardNegatives _))
 
   def oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,
@@ -507,5 +552,6 @@ object SimilarityQueries {
     "q_sim_lsh_bucketed" -> qSimLshBucketedOracle,
     "q_sim_ivf" -> qSimIvfOracle,
     "q_semdedup" -> qSemDedupOracle,
-    "q_embed_project" -> qEmbedProjectOracle)
+    "q_embed_project" -> qEmbedProjectOracle,
+    "q_hard_negatives" -> qHardNegativesOracle)
 }

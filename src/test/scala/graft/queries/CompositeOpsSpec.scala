@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+/** Cross-query consistency pins for the composed round-6 operators:
+  * IVF-PQ must agree with the full PQ-ADC scan on everything it returns,
+  * hard negatives must respect the label constraint and true ordering,
+  * and the outer-join distribution must conserve counts.
+  */
+class CompositeOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("IVF-PQ distances agree with the full ADC scan; pruning only prunes") {
+    // full-scan ADC pairs (no IVF pruning): the distance ground truth
+    val full = PqQueries.qSimPqTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = PqQueries.qSimIvfPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    // any pair IVF-PQ returns that the full top-3 also returns must carry
+    // the IDENTICAL ADC distance (same codes, same LUT — pruning must not
+    // change arithmetic)
+    val overlap = ivfpq.filter { case (q, n, _) => full.contains((q, n)) }
+    assert(overlap.nonEmpty, "probe lists should retain some true ADC top-3")
+    overlap.foreach { case (q, n, d) => assert(d == full((q, n)), s"($q,$n)") }
+  }
+
+  test("hard negatives: label constraint and true top-k ordering hold") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SimilarityQueries.qHardNegatives(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    for ((q, _, n, _) <- out) assert(labels(q) != labels(n), s"$q vs $n share a label")
+    // ranks are dense 1..5 per anchor and cosine is non-increasing in rank
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.size))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"anchor $q not sorted")
+        case _ =>
+      }
+    }
+  }
+
+  test("outer-join distribution conserves customers and orders") {
+    val out = RelationalQueries.qOuterJoinDist(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(out.map(_._2).sum == nCust, "every customer lands in one bucket")
+    assert(out.map { case (c, d) => c * d }.sum == nOrd,
+      "order counts are conserved across the histogram")
+    assert(out.exists(_._1 == 0L), "zero-order customers only survive an OUTER join")
+  }
+}

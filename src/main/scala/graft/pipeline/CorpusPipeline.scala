@@ -180,6 +180,32 @@ final class CorpusPipeline private (
     next(df.join(dropIds, Seq(idCol), "left_anti"))
   }
 
+  /** ExactSubstr-style repeated-span removal: rewrite each document with
+    * the token positions covered by corpus-duplicated `n`-gram spans
+    * removed, dropping documents whose every token was duplicated. Same
+    * semantics as the gated q_exact_substr
+    * ([[graft.queries.CorpusOpsQueries.repeatedSpanClean]]); unlike the
+    * id-dropping dedup stages, this REWRITES surviving text, so it runs
+    * before fingerprint-based stages that should see the cleaned corpus.
+    */
+  def removeRepeatedSpans(n: Int = 5, textCol: String = "text"): CorpusPipeline = {
+    val cleaned = graft.queries.CorpusOpsQueries
+      .repeatedSpanClean(df, idCol, textCol, n)
+      .select(col(idCol), col("clean_text"))
+      .filter(length(col("clean_text")) > 0)
+    next(df.drop(textCol).join(cleaned, Seq(idCol))
+      .withColumnRenamed("clean_text", textCol))
+  }
+
+  /** Terminal transform: re-grain the corpus into overlapping retrieval
+    * chunks — (id, chunk_id, start_tok, end_tok, n_chunk_tokens,
+    * chunk_text). Terminal because the output granularity is chunks, not
+    * documents (same semantics as the gated q_chunk_overlap).
+    */
+  def chunks(size: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame =
+    graft.queries.CorpusOpsQueries.chunks(df, idCol, textCol, size, stride)
+
   /** Deterministic stratified sampling: per-stratum keep rates decided by
     * a portable md5 hash of the id — a plain filter, reproducible across
     * engines and partitionings.

@@ -34,27 +34,37 @@ object CorpusOpsQueries {
   private val ChunkSize = 64
   private val ChunkStride = 48
 
-  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val c = ChunkSize; val s = ChunkStride
-    documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("n", size(col("tk")))
-      .withColumn("k", expr(s"1 + greatest(0, greatest(0, n - $c + ${s - 1}) div $s)").cast("int"))
-      .select(col("doc_id"), col("tk"), col("n"),
-        explode(sequence(lit(0), col("k") - 1)).as("chunk_id"))
+  /** Reusable chunking core over arbitrary docs:
+    * (idCol, chunk_id, start_tok, end_tok, n_chunk_tokens, chunk_text).
+    */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      size_ : Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
+    val c = size_; val s = stride
+    docs
+      .select(col(idCol), toks(col(textCol)).as("_tk"))
+      .withColumn("_n", size(col("_tk")))
+      .withColumn("_k",
+        expr(s"1 + greatest(0, greatest(0, _n - $c + ${s - 1}) div $s)").cast("int"))
+      .select(col(idCol), col("_tk"), col("_n"),
+        explode(sequence(lit(0), col("_k") - 1)).as("chunk_id"))
       .withColumn("start_tok", lit(1) + col("chunk_id") * s)
-      .withColumn("end_tok", least(col("start_tok") + (c - 1), col("n")))
+      .withColumn("end_tok", least(col("start_tok") + (c - 1), col("_n")))
       .select(
-        col("doc_id"),
+        col(idCol),
         col("chunk_id"),
         col("start_tok"),
         col("end_tok"),
         (col("end_tok") - col("start_tok") + 1).as("n_chunk_tokens"),
-        md5(concat_ws(" ",
-          slice(col("tk"), col("start_tok"), col("end_tok") - col("start_tok") + 1)))
-          .as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+        concat_ws(" ",
+          slice(col("_tk"), col("start_tok"), col("end_tok") - col("start_tok") + 1))
+          .as("chunk_text"))
   }
+
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunks(documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("end_tok"),
+        col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
 
   val qChunkOverlapOracle: String =
     """WITH t AS (
@@ -90,10 +100,15 @@ object CorpusOpsQueries {
   // corpus size; nothing is quadratic in document count.
   private val SpanN = 5
 
-  def qExactSubstr(spark: SparkSession, dir: String): DataFrame = {
-    val n = SpanN
-    val t = documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+  /** Reusable repeated-span-removal core over arbitrary docs:
+    * (idCol, n_tokens, n_dup_tokens, clean_text). `clean_text` is the doc
+    * rebuilt from token positions not covered by any corpus-duplicated
+    * n-gram (empty string when everything was duplicated).
+    */
+  def repeatedSpanClean(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = SpanN): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("tk"))
       .withColumn("nt", size(col("tk")))
     // (doc_id, pos, shingle) for docs long enough to have one
     val sh = t.filter(col("nt") >= n)
@@ -124,14 +139,21 @@ object CorpusOpsQueries {
       .join(dupCnt, Seq("doc_id"), "left")
       .join(clean, Seq("doc_id"), "left")
       .select(
-        col("doc_id"),
+        col("doc_id").as(idCol),
         col("nt").cast("long").as("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
-        round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("nt"), 6)
-          .as("dup_frac"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
-      .orderBy(col("doc_id"))
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  def qExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpanClean(documents(spark, dir), "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_dup_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6).as("dup_frac"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
 
   val qExactSubstrOracle: String =
     """WITH t AS (

@@ -127,6 +127,30 @@ class CorpusPipelineSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(lake).getParent)
   }
 
+  test("removeRepeatedSpans rewrites text exactly as q_exact_substr's clean hashes") {
+    val got = CorpusPipeline(docs).removeRepeatedSpans().df
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = graft.queries.CorpusOpsQueries.qExactSubstr(spark, sf)
+      .select(col("doc_id"), col("clean_hash"), col("n_tokens"), col("n_dup_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the stage keeps exactly the docs with a non-empty rebuild, with the
+    // gated query's clean text
+    val nonEmpty = expect.filter { case (_, _, n, d) => d < n }
+    assert(got.keySet == nonEmpty.map(_._1).toSet)
+    nonEmpty.foreach { case (id, h, _, _) => assert(got(id) == h, s"doc $id") }
+  }
+
+  test("chunks re-grains documents exactly as q_chunk_overlap") {
+    val got = CorpusPipeline(docs).chunks()
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val expect = graft.queries.CorpusOpsQueries.qChunkOverlap(spark, sf)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("the composed chain runs as one plan with monotone row accounting") {
     val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
       .select(col("doc_a"), col("doc_b"))

@@ -360,13 +360,79 @@ object StreamingQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_bands
        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming ingest decontamination: documents flowing in are shingled
+    * in-flight and checked against the STATIC benchmark shingle set via a
+    * stream-static broadcast join — the ingest-gate form of
+    * q_decontaminate (the benchmark is fixed at query start; eval suites
+    * change on release cadence, not per micro-batch). Per-doc hit counts
+    * aggregate in Complete mode; the >= 2 contamination threshold is a
+    * terminal batch filter over the sink, so the stream side stays a
+    * pure join + count. State is one counter per contaminated-candidate
+    * doc, and the broadcast is the bounded benchmark set.
+    */
+  def qStreamContam(spark: SparkSession, dir: String): DataFrame =
+      withStreamConfs(spark) {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def shingled(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val benchSet = shingled(
+        graft.Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
+      .select(col("shingle")).distinct()
+    val src = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val hits = shingled(src.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(benchSet), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val name = "stream_contam_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = hits.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("n_hits") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
+  val qStreamContamOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), bench AS (
+      |  SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0
+      |)
+      |SELECT s.doc_id, count(*) AS n_hits
+      |FROM s JOIN bench USING (shingle)
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_upsert" -> (qStreamUpsert _),
     "q_stream_dedup" -> (qStreamDedup _),
-    "q_stream_neardedup" -> (qStreamNearDedup _))
+    "q_stream_neardedup" -> (qStreamNearDedup _),
+    "q_stream_contam" -> (qStreamContam _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_hourly" -> qStreamHourlyOracle,
@@ -374,5 +440,6 @@ object StreamingQueries {
     "q_stream_join" -> qStreamJoinOracle,
     "q_stream_upsert" -> qStreamUpsertOracle,
     "q_stream_dedup" -> qStreamDedupOracle,
-    "q_stream_neardedup" -> qStreamNearDedupOracle)
+    "q_stream_neardedup" -> qStreamNearDedupOracle,
+    "q_stream_contam" -> qStreamContamOracle)
 }

@@ -48,6 +48,19 @@ class CompositeOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination flags a superset of the pairwise gate") {
+    // q_decontaminate requires >= 2 shingles shared with ONE benchmark
+    // doc; the stream filter counts hits against the benchmark UNION, so
+    // every pairwise-flagged doc must also be stream-flagged (never the
+    // reverse necessarily)
+    val pairwise = PipelineQueries.qDecontaminate(spark, sf)
+      .select(col("train_doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val streamed = StreamingQueries.qStreamContam(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwise.nonEmpty && pairwise.subsetOf(streamed))
+  }
+
   test("outer-join distribution conserves customers and orders") {
     val out = RelationalQueries.qOuterJoinDist(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -351,7 +351,101 @@ object CorpusOpsQueries {
       |       count(*) AS n_vecs
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --- embedding covariance matrix (PCA / whitening prep) ---
+  // The Gram-style pass behind PCA whitening and diversity analysis:
+  // cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j] over all vectors, upper
+  // triangle only. Shape at scale: the double-explode produces d²/2 rows
+  // per vector but the groupBy(i,j) is map-side combinable, so the
+  // shuffle carries at most d²/2 partial cells PER MAPPER — the classic
+  // distributed outer-product accumulation, independent of corpus size.
+  // Per-dim means are a 64-row broadcast. Determinism: cross products
+  // and coordinates round before DECIMAL summation (exact,
+  // order-insensitive), one division + subtraction at the end.
+  def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dims = e
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(round(xi, 6) AS DECIMAL(28,6))")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("i"), round(col("sx").cast("double") / col("n"), 8).as("mean"))
+    val prods = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(round(xi * xj, 8) AS DECIMAL(30,8))")).as("sp"),
+        count(lit(1)).as("n"))
+    prods
+      .join(broadcast(dims.select(col("i"), col("mean").as("mean_i"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("mean").as("mean_j"))), "j")
+      .select(col("i"), col("j"),
+        round(col("sp").cast("double") / col("n") - col("mean_i") * col("mean_j"), 8)
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val qEmbedCovarianceOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), dims AS (
+      |  SELECT i, round(CAST(sum(CAST(round(v[i + 1], 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |           / count(*), 8) AS mean
+      |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di
+      |  GROUP BY 1
+      |), prods AS (
+      |  SELECT i, j,
+      |         sum(CAST(round(v[i + 1] * v[j + 1], 8) AS DECIMAL(30,8))) AS sp,
+      |         count(*) AS n
+      |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di,
+      |          (SELECT unnest(generate_series(0, 63)) AS j) dj
+      |  WHERE i <= j
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.i, p.j,
+      |       round(CAST(sp AS DOUBLE) / n - mi.mean * mj.mean, 8) AS cov
+      |FROM prods p
+      |JOIN dims mi ON p.i = mi.i
+      |JOIN dims mj ON p.j = mj.i
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- per-source corpus report card ---
+  // The summary a data curator reads before a training run: per source,
+  // volume (docs/tokens/chars), shape (mean length, short-doc share),
+  // and language spread. One map-side-combinable groupBy over per-row
+  // codegen'd projections; every derived number is exact integer
+  // arithmetic divided once.
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+          .as("mean_chars"),
+        round(sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("short_frac"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source"))
+
+  val qSourceReportOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars,
+      |       round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 6) AS short_frac,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_source_report" -> (qSourceReport _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_exact_substr" -> (qExactSubstr _),
     "q_vocab_oov" -> (qVocabOov _),
@@ -360,6 +454,8 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_covariance" -> qEmbedCovarianceOracle,
+    "q_source_report" -> qSourceReportOracle,
     "q_chunk_overlap" -> qChunkOverlapOracle,
     "q_exact_substr" -> qExactSubstrOracle,
     "q_vocab_oov" -> qVocabOovOracle,

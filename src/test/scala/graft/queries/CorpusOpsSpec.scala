@@ -119,6 +119,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.size < all, "sub-certain rows are actually subsampled")
   }
 
+  test("covariance: PSD diagonal and driver-side agreement on sample cells") {
+    val cov = CorpusOpsQueries.qEmbedCovariance(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == 65 * 64 / 2, "full upper triangle")
+    // variances are non-negative (within the 1e-8 rounding grid)
+    for (d <- 0 until 64) assert(cov((d, d)) >= -1e-8, s"var($d)")
+    // spot-check two cells against a plain driver-side computation
+    val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    for ((i, j) <- Seq((0, 0), (3, 17))) {
+      val exact = vecs.map(v => v(i) * v(j)).sum / n -
+        (vecs.map(_(i)).sum / n) * (vecs.map(_(j)).sum / n)
+      assert(math.abs(cov((i, j)) - exact) < 1e-5, s"cov($i,$j)")
+    }
+  }
+
+  test("source report is conserved against whole-corpus totals") {
+    val rep = CorpusOpsQueries.qSourceReport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rep.map(_.getLong(1)).sum == docs.count())
+    assert(rep.map(_.getLong(3)).sum ==
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+  }
+
   test("label centroids match a driver-side recomputation on one label") {
     val rows = CorpusOpsQueries.qLabelCentroids(spark, sf)
       .filter(col("label") === 0).collect()

@@ -28,6 +28,12 @@ object ScaleProbe {
     time("dedup_components")(queries.SketchDedupQueries.qDedupComponents(spark, dir).count())
     time("dedup_incremental")(queries.IncrementalDedupQueries.qDedupIncremental(spark, dir).count())
     time("decontaminate")(queries.PipelineQueries.qDecontaminate(spark, dir).count())
+    time("exact_substr")(queries.CorpusOpsQueries.qExactSubstr(spark, dir).count())
+    time("chunk_overlap")(queries.CorpusOpsQueries.qChunkOverlap(spark, dir).count())
+    time("vocab_oov")(queries.CorpusOpsQueries.qVocabOov(spark, dir).count())
+    time("embed_covariance")(queries.CorpusOpsQueries.qEmbedCovariance(spark, dir).count())
+    time("sim_ivfpq")(queries.PqQueries.qSimIvfPq(spark, dir).count())
+    time("hard_negatives")(queries.SimilarityQueries.qHardNegatives(spark, dir).count())
     spark.stop()
   }
 }

@@ -443,7 +443,89 @@ object CorpusOpsQueries {
       |       count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- curriculum quality binning ---
+  // Rank every document by a quality proxy under a TOTAL order (score,
+  // then doc_id — ntile over a partial order is engine-dependent) and
+  // split into deciles; report per-bin volume and score bounds. The
+  // curriculum-learning prep: training orders bins easy→hard, mixture
+  // weights re-weight per bin. One global sort (Spark range-partitions
+  // it; no single-task window at scale because ntile over an UNPARTITIONED
+  // window is explicitly the accepted cost here — deciles need a global
+  // rank; at 100 TB the same op runs on a pre-aggregated (score, count)
+  // histogram instead, documented divergence).
+  def qQualityBins(spark: SparkSession, dir: String): DataFrame = {
+    val scored = documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / size(col("tk")), 6).as("score"))
+    scored
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("score_min"),
+        max(col("score")).as("score_max"))
+      .orderBy(col("bin"))
+  }
+
+  val qQualityBinsOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |               / len(string_split_regex(trim(text), '\s+')), 6) AS score
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, score, CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INT) AS bin
+      |  FROM s
+      |)
+      |SELECT bin, count(*) AS n_docs, min(score) AS score_min, max(score) AS score_max
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- per-group z-score normalization ---
+  // Standardize a per-doc metric within its language group (the
+  // cross-lingual comparability transform): mean and variance from
+  // decimal-exact sums of x and x² (one map-side-combinable groupBy, a
+  // bounded broadcast back), z computed per-row. Population variance;
+  // all rounding happens at fixed points so both engines agree
+  // bit-for-bit.
+  def qZscoreNorm(spark: SparkSession, dir: String): DataFrame = {
+    val stats = documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n_chars").cast("decimal(28,0)")).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("lang"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt(
+          col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))), 6)
+          .as("sd"))
+    documents(spark, dir)
+      .join(broadcast(stats), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round((col("n_chars").cast("double") - col("mean")) / col("sd"), 6).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qZscoreNormOracle: String =
+    """WITH st AS (
+      |  SELECT lang,
+      |         round(CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / count(*), 6) AS mean,
+      |         round(sqrt(CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+      |               - (CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / count(*))
+      |                 * (CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / count(*))), 6) AS sd
+      |  FROM documents GROUP BY 1
+      |)
+      |SELECT doc_id, d.lang, n_chars,
+      |       round((CAST(n_chars AS DOUBLE) - mean) / sd, 6) AS z
+      |FROM documents d JOIN st USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_bins" -> (qQualityBins _),
+    "q_zscore_norm" -> (qZscoreNorm _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_source_report" -> (qSourceReport _),
     "q_chunk_overlap" -> (qChunkOverlap _),
@@ -454,6 +536,8 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_quality_bins" -> qQualityBinsOracle,
+    "q_zscore_norm" -> qZscoreNormOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,
     "q_source_report" -> qSourceReportOracle,
     "q_chunk_overlap" -> qChunkOverlapOracle,

@@ -183,6 +183,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_bucket"))
   }
 
+  test("contamination fraction: benchmark set broadcasts, corpus never re-shuffles for scoring") {
+    val plan = simple(CorpusOpsQueries.qContamFraction(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("vocab OOV: top-V vocabulary is a TakeOrdered, not a single-partition window") {
+    val plan = simple(CorpusOpsQueries.qVocabOov(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("chunking is generate-only: zero exchanges before the output sort") {
+    val plan = simple(CorpusOpsQueries.qChunkOverlap(spark, sf))
+    // exactly the terminal orderBy's exchange; no join/agg shuffles
+    assert("Exchange".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Join"))
+  }
+
+  test("IVF-PQ: candidate path is equi-joins with bounded broadcasts only") {
+    val plan = simple(PqQueries.qSimIvfPq(spark, sf))
+    assert(!plan.contains("CartesianProduct"))
+    // the only BNLJs are the bounded 16-row coarse-centroid crosses
+    // (index assignment + probe selection)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2)
+  }
+
+  test("hard negatives: partial top-k aggregates map-side (no window exchange)") {
+    val plan = simple(SimilarityQueries.qHardNegatives(spark, sf))
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("covariance: map-side partial aggregation bounds the shuffle at d^2 cells") {
+    val plan = formatted(CorpusOpsQueries.qEmbedCovariance(spark, sf))
+    assert(plan.contains("partial_"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

@@ -591,6 +591,36 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --- co-located bucketed join (sort-merge-bucket layout) ---
+  // Orders and customers are written bucketed+sorted on the customer key
+  // (8 buckets, external tables under a temp path), then joined WITHOUT
+  // any exchange: bucket i joins bucket i in one task. The ingest-time
+  // shuffle is paid once; every subsequent join on the key is
+  // shuffle-free — the standard repeated-join fact-table layout at
+  // 100 TB. Result is layout-independent (the oracle joins the raw
+  // parquet), and PlanSpec pins the exchange-free join subtree.
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    graft.ops.BucketedLake.writeBucketed(spark,
+      orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", "o_custkey", 8, s"$tmp/orders")
+    graft.ops.BucketedLake.writeBucketed(spark,
+      customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "c_custkey", 8, s"$tmp/customer")
+    graft.ops.BucketedLake.colocatedJoin(spark,
+        "graft_bkt_orders", "graft_bkt_customer", "o_custkey", "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qBucketedJoinOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -617,7 +647,8 @@ object RelationalQueries {
     "q_rollup_counts" -> (qRollupCounts _),
     "q_range_join" -> (qRangeJoin _),
     "q_outer_join_dist" -> (qOuterJoinDist _),
-    "q_window_funcs" -> (qWindowFuncs _))
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -645,5 +676,6 @@ object RelationalQueries {
     "q_rollup_counts" -> qRollupCountsOracle,
     "q_range_join" -> qRangeJoinOracle,
     "q_outer_join_dist" -> qOuterJoinDistOracle,
-    "q_window_funcs" -> qWindowFuncsOracle)
+    "q_window_funcs" -> qWindowFuncsOracle,
+    "q_bucketed_join" -> qBucketedJoinOracle)
 }

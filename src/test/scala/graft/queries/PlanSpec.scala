@@ -223,6 +223,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bucketed join is exchange-free on the join key (SMB layout)") {
+    val plan = simple(RelationalQueries.qBucketedJoin(spark, sf))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    // the ONLY exchanges are the post-join aggregation + output sort —
+    // nothing re-partitions on the join key (both sides read pre-bucketed)
+    assert(!plan.contains("hashpartitioning(o_custkey"))
+    assert(!plan.contains("hashpartitioning(c_custkey"))
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

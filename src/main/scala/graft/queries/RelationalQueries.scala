@@ -621,6 +621,75 @@ object RelationalQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- built-in session-window aggregation ---
+  // The declarative form of sessionization: Spark's session_window
+  // generator merges events whose [ts, ts+gap) windows overlap — no
+  // lag/running-sum scaffolding, and the SAME aggregation runs unchanged
+  // under Structured Streaming with a watermark (the custom
+  // flatMapGroupsWithState sessionizer stays for semantics the generator
+  // can't express, e.g. dynamic gaps). Boundary semantics: session_window
+  // merges strictly-closer-than-gap events, so the oracle's new-session
+  // condition is diff >= gap (the lag-based q_sessionize uses > gap; the
+  // two differ only on exact-boundary ties, impossible at nanosecond
+  // fixtures but stated here for the record).
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val qSessionWindowOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |         CAST(sum(new_session) OVER
+      |              (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id ORDER BY 1, 2""".stripMargin
+
+  // --- approximate distinct count, gated on its accuracy CONTRACT ---
+  // At 100 TB exact COUNT(DISTINCT) over a high-cardinality key is a
+  // full shuffle of the key set; HyperLogLog++ answers from a bounded
+  // sketch that merges map-side. Sketch estimates are engine-specific,
+  // so the gate checks the CONTRACT instead of the value: the estimate
+  // must land within 10% of exact (2x the configured 5% rsd — the
+  // fixture is fixed, Spark's HLL hash is deterministic, so this is a
+  // stable regression gate, not a flaky statistical one). The oracle
+  // states the contract as a constant-true column next to the exact
+  // counts it CAN verify.
+  def qDistinctApprox(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double")
+          <= col("n_exact").cast("double") * 0.10).as("within_10pct"))
+      .orderBy(col("event_type"))
+
+  val qDistinctApproxOracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+      |       TRUE AS within_10pct
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -648,7 +717,9 @@ object RelationalQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_outer_join_dist" -> (qOuterJoinDist _),
     "q_window_funcs" -> (qWindowFuncs _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_distinct_approx" -> (qDistinctApprox _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -677,5 +748,7 @@ object RelationalQueries {
     "q_range_join" -> qRangeJoinOracle,
     "q_outer_join_dist" -> qOuterJoinDistOracle,
     "q_window_funcs" -> qWindowFuncsOracle,
-    "q_bucketed_join" -> qBucketedJoinOracle)
+    "q_bucketed_join" -> qBucketedJoinOracle,
+    "q_session_window" -> qSessionWindowOracle,
+    "q_distinct_approx" -> qDistinctApproxOracle)
 }

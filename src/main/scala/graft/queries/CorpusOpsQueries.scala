@@ -523,7 +523,69 @@ object CorpusOpsQueries {
       |FROM documents d JOIN st USING (lang)
       |ORDER BY doc_id""".stripMargin
 
+  // --- BPE merge-candidate scoring (the tokenizer-training inner loop) ---
+  // One iteration of byte-pair-encoding vocabulary learning: corpus-
+  // weighted adjacent character-pair frequencies, top candidates first.
+  // The full trainer repeats this after applying the winning merge; each
+  // iteration is exactly this plan, so gating one iteration gates the
+  // loop body. Scale shape: pair statistics aggregate over DISTINCT
+  // words (vocabulary-sized, not corpus-sized — the standard BPE trick),
+  // so the corpus-wide shuffle carries one row per distinct word, and
+  // the pair explode is bounded by word length × vocabulary.
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val qBpePairsOracle: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS wc FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      |  GROUP BY 1 HAVING length(w) >= 2
+      |), pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, wc
+      |  FROM words, (SELECT unnest(generate_series(1, 100)) AS i) idx
+      |  WHERE i <= length(w) - 1
+      |)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+      |FROM pairs GROUP BY 1
+      |ORDER BY freq DESC, pair ASC LIMIT 20""".stripMargin
+
+  // --- approximate percentile, gated on its accuracy contract ---
+  // The q_quantiles companion at 100 TB: exact per-group percentiles
+  // sort every group; approx_percentile answers from a bounded mergeable
+  // sketch. Like q_distinct_approx, the sketch value is engine-specific,
+  // so the gate checks the CONTRACT: the estimate must land within the
+  // exact group's [p25-neighborhood] — here, within 10% relative error
+  // of the exact percentile (fixture-deterministic, not statistical).
+  def qPercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("p50_approx"))
+      .select(col("lang"), round(col("p50_exact"), 4).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact"))
+          <= col("p50_exact") * 0.10).as("within_10pct"))
+      .orderBy(col("lang"))
+
+  val qPercentileApproxOracle: String =
+    """SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+      |       TRUE AS within_10pct
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_percentile_approx" -> (qPercentileApprox _),
     "q_quality_bins" -> (qQualityBins _),
     "q_zscore_norm" -> (qZscoreNorm _),
     "q_embed_covariance" -> (qEmbedCovariance _),
@@ -536,6 +598,8 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" -> qBpePairsOracle,
+    "q_percentile_approx" -> qPercentileApproxOracle,
     "q_quality_bins" -> qQualityBinsOracle,
     "q_zscore_norm" -> qZscoreNormOracle,
     "q_embed_covariance" -> qEmbedCovarianceOracle,

@@ -144,6 +144,45 @@ class CorpusOpsSpec extends SparkSpec {
       docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
   }
 
+  test("BPE pair scoring agrees with a driver-side trainer's first merges") {
+    // independent in-memory BPE trainer over the same corpus
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._1.length >= 2)
+    def pairFreqs(vocab: Array[(Vector[String], Long)]): Map[(String, String), Long] =
+      vocab.flatMap { case (syms, wc) =>
+        syms.sliding(2).collect { case Vector(a, b) => (a, b) -> wc }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    var vocab = words.map { case (w, c) => w.toVector.map(_.toString) -> c }
+    // first distributed candidate == first driver-side merge winner
+    val first = CorpusOpsQueries.qBpePairs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val driverFreqs = pairFreqs(vocab)
+    val driverTop = driverFreqs.toSeq
+      .sortBy { case ((a, b), f) => (-f, a + b) }.head
+    assert(first.head._1 == driverTop._1._1 + driverTop._1._2)
+    assert(first.head._2 == driverTop._2)
+    // three merge rounds are well-formed: frequencies never increase
+    var lastBest = Long.MaxValue
+    for (_ <- 1 to 3) {
+      val freqs = pairFreqs(vocab)
+      val ((a, b), f) = freqs.toSeq.sortBy { case ((x, y), g) => (-g, x + y) }.head
+      assert(f <= lastBest, "best-pair frequency is non-increasing across merges")
+      lastBest = f
+      vocab = vocab.map { case (syms, wc) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> wc
+      }
+    }
+  }
+
   test("label centroids match a driver-side recomputation on one label") {
     val rows = CorpusOpsQueries.qLabelCentroids(spark, sf)
       .filter(col("label") === 0).collect()

@@ -223,6 +223,24 @@ final class CorpusPipeline private (
     next(df.filter(bucket < threshold))
   }
 
+  /** Importance sampling: keep each row with its own acceptance
+    * probability given by `probCol` scaled into [0, 1] (values >= 1 are
+    * certain keeps). Same salted-md5 uniform as the other sampling
+    * stages (seed-isolated via the salt), integer-exact compare — a pure
+    * filter, like q_importance_sample.
+    */
+  def sampleByImportance(
+      probExpr: org.apache.spark.sql.Column,
+      salt: String = "imp7"): CorpusPipeline = {
+    val bucket = expr(
+      s"cast(conv(substring(md5(concat('$salt:', cast($idCol as string))), 1, 15), 16, 10) as bigint) % 10000")
+    // probability → basis points via round(), not a truncating cast: the
+    // double product can land a half-ulp under the exact integer (e.g.
+    // 157/400*10000 = 3924.999…) and truncation would shift the
+    // acceptance threshold by one bucket
+    next(df.filter(bucket < least(lit(10000L), round(probExpr * 10000).cast("long"))))
+  }
+
   /** Salted deterministic train/test split as a new column. */
   def withSplit(trainPct: Int, salt: String = "split42"): CorpusPipeline =
     next(df.withColumn("split",

@@ -151,6 +151,15 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("sampleByImportance matches q_importance_sample's kept ids") {
+    val got = CorpusPipeline(docs)
+      .sampleByImportance(col("n_chars").cast("double") / 400.0).df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val expect = graft.queries.CorpusOpsQueries.qImportanceSample(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("the composed chain runs as one plan with monotone row accounting") {
     val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
       .select(col("doc_a"), col("doc_b"))

@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in COUNT(DISTINCT) → HyperLogLog++ rewrite, gated at optimize
+    // time on spark.graft.approxDistinct (graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
     ext.injectFunction((
       FunctionIdentifier("field"),
       info("field", "field(str, v1, ...) - 1-based position of str, 0 if absent"),

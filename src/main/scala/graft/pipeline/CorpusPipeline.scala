@@ -241,6 +241,16 @@ final class CorpusPipeline private (
     next(df.filter(bucket < least(lit(10000L), round(probExpr * 10000).cast("long"))))
   }
 
+  /** Named row-count observation (`Dataset.observe`): production
+    * accounting for "rows surviving this point" that rides the terminal
+    * action — NO extra job per counter, unlike interleaved `count()`
+    * calls. Read the counters after running an action on THIS DataFrame
+    * from `df.queryExecution.observedMetrics(name)` (a separate
+    * `count()` plans its own execution and leaves them unpopulated).
+    */
+  def observeCount(name: String): CorpusPipeline =
+    next(df.observe(name, count(lit(1)).as("rows")))
+
   /** Salted deterministic train/test split as a new column. */
   def withSplit(trainPct: Int, salt: String = "split42"): CorpusPipeline =
     next(df.withColumn("split",

@@ -160,6 +160,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("observeCount rides the terminal action and reports true stage counts") {
+    val p = CorpusPipeline(docs)
+      .observeCount("before_dedup")
+      .dedupExact()
+      .observeCount("after_dedup")
+    val out = p.df
+    // the action must run THIS DataFrame's execution — count() would
+    // plan a separate aggregate and leave these metrics unpopulated
+    val kept = out.collect().length.toLong
+    val metrics = out.queryExecution.observedMetrics
+    assert(metrics("before_dedup").getLong(0) == docs.count())
+    assert(metrics("after_dedup").getLong(0) == kept)
+  }
+
   test("the composed chain runs as one plan with monotone row accounting") {
     val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
       .select(col("doc_a"), col("doc_b"))

@@ -690,6 +690,53 @@ object RelationalQueries {
       |       TRUE AS within_10pct
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- incremental materialized-rollup maintenance ---
+  // The reference's daily loop feeding a LIVE aggregate: instead of
+  // re-aggregating the whole fact table per load, each increment
+  // aggregates ONLY its batch and upserts the partial keyed by
+  // (group keys, batch_id). Reads sum partials across batch ids.
+  // Keying partials by batch makes every load REPLAY-IDEMPOTENT — a
+  // re-run overwrites its own partial instead of double-counting (the
+  // read-modify-write alternative adds on every replay; the reference's
+  // idempotency checklist is exactly this property, DEPLOYMENT.md's
+  // double-run test). Per-load cost is O(batch), never O(history). The
+  // oracle is the full-history GROUP BY: incremental maintenance must
+  // be indistinguishable from recomputation.
+  private[queries] def rollupMergeIn(
+      spark: SparkSession, lake: String, batch: DataFrame, batchId: String): Unit =
+    graft.etl.Sinks.upsert(spark,
+      batch
+        .groupBy(col("order_month"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("batch_id", lit(batchId)),
+      lake, keys = Seq("order_month", "o_orderpriority", "batch_id"))
+
+  private[queries] def rollupRead(spark: SparkSession, lake: String): DataFrame =
+    spark.read.parquet(lake)
+      .groupBy(col("order_month"), col("o_orderpriority"))
+      .agg(sum(col("n_orders")).cast("long").as("n_orders"))
+      .orderBy(col("order_month"), col("o_orderpriority"))
+
+  def qIncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val lake = java.nio.file.Files.createTempDirectory("graft_rollup")
+      .resolve("rollup").toString
+    val o = orders(spark, dir).withColumn(
+      "order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // overlapping halves: every (month, priority) key receives rows from
+    // BOTH increments, so the read-side sum must combine partials
+    rollupMergeIn(spark, lake, o.filter(col("o_orderkey") % 2 === 0), "b0")
+    rollupMergeIn(spark, lake, o.filter(col("o_orderkey") % 2 === 1), "b1")
+    val out = rollupRead(spark, lake).localCheckpoint(true)
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
+    out
+  }
+
+  val qIncrementalRollupOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderpriority,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_count_by_month_priority" -> (qaCountByMonthPriority _),
@@ -719,7 +766,8 @@ object RelationalQueries {
     "q_window_funcs" -> (qWindowFuncs _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_session_window" -> (qSessionWindow _),
-    "q_distinct_approx" -> (qDistinctApprox _))
+    "q_distinct_approx" -> (qDistinctApprox _),
+    "q_incremental_rollup" -> (qIncrementalRollup _))
 
   /** name -> DuckDB oracle SQL. */
   def oracles: Map[String, String] = Map(
@@ -750,5 +798,6 @@ object RelationalQueries {
     "q_window_funcs" -> qWindowFuncsOracle,
     "q_bucketed_join" -> qBucketedJoinOracle,
     "q_session_window" -> qSessionWindowOracle,
-    "q_distinct_approx" -> qDistinctApproxOracle)
+    "q_distinct_approx" -> qDistinctApproxOracle,
+    "q_incremental_rollup" -> qIncrementalRollupOracle)
 }

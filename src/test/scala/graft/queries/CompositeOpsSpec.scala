@@ -61,6 +61,23 @@ class CompositeOpsSpec extends SparkSpec {
     assert(pairwise.nonEmpty && pairwise.subsetOf(streamed))
   }
 
+  test("incremental rollup: replaying a batch is a no-op (idempotent loads)") {
+    import org.apache.spark.sql.functions.date_format
+    val lake = java.nio.file.Files.createTempDirectory("graft_rollup_spec")
+      .resolve("rollup").toString
+    val o = Tables.orders(spark, sf)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    RelationalQueries.rollupMergeIn(spark, lake, o.filter(col("o_orderkey") % 2 === 0), "b0")
+    RelationalQueries.rollupMergeIn(spark, lake, o.filter(col("o_orderkey") % 2 === 1), "b1")
+    val once = RelationalQueries.rollupRead(spark, lake).collect().map(_.toSeq).toSeq
+    // replay the second load — partials keyed by batch_id overwrite, not add
+    RelationalQueries.rollupMergeIn(spark, lake, o.filter(col("o_orderkey") % 2 === 1), "b1")
+    val twice = RelationalQueries.rollupRead(spark, lake).collect().map(_.toSeq).toSeq
+    assert(once == twice && once.nonEmpty)
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
+  }
+
   test("outer-join distribution conserves customers and orders") {
     val out = RelationalQueries.qOuterJoinDist(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -370,7 +370,9 @@ object StreamingQueries {
     * pure join + count. State is one counter per contaminated-candidate
     * doc, and the broadcast is the bounded benchmark set.
     */
-  def qStreamContam(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def streamContam(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
       withStreamConfs(spark) {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -384,13 +386,16 @@ object StreamingQueries {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("shingle"))
+    // static side: the FIXED benchmark set, batch-read once at query start
     val benchSet = shingled(
-        graft.Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0))
+        spark.read.schema(docsSchema).option("pathGlobFilter", glob)
+          .parquet(dir).filter(col("doc_id") % 97 === 0))
       .select(col("shingle")).distinct()
-    val src = spark.readStream
+    val reader = spark.readStream
       .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(dir)
     val hits = shingled(src.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(benchSet), "shingle")
       .groupBy(col("doc_id"))
@@ -407,6 +412,9 @@ object StreamingQueries {
       .filter(col("n_hits") >= 2)
       .orderBy(col("doc_id"))
   }
+
+  def qStreamContam(spark: SparkSession, dir: String): DataFrame =
+    streamContam(spark, dir, "documents.parquet")
 
   val qStreamContamOracle: String =
     """WITH d AS (

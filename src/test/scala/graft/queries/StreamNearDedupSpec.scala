@@ -53,4 +53,35 @@ class StreamNearDedupSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(dir))
     }
   }
+
+  test("streaming contamination: two micro-batches == one batch") {
+    // the static benchmark side is fixed at query start, and the
+    // Complete-mode per-doc counts accumulate across batches — so batch
+    // splitting must not change the flagged set
+    val docs = spark.read.parquet(s"$sf/documents.parquet").persist()
+    val dir = Files.createTempDirectory("stream-contam").toString
+    try {
+      docs.filter(col("doc_id") < 250L).coalesce(1)
+        .write.parquet(s"$dir/batch_a")
+      docs.filter(col("doc_id") >= 250L).coalesce(1)
+        .write.parquet(s"$dir/batch_b")
+      Seq("batch_a", "batch_b").zipWithIndex.foreach { case (d, i) =>
+        val f = Files.list(Paths.get(dir, d))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val target = Paths.get(dir, s"$i.parquet")
+        Files.move(f, target)
+        Files.setLastModifiedTime(target, FileTime.fromMillis(1000000L + i * 60000L))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.collect().toSeq.map { r: Row => (r.getLong(0), r.getLong(1)) }
+      val split = rows(StreamingQueries.streamContam(
+        spark, dir, "*.parquet", maxFilesPerTrigger = Some(1)))
+      val whole = rows(StreamingQueries.streamContam(spark, dir, "*.parquet"))
+      assert(split.nonEmpty && split === whole)
+    } finally {
+      docs.unpersist()
+      graft.etl.LakeFs.deleteRecursively(spark,
+        new org.apache.hadoop.fs.Path(dir))
+    }
+  }
 }

@@ -327,16 +327,32 @@ object CorpusOpsQueries {
   // map-side-combinable groupBy on (label, dim) — the shuffle carries
   // 64·L partial cells per mapper regardless of corpus size. Output is
   // one row per centroid cell, so the gate pins every coordinate.
+  // Output is the mean in INTEGER micro-units (1e-6), computed with an
+  // explicit half-up integer division — `round(sx/n, 6)` on a DOUBLE is
+  // a latent cross-engine boundary bug: decimal-sum / integer-count
+  // quotients land on exact half-boundaries often, and Spark
+  // (BigDecimal shortest-repr, HALF_UP) and DuckDB (binary multiply)
+  // round them differently (observed 1/640 rows at sf0.1).
+  // halfUp(a/b) = (2a + b) div (2b) on non-negative integers; signs
+  // handled explicitly (half-away-from-zero, matching HALF_UP).
   def qLabelCentroids(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(
-        sum(expr("CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(28,6))")).as("sx"),
+        // scale-shift per row BEFORE summing: the coordinate in exact
+        // 1e-6 integer units, so no post-sum decimal multiply can
+        // overflow precision 38
+        sum(expr(
+          "CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0))"))
+          .as("su"),
         count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
-        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        expr("""CASE WHEN su >= 0
+               |  THEN CAST((2 * su + n) div (2 * n) AS BIGINT)
+               |  ELSE -CAST((2 * (-su) + n) div (2 * n) AS BIGINT)
+               |END""".stripMargin).as("mean_e6"),
         col("n").as("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
@@ -344,12 +360,18 @@ object CorpusOpsQueries {
     """WITH x AS (
       |  SELECT label, unnest(generate_series(0, len(embedding) - 1)) AS dim, embedding
       |  FROM embeddings
+      |), s AS (
+      |  SELECT label, dim,
+      |         CAST(sum(CAST(CAST(round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS DECIMAL(18,6))
+      |              * 1000000 AS DECIMAL(38,0))) AS HUGEINT) AS su,
+      |         count(*) AS n
+      |  FROM x GROUP BY 1, 2
       |)
       |SELECT label, CAST(dim AS INT) AS dim,
-      |       round(CAST(sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE)
-      |             / count(*), 6) AS mean,
-      |       count(*) AS n_vecs
-      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |       CASE WHEN su >= 0 THEN CAST((2 * su + n) // (2 * n) AS BIGINT)
+      |            ELSE -CAST((2 * (-su) + n) // (2 * n) AS BIGINT) END AS mean_e6,
+      |       n AS n_vecs
+      |FROM s ORDER BY 1, 2""".stripMargin
 
   // --- embedding covariance matrix (PCA / whitening prep) ---
   // The Gram-style pass behind PCA whitening and diversity analysis:
@@ -361,28 +383,46 @@ object CorpusOpsQueries {
   // Per-dim means are a 64-row broadcast. Determinism: cross products
   // and coordinates round before DECIMAL summation (exact,
   // order-insensitive), one division + subtraction at the end.
+  // Like the centroids, all rounding is explicit half-up INTEGER
+  // division: cov_e8 = halfUp((SP8·1e8 − n·M8_i·M8_j) / (n·1e8)) where
+  // SP8 = Σround(x_i·x_j, 8)·1e8 and M8 = halfUp(Σround(x,6)·1e8 / n)
+  // are exact integers — `round(double, 8)` at the end was a
+  // cross-engine boundary bug (observed 1/2080 rows at sf0.1).
   def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val dims = e
       .select(posexplode(col("v")).as(Seq("i", "xi")))
       .groupBy(col("i"))
-      .agg(sum(expr("CAST(round(xi, 6) AS DECIMAL(28,6))")).as("sx"),
+      .agg(sum(expr(
+          "CAST(CAST(round(xi, 6) AS DECIMAL(18,6)) * 100000000 AS DECIMAL(38,0))"))
+          .as("su"),
         count(lit(1)).as("n"))
-      .select(col("i"), round(col("sx").cast("double") / col("n"), 8).as("mean"))
+      .select(col("i"),
+        expr("""CASE WHEN su >= 0
+               |  THEN CAST((2 * su + n) div (2 * n) AS BIGINT)
+               |  ELSE -CAST((2 * (-su) + n) div (2 * n) AS BIGINT)
+               |END""".stripMargin).as("m8"))
     val prods = e
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .filter(col("i") <= col("j"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(expr("CAST(round(xi * xj, 8) AS DECIMAL(30,8))")).as("sp"),
+      .agg(sum(expr(
+          "CAST(CAST(round(xi * xj, 8) AS DECIMAL(18,8)) * 100000000 AS DECIMAL(38,0))"))
+          .as("sp8"),
         count(lit(1)).as("n"))
     prods
-      .join(broadcast(dims.select(col("i"), col("mean").as("mean_i"))), "i")
-      .join(broadcast(dims.select(col("i").as("j"), col("mean").as("mean_j"))), "j")
+      .join(broadcast(dims.select(col("i"), col("m8").as("m8_i"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("m8").as("m8_j"))), "j")
+      .withColumn("num", expr(
+        "sp8 * 100000000 - CAST(n AS DECIMAL(38,0)) * m8_i * m8_j"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * 100000000"))
       .select(col("i"), col("j"),
-        round(col("sp").cast("double") / col("n") - col("mean_i") * col("mean_j"), 8)
-          .as("cov"))
+        expr("""CASE WHEN num >= 0
+               |  THEN CAST((2 * num + den) div (2 * den) AS BIGINT)
+               |  ELSE -CAST((2 * (-num) + den) div (2 * den) AS BIGINT)
+               |END""".stripMargin).as("cov_e8"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -391,25 +431,35 @@ object CorpusOpsQueries {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |), dims AS (
-      |  SELECT i, round(CAST(sum(CAST(round(v[i + 1], 6) AS DECIMAL(28,6))) AS DOUBLE)
-      |           / count(*), 8) AS mean
+      |  SELECT i,
+      |         CAST(sum(CAST(CAST(round(v[i + 1], 6) AS DECIMAL(18,6))
+      |              * 100000000 AS DECIMAL(38,0))) AS HUGEINT) AS su,
+      |         count(*) AS n
       |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di
       |  GROUP BY 1
+      |), m AS (
+      |  SELECT i, CASE WHEN su >= 0 THEN (2 * su + n) // (2 * n)
+      |                 ELSE -((2 * (-su) + n) // (2 * n)) END AS m8
+      |  FROM dims
       |), prods AS (
       |  SELECT i, j,
-      |         sum(CAST(round(v[i + 1] * v[j + 1], 8) AS DECIMAL(30,8))) AS sp,
+      |         CAST(sum(CAST(CAST(round(v[i + 1] * v[j + 1], 8) AS DECIMAL(18,8))
+      |              * 100000000 AS DECIMAL(38,0))) AS HUGEINT) AS sp8,
       |         count(*) AS n
       |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di,
       |          (SELECT unnest(generate_series(0, 63)) AS j) dj
       |  WHERE i <= j
       |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT p.i, p.j,
+      |         sp8 * 100000000 - CAST(n AS HUGEINT) * mi.m8 * mj.m8 AS num,
+      |         CAST(n AS HUGEINT) * 100000000 AS den
+      |  FROM prods p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
       |)
-      |SELECT p.i, p.j,
-      |       round(CAST(sp AS DOUBLE) / n - mi.mean * mj.mean, 8) AS cov
-      |FROM prods p
-      |JOIN dims mi ON p.i = mi.i
-      |JOIN dims mj ON p.j = mj.i
-      |ORDER BY 1, 2""".stripMargin
+      |SELECT i, j,
+      |       CASE WHEN num >= 0 THEN CAST((2 * num + den) // (2 * den) AS BIGINT)
+      |            ELSE -CAST((2 * (-num) + den) // (2 * den) AS BIGINT) END AS cov_e8
+      |FROM c ORDER BY 1, 2""".stripMargin
 
   // --- per-source corpus report card ---
   // The summary a data curator reads before a training run: per source,

@@ -121,10 +121,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("covariance: PSD diagonal and driver-side agreement on sample cells") {
     val cov = CorpusOpsQueries.qEmbedCovariance(spark, sf)
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(cov.size == 65 * 64 / 2, "full upper triangle")
-    // variances are non-negative (within the 1e-8 rounding grid)
-    for (d <- 0 until 64) assert(cov((d, d)) >= -1e-8, s"var($d)")
+    // variances are non-negative (within one 1e-8 unit)
+    for (d <- 0 until 64) assert(cov((d, d)) >= -1L, s"var($d)")
     // spot-check two cells against a plain driver-side computation
     val vecs = Tables.embeddings(spark, sf).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -132,7 +132,7 @@ class CorpusOpsSpec extends SparkSpec {
     for ((i, j) <- Seq((0, 0), (3, 17))) {
       val exact = vecs.map(v => v(i) * v(j)).sum / n -
         (vecs.map(_(i)).sum / n) * (vecs.map(_(j)).sum / n)
-      assert(math.abs(cov((i, j)) - exact) < 1e-5, s"cov($i,$j)")
+      assert(math.abs(cov((i, j)) / 1e8 - exact) < 1e-5, s"cov($i,$j)")
     }
   }
 
@@ -186,17 +186,23 @@ class CorpusOpsSpec extends SparkSpec {
   test("label centroids match a driver-side recomputation on one label") {
     val rows = CorpusOpsQueries.qLabelCentroids(spark, sf)
       .filter(col("label") === 0).collect()
-      .map(r => r.getInt(1) -> (r.getDouble(2), r.getLong(3))).toMap
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
     val vecs = Tables.embeddings(spark, sf)
       .filter(col("label") === 0).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
     assert(rows.values.map(_._2).toSet == Set(vecs.length.toLong))
     for (d <- Array(0, 31, 63)) {
-      val exact = vecs.map(v => BigDecimal(v(d).toDouble)
+      // exact driver-side replay of the integer half-up pipeline:
+      // sum of round6 coords in 1e-6 units, half-up divided by n
+      val su = vecs.map(v => BigDecimal(v(d).toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP))
-        .sum / vecs.length
-      val got = BigDecimal(rows(d)._1)
-      assert((got - exact).abs <= BigDecimal("0.0000005"), s"dim $d: $got vs $exact")
+        .sum * 1000000
+      val n = vecs.length
+      val exact = ((su.toBigInt * 2 + n) / (2 * n)).toLong // su >= 0 on this fixture... guard:
+      val expected =
+        if (su >= 0) exact
+        else -(((-su.toBigInt) * 2 + n) / (2 * n)).toLong
+      assert(rows(d)._1 == expected, s"dim $d: ${rows(d)._1} vs $expected")
     }
   }
 }

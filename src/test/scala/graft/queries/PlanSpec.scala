@@ -232,6 +232,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(c_custkey"))
   }
 
+  test("date-partitioned lake: a month filter prunes partitions at plan time") {
+    import org.apache.spark.sql.functions.{col, count, date_format, lit}
+    val lake = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    try {
+      graft.Tables.orders(spark, sf)
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("order_month").parquet(lake)
+      val months = spark.read.parquet(lake)
+        .select(col("order_month")).distinct().count()
+      assert(months > 1, "fixture spans multiple months")
+      val q = spark.read.parquet(lake)
+        .filter(col("order_month") === "1997-03")
+        .agg(count(lit(1)))
+      val plan = formatted(q)
+      // the month predicate must be a PartitionFilter on the scan (never
+      // a post-scan Filter over all partitions)
+      assert(plan.contains("PartitionFilters") &&
+        plan.matches("(?s).*PartitionFilters: \\[[^\\]]*order_month[^\\]]*\\].*"), plan)
+      // and the scan must actually read one partition's files
+      val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        .mkString
+      assert(!scanned.contains("1997-04"), "other months' directories pruned")
+    } finally {
+      graft.etl.LakeFs.deleteRecursively(spark,
+        new org.apache.hadoop.fs.Path(lake).getParent)
+    }
+  }
+
   test("custom FieldExpr stays inside whole-stage codegen in qc") {
     val df = RelationalQueries.qcWeekdayAvg(spark, sf)
     val plan = finalPlan(df)

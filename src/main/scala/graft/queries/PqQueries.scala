@@ -119,31 +119,25 @@ object PqQueries {
     * standalone (q_sim_ivf, q_sim_pq_topk); composed, search cost becomes
     * (corpus/lists × nprobe) LUT lookups instead of a full scan, and
     * memory per candidate is M bytes instead of the vector — the layout
-    * that serves billion-vector indexes. Coarse centroids here are the
-    * deterministic sample (the trained variant would reuse the IVF
-    * decimal-Lloyd recipe); everything broadcast is bounded (centroids,
-    * probe table, per-query LUT), and the candidate join is
-    * equi-join-only: codes ⋈ lists ⋈ probes ⋈ LUT, no crossed frames.
+    * that serves billion-vector indexes. The coarse quantizer is the
+    * TRAINED one — the same `iters`-round decimal-Lloyd centroids and
+    * map-side max_by assignment as q_sim_ivf
+    * ([[SimilarityQueries.ivfCentroids]]/[[SimilarityQueries.ivfAssign]]);
+    * everything broadcast is bounded (centroids, probe table, per-query
+    * LUT), and the candidate join is equi-join-only:
+    * codes ⋈ lists ⋈ probes ⋈ LUT, no crossed frames.
     */
-  private val CoarseK = 16
   private val IvfPqNprobe = 2
 
   def qSimIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dot
     val e0 = vectors(spark, dir)
     val e = e0.withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val coarse = e.filter(col("vec_id") < CoarseK)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"),
-        col("norm").as("cnorm"))
-    // index side: top-1 coarse list per vector, map-side max_by collapse
-    // (the crossed frame never reaches a shuffle)
-    val assigned = e.as("a")
-      .join(broadcast(coarse).as("b"), lit(true))
-      .select(col("a.vec_id").as("vec_id"), col("b.cid").as("cid"),
-        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5)
-          .as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), negate(col("cid")))).as("cid"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val coarse = SimilarityQueries.ivfCentroids(e, SimilarityQueries.IvfIters)
+    // index side: trained top-1 list per vector (map-side max_by collapse)
+    val assigned = SimilarityQueries.ivfAssign(e, coarse)
+      .select(col("vec_id"), col("cid"))
     // query side: the nprobe highest-cosine lists, explicit comparator so
     // the ordering (ccos DESC, cid ASC, NaN-first) matches the oracle
     val probes = e.filter(col("vec_id") % 400 === 0).as("a")
@@ -187,11 +181,12 @@ object PqQueries {
   private def unrolledL2(a: String, b: String): String =
     (1 to SubDim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
-  private val commonCtes: String =
-    s"""WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings
-      |), sub AS (
+  /** The PQ encode chain (sub/cb/d/best) WITHOUT the leading `e` CTE, so
+    * it composes after any prefix that already defines `e` — the trained
+    * IVF oracle reuses it on top of SimilarityQueries.trainedAssignCtes.
+    */
+  private val pqChainCtes: String =
+    s"""sub AS (
       |  SELECT vec_id, m, v[m*$SubDim+1 : m*$SubDim+$SubDim] AS s
       |  FROM e, (SELECT unnest(generate_series(0, ${M - 1})) AS m) ms
       |), cb AS (
@@ -205,6 +200,12 @@ object PqQueries {
       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
       |  FROM d
       |)""".stripMargin
+
+  private val commonCtes: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), $pqChainCtes""".stripMargin
 
   val qEmbedPqOracle: String =
     s"""$commonCtes
@@ -232,19 +233,20 @@ object PqQueries {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= 3
       |ORDER BY query_id, adist, neighbor_id""".stripMargin
 
+  /** Trained-coarse-quantizer oracle: SimilarityQueries.trainedAssignCtes
+    * replays the decimal-Lloyd training bit-for-bit (ending in `e`,
+    * `c<iters>`, and the index `assigned`), then the PQ chain and the
+    * probe/LUT/ADC pipeline run on top.
+    */
   val qSimIvfPqOracle: String =
-    s"""$commonCtes, coarse AS (
-      |  SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < $CoarseK
-      |), asg AS (
-      |  SELECT e.vec_id, c.cid,
-      |         row_number() OVER (PARTITION BY e.vec_id
-      |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 5) DESC, c.cid) AS arn
-      |  FROM e, coarse c
-      |), assigned AS (
-      |  SELECT vec_id, cid FROM asg WHERE arn = 1
-      |), probes AS (
-      |  SELECT vec_id AS query_id, cid FROM asg
-      |  WHERE vec_id % 400 = 0 AND arn <= $IvfPqNprobe
+    s"""${SimilarityQueries.trainedAssignCtes}, $pqChainCtes, probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT a.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY round(list_cosine_similarity(a.v, c.cv), 5) DESC, c.cid) AS prank
+      |    FROM e a CROSS JOIN c${SimilarityQueries.IvfIters} c
+      |    WHERE a.vec_id % 400 = 0)
+      |  WHERE prank <= $IvfPqNprobe
       |), lut AS (
       |  SELECT sub.vec_id AS query_id, sub.m, cb.k,
       |         round(${unrolledL2("sub.s", "cb.cw")}, 5) AS d

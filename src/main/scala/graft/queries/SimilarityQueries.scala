@@ -32,7 +32,7 @@ object SimilarityQueries {
     * results are bit-identical to the composable form — but the inner
     * loop is generated primitive code, not per-element lambdas).
     */
-  private def withNorm(df: DataFrame): DataFrame = {
+  private[queries] def withNorm(df: DataFrame): DataFrame = {
     val withV = df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     withV
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -230,7 +230,7 @@ object SimilarityQueries {
     * (cid, cv, cnorm); a centroid whose list empties drops out (its
     * vectors re-assign to surviving lists next round).
     */
-  private def ivfCentroids(e: DataFrame, iters: Int): DataFrame = {
+  private[queries] def ivfCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < IvfCentroidSample)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
@@ -268,7 +268,7 @@ object SimilarityQueries {
     * training (the 16-way crossed frame reduces to one row per vector
     * BEFORE the shuffle). Shared by the IVF search and SemDeDup.
     */
-  private def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
+  private[queries] def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.as("a")
       .join(broadcast(centroids).as("b"), lit(true))
       .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
@@ -335,7 +335,7 @@ object SimilarityQueries {
     * table — everything up to (and including) the index build, used by
     * both the IVF search oracle and the SemDeDup oracle.
     */
-  private val trainedAssignCtes: String = {
+  private[queries] val trainedAssignCtes: String = {
     // one Lloyd iteration: assign to `prevC`, emit new centroids `outC`
     def iterSql(prevC: String, outA: String, outC: String): String =
       s"""$outA AS (

@@ -206,9 +206,12 @@ class PlanSpec extends SparkSpec {
   test("IVF-PQ: candidate path is equi-joins with bounded broadcasts only") {
     val plan = simple(PqQueries.qSimIvfPq(spark, sf))
     assert(!plan.contains("CartesianProduct"))
-    // the only BNLJs are the bounded 16-row coarse-centroid crosses
-    // (index assignment + probe selection)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2)
+    // the only BNLJs are the bounded 16-row coarse-centroid crosses:
+    // (training iterations + 1 terminal cross) appearing in BOTH the
+    // index-assignment and probe-selection lineages — same structure
+    // q_sim_ivf pins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size ==
+      2 * (SimilarityQueries.IvfIters + 1))
   }
 
   test("hard negatives: partial top-k aggregates map-side (no window exchange)") {

@@ -400,7 +400,94 @@ object SketchDedupQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- corpus-level similarity: per-source MinHash UNION sketches ---
+  // Dataset management above the document level: which SOURCES overlap?
+  // The union sketch of a source is the per-permutation minimum over
+  // every shingle any of its docs contains — mergeable (min combines
+  // map-side), one tiny row per source regardless of corpus size — and
+  // estimated Jaccard between sources is the fraction of agreeing
+  // minima. The exact Jaccard (distinct-shingle set intersection) rides
+  // along as the yardstick; AT SCALE only the sketches are computed and
+  // the exact join is the thing this op exists to avoid. Same portable
+  // permutation family as the doc-level MinHash, so the incremental
+  // signature index could maintain these sketches per partition too.
+  def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sh = documents(spark, dir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+      .distinct()
+      .persist()
+    val hashed = sh.withColumn("xm",
+      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
+    val minVec = udaf(new graft.functions.MinPermVec(as.toArray, bs.toArray, P))
+    val sig = hashed.groupBy(col("source")).agg(minVec(col("xm")).as("m"))
+    def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)
+    val est = ((0 until K)
+      .map(i => when(m("a", i) === m("b", i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / K).as("minhash_est")
+    val pairs = sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"), est)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("source").as("source_a"), col("shingle"))
+      .join(sh.select(col("source").as("source_b"), col("shingle")), "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(common, Seq("source_a", "source_b"), "left")
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "na"), "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "nb"), "source_b")
+      .select(col("source_a"), col("source_b"), col("minhash_est"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L))), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qSourceSimilarityOracle: String = {
+    val minCols = (0 until K)
+      .map(i => s"min((${as(i)} * xm + ${bs(i)}) % $P) AS m$i").mkString(",\n      ")
+    val est = (0 until K)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+       |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+       |), s AS (
+       |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk)-2),
+       |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+       |  FROM d
+       |), h AS (
+       |  SELECT source, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS xm
+       |  FROM s
+       |), sig AS (
+       |  SELECT source,
+       |      $minCols
+       |  FROM h GROUP BY source
+       |), sizes AS (
+       |  SELECT source, count(*) AS n_sh FROM s GROUP BY 1
+       |), common AS (
+       |  SELECT sa.source AS source_a, sb.source AS source_b, count(*) AS common
+       |  FROM s sa JOIN s sb ON sa.shingle = sb.shingle AND sa.source < sb.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST($est AS DOUBLE) / $K AS minhash_est,
+       |       round(CAST(coalesce(c.common, 0) AS DOUBLE)
+       |             / (na.n_sh + nb.n_sh - coalesce(c.common, 0)), 6) AS jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |LEFT JOIN common c ON c.source_a = a.source AND c.source_b = b.source
+       |JOIN sizes na ON na.source = a.source
+       |JOIN sizes nb ON nb.source = b.source
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_similarity" -> (qSourceSimilarity _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_simhash_fingerprints" -> (qSimhashFingerprints _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -408,6 +495,7 @@ object SketchDedupQueries {
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
+    "q_source_similarity" -> qSourceSimilarityOracle,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,
     "q_dedup_simhash" -> qDedupSimhashOracle,

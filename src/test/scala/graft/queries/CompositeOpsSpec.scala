@@ -61,6 +61,19 @@ class CompositeOpsSpec extends SparkSpec {
     assert(pairwise.nonEmpty && pairwise.subsetOf(streamed))
   }
 
+  test("source similarity: full pair matrix, sketch tracks exact Jaccard") {
+    val out = SketchDedupQueries.qSourceSimilarity(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count().toInt
+    assert(out.length == nSources * (nSources - 1) / 2, "full upper-triangle matrix")
+    assert(out.forall { case (_, _, e, j) => e >= 0 && e <= 1 && j >= 0 && j <= 1 })
+    // a 16-permutation sketch is coarse (sd ~ sqrt(j(1-j)/16)) but must
+    // TRACK the exact values corpus-wide, not wander
+    val mae = out.map { case (_, _, e, j) => math.abs(e - j) }.sum / out.length
+    assert(mae < 0.25, s"mean |est - jaccard| = $mae")
+  }
+
   test("incremental rollup: replaying a batch is a no-op (idempotent loads)") {
     import org.apache.spark.sql.functions.date_format
     val lake = java.nio.file.Files.createTempDirectory("graft_rollup_spec")

@@ -34,6 +34,7 @@ object ScaleProbe {
     time("embed_covariance")(queries.CorpusOpsQueries.qEmbedCovariance(spark, dir).count())
     time("sim_ivfpq")(queries.PqQueries.qSimIvfPq(spark, dir).count())
     time("hard_negatives")(queries.SimilarityQueries.qHardNegatives(spark, dir).count())
+    time("dedup_containment")(queries.CorpusOpsQueries.qDedupContainment(spark, dir).count())
     spark.stop()
   }
 }

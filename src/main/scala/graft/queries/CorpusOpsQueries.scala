@@ -633,7 +633,145 @@ object CorpusOpsQueries {
       |       TRUE AS within_10pct
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- containment near-dup: asymmetric subset duplication ---
+  // Jaccard misses the quote-expansion case: a short doc fully contained
+  // in a long one scores low symmetric similarity but containment
+  // |A∩B| / min(|A|,|B|) ≈ 1. Candidate generation is the OVERLAP form
+  // of the prefix filter (PPJoin family): a pair with containment >= 4/5
+  // shares >= ceil(4·min/5) shingles, so the smaller side's first
+  // n − ceil(4n/5) + 1 canonical-order shingles must hit the other side
+  // — each doc's prefix joins FULL posting lists (either side may be the
+  // smaller), which stays lossless; thresholds are integer-exact
+  // (common·5 >= min·4). Rare-shingles-first canonical order keeps the
+  // prefix×postings join bounded.
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    // identical-set collapse, exactly as the Jaccard/MinHash detectors:
+    // exact copies multiply posting lists by k and the prefix×postings
+    // join by k² (measured 162 s vs 13 s at the ×10 twin corpus), so the
+    // expensive path runs on one representative per distinct shingle set
+    // and the full pair set reassembles afterwards — within-group pairs
+    // have containment exactly 1, cross-group values hold for every
+    // member pair. Lossless by construction.
+    val base = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sarr", array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
+        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
+      .persist()
+    val reps = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val shingles = reps
+      .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
+      .persist()
+    val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = shingles
+      .join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 4 + 4) div 5") + 1)
+      .select(col("doc_id").as("pdoc"), col("shingle"))
+    val cand = prefixes
+      .join(shingles.select(col("doc_id").as("fdoc"), col("shingle")), "shingle")
+      .filter(col("pdoc") =!= col("fdoc"))
+      .select(least(col("pdoc"), col("fdoc")).as("doc_a"),
+        greatest(col("pdoc"), col("fdoc")).as("doc_b"))
+      .distinct()
+    val counts = reps.select(col("doc_id"), col("n_shingles"), col("set_hash"))
+    val repPairs = shingles.as("sa")
+      .join(cand, col("sa.doc_id") === col("doc_a"))
+      .join(shingles.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
+      .filter(col("common") * 5 >= least(col("na"), col("nb")) * 4)
+      .select(col("ha"), col("hb"), col("common"),
+        round(col("common").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+    val members = base.select(col("set_hash"), col("doc_id"), col("n_shingles"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_shingles").cast("long").as("common"), lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(members.select(col("set_hash").as("ha"), col("doc_id").as("ida")), "ha")
+      .join(members.select(col("set_hash").as("hb"), col("doc_id").as("idb")), "hb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("common"), col("containment"))
+    within.unionByName(cross)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupContainmentOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), n AS (
+      |  SELECT doc_id, count(*) AS ns FROM s GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, common,
+      |       round(CAST(common AS DOUBLE) / least(na.ns, nb.ns), 6) AS containment
+      |FROM pairs
+      |JOIN n na ON na.doc_id = doc_a
+      |JOIN n nb ON nb.doc_id = doc_b
+      |WHERE common * 5 >= least(na.ns, nb.ns) * 4
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- join-key skew report ---
+  // The pre-join diagnostic a 100 TB pipeline runs before choosing a
+  // strategy (broadcast / salt / AQE skew-join): per-key volumes reduced
+  // to the numbers that drive the decision — key count, max key, top-10
+  // concentration, and max/avg ratio. One map-side-combinable groupBy
+  // plus a 10-row TakeOrdered; integer-exact except the one ratio.
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val top10 = counts.orderBy(col("c").desc, col("user_id")).limit(10)
+      .agg(sum(col("c")).as("top10_rows"))
+    counts
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"))
+      .join(top10)
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"), col("top10_rows"),
+        round(col("max_key_rows") * col("n_keys").cast("double") / col("n_rows"), 6)
+          .as("skew_ratio"))
+  }
+
+  val qSkewReportOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM (
+      |    SELECT c FROM c ORDER BY c DESC, user_id LIMIT 10)
+      |)
+      |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+      |       CAST(max(c) AS BIGINT) AS max_key_rows,
+      |       (SELECT top10_rows FROM t) AS top10_rows,
+      |       round(max(c) * CAST(count(*) AS DOUBLE) / sum(c), 6) AS skew_ratio
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> (qDedupContainment _),
+    "q_skew_report" -> (qSkewReport _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_percentile_approx" -> (qPercentileApprox _),
     "q_quality_bins" -> (qQualityBins _),
@@ -648,6 +786,8 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_containment" -> qDedupContainmentOracle,
+    "q_skew_report" -> qSkewReportOracle,
     "q_bpe_pairs" -> qBpePairsOracle,
     "q_percentile_approx" -> qPercentileApproxOracle,
     "q_quality_bins" -> qQualityBinsOracle,

@@ -769,7 +769,52 @@ object CorpusOpsQueries {
       |       round(max(c) * CAST(count(*) AS DOUBLE) / sum(c), 6) AS skew_ratio
       |FROM c""".stripMargin
 
+  // --- packing-efficiency report ---
+  // The planning question behind choosing a context length: how much
+  // padding does each candidate size waste? Under split-aware (span)
+  // packing every sequence except the last of each (lang, shard) group
+  // is exactly full, so waste is ANALYTIC: ceil(T/C)·C − T per group —
+  // one map-side-combinable groupBy and integer arithmetic, no window,
+  // no explode of the packing itself. Evaluating four candidate sizes
+  // costs four rows per group, not four packing passes.
+  def qPackingEfficiency(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 8).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .select(col("t"), explode(expr("array(512, 1024, 2048, 4096)")).as("c"))
+      .withColumn("n_seqs", expr("(t + c - 1) div c"))
+      .groupBy(col("c").as("context_size"))
+      .agg(
+        sum(col("n_seqs")).as("n_sequences"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("n_seqs") * col("c") - col("t")).as("padding_waste"))
+      .select(col("context_size"), col("n_sequences"), col("total_tokens"),
+        col("padding_waste"),
+        round(col("padding_waste").cast("double") /
+          (col("padding_waste") + col("total_tokens")), 6).as("waste_frac"))
+      .orderBy(col("context_size"))
+
+  val qPackingEfficiencyOracle: String =
+    """WITH g AS (
+      |  SELECT lang, doc_id % 8 AS shard,
+      |         sum(len(string_split_regex(trim(text), '\s+'))) AS t
+      |  FROM documents GROUP BY 1, 2
+      |), x AS (
+      |  SELECT t, c, (t + c - 1) // c AS n_seqs
+      |  FROM g, (SELECT unnest([512, 1024, 2048, 4096]) AS c) cs
+      |)
+      |SELECT CAST(c AS INT) AS context_size,
+      |       CAST(sum(n_seqs) AS BIGINT) AS n_sequences,
+      |       CAST(sum(t) AS BIGINT) AS total_tokens,
+      |       CAST(sum(n_seqs * c - t) AS BIGINT) AS padding_waste,
+      |       round(CAST(sum(n_seqs * c - t) AS DOUBLE)
+      |             / (sum(n_seqs * c - t) + sum(t)), 6) AS waste_frac
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_skew_report" -> (qSkewReport _),
     "q_bpe_pairs" -> (qBpePairs _),
@@ -786,6 +831,7 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_packing_efficiency" -> qPackingEfficiencyOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_skew_report" -> qSkewReportOracle,
     "q_bpe_pairs" -> qBpePairsOracle,

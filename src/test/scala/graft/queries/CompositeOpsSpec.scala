@@ -74,6 +74,15 @@ class CompositeOpsSpec extends SparkSpec {
     assert(mae < 0.25, s"mean |est - jaccard| = $mae")
   }
 
+  test("packing efficiency's analytic counts equal the real span packing") {
+    val predicted = CorpusOpsQueries.qPackingEfficiency(spark, sf)
+      .filter(col("context_size") === 4096).collect()(0).getLong(1)
+    val actual = PipelineQueries.qPackSpans(spark, sf)
+      .select(col("lang"), col("shard"), col("seq_id")).distinct().count()
+    assert(predicted == actual,
+      s"analytic ceil-sum $predicted vs packed sequences $actual")
+  }
+
   test("incremental rollup: replaying a batch is a no-op (idempotent loads)") {
     import org.apache.spark.sql.functions.date_format
     val lake = java.nio.file.Files.createTempDirectory("graft_rollup_spec")

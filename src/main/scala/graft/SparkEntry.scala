@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOpsQueries, FunctionQueries,
-  IncrementalDedupQueries, MultimodalQueries, PipelineQueries, PqQueries,
-  RelationalQueries, SimilarityQueries, SketchDedupQueries,
-  StreamingQueries, TextQueries}
+import graft.queries.{CorpusOpsQueries, CurationQueries, FunctionQueries,
+  IncrementalDedupQueries, LakeOpsQueries, MultimodalQueries,
+  PipelineQueries, PqQueries, RelationalQueries, SimilarityQueries,
+  SketchDedupQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
       SketchDedupQueries.queries ++ IncrementalDedupQueries.queries ++
       StreamingQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ PqQueries.queries ++
-      CorpusOpsQueries.queries
+      CorpusOpsQueries.queries ++ LakeOpsQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       SketchDedupQueries.oracles ++ IncrementalDedupQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       PipelineQueries.oracles ++ PqQueries.oracles ++
-      CorpusOpsQueries.oracles
+      CorpusOpsQueries.oracles ++ LakeOpsQueries.oracles ++
+      CurationQueries.oracles
 }

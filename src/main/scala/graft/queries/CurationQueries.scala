@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Corpus-curation operators: CCNet-style perplexity bucketing from an
+  * in-plan trained bigram LM, per-source distribution drift (KL) between
+  * snapshots, and blocked fuzzy entity matching.
+  *
+  * Cross-engine determinism follows the repo's langid recipe: log-probs
+  * are rounded to fixed decimals and summed as DECIMAL (exact,
+  * order-insensitive), divisions happen once in double, and every
+  * ranking has a total order (value, then id).
+  */
+object CurationQueries {
+
+  // --- perplexity filter: train word-bigram LM, bucket head/middle/tail ---
+  // The CCNet quality signal (Wenzek et al., LREC'20): score every
+  // document by LM perplexity and split each language into head (most
+  // LM-like) / middle / tail terciles — tail docs are the deletion or
+  // down-weight candidates. Here the LM itself is trained IN the same
+  // plan: per-language Laplace-smoothed word-bigram log-probs
+  // (log10((c_bigram + 1) / (c_context + V_lang))), exactly the
+  // train-then-score shape of qLangIdNb. Per-doc score is the average
+  // negative log-prob over its bigram instances: decimal-summed (shuffle
+  // order cannot move it), divided ONCE in double. Bucketing is
+  // ntile(3) over a TOTAL order (score, doc_id) so both engines cut the
+  // terciles identically.
+  //
+  // 100 TB shape: the log-prob table is bounded by vocabulary² per
+  // language, not corpus size, and broadcasts to the scoring join; the
+  // only big shuffles are the two training aggregations and the per-doc
+  // score aggregation, all on high-cardinality keys.
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tk = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val big = tk
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .persist() // feeds bigram counts, context counts, and scoring
+    val cBig = big.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_big"))
+    val cCtx = big.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c_ctx"))
+    val vocab = tk.select(col("lang"), explode(col("t")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
+    val logp = cBig
+      .join(cCtx, Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("lang"), col("w1"), col("w2"),
+        round(log10((col("c_big") + 1).cast("double") / (col("c_ctx") + col("v"))), 6)
+          .cast("decimal(28,6)").as("lp"))
+    val docBig = big.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = docBig
+      .join(broadcast(logp), Seq("lang", "w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp") * col("cnt")).as("s"), sum(col("cnt")).as("n"))
+      .select(col("doc_id"), col("lang"),
+        ((-col("s")).cast("double") / col("n")).as("avg_nlp"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_nlp"), col("doc_id"))))
+    scored
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("avg_nlp")), 4).as("min_nlp"),
+        round(max(col("avg_nlp")), 4).as("max_nlp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val qPerplexityOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(string_split_regex(trim(text), '\s+')) >= 2),
+      |big AS (
+      |  SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+      |  FROM tk, (SELECT unnest(generate_series(1, 2000)) AS i) ix
+      |  WHERE i <= length(t) - 1),
+      |cb AS (SELECT lang, w1, w2, count(*) AS c_big FROM big GROUP BY 1, 2, 3),
+      |cc AS (SELECT lang, w1, count(*) AS c_ctx FROM big GROUP BY 1, 2),
+      |vl AS (SELECT lang, count(DISTINCT w) AS v
+      |       FROM (SELECT lang, unnest(t) AS w FROM tk) GROUP BY 1),
+      |lp AS (
+      |  SELECT lang, w1, w2,
+      |         CAST(round(log10((c_big + 1.0) / (c_ctx + v)), 6) AS DECIMAL(28,6)) AS lp
+      |  FROM cb JOIN cc USING (lang, w1) JOIN vl USING (lang)),
+      |db AS (SELECT doc_id, lang, w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2, 3, 4),
+      |sc AS (
+      |  SELECT doc_id, lang, sum(lp * cnt) AS s, sum(cnt) AS n
+      |  FROM db JOIN lp USING (lang, w1, w2) GROUP BY 1, 2),
+      |r AS (
+      |  SELECT doc_id, lang, CAST(-s AS DOUBLE) / n AS avg_nlp,
+      |         ntile(3) OVER (PARTITION BY lang
+      |           ORDER BY CAST(-s AS DOUBLE) / n, doc_id) AS bucket
+      |  FROM sc)
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |       round(min(avg_nlp), 4) AS min_nlp, round(max(avg_nlp), 4) AS max_nlp
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- distribution drift: per-source KL divergence between snapshots ---
+  // The corpus-monitoring question "did this source's language mix
+  // shift?": split each source into two deterministic snapshots — block
+  // parity `(doc_id div 20) % 2`, NOT raw doc_id parity, because the
+  // fixture assigns source = doc_id % 20 and raw parity would give every
+  // source exactly one half — Laplace-smooth both language distributions over the
+  // GLOBAL language set (the source × lang grid makes absent languages
+  // explicit so the smoothed q is never zero), and report
+  // KL(P_even || P_odd) = Σ p·ln(p/q). Terms are rounded to 8 decimals
+  // and decimal-summed — the sum is over |languages| terms and must not
+  // depend on shuffle order. Everything after the two counting
+  // aggregations is broadcast-sized (sources × languages).
+  def qDistDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("source"), col("lang"))
+    val langs = d.select(col("lang")).distinct()
+    val nLang = langs.agg(count(lit(1)).as("n_lang"))
+    val grid = d.select(col("source")).distinct().crossJoin(langs)
+    val even = d.filter(expr("(doc_id div 20) % 2") === 0)
+    val odd = d.filter(expr("(doc_id div 20) % 2") === 1)
+    val cEven = even.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_even"))
+    val cOdd = odd.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_odd"))
+    val tEven = even.groupBy(col("source")).agg(count(lit(1)).as("n_even"))
+    val tOdd = odd.groupBy(col("source")).agg(count(lit(1)).as("n_odd"))
+    grid
+      .join(cEven, Seq("source", "lang"), "left")
+      .join(cOdd, Seq("source", "lang"), "left")
+      .join(broadcast(tEven), Seq("source"))
+      .join(broadcast(tOdd), Seq("source"))
+      .join(broadcast(nLang), lit(true))
+      .select(col("source"), col("n_even"), col("n_odd"),
+        ((coalesce(col("c_even"), lit(0L)) + 1).cast("double") /
+          (col("n_even") + col("n_lang"))).as("p"),
+        ((coalesce(col("c_odd"), lit(0L)) + 1).cast("double") /
+          (col("n_odd") + col("n_lang"))).as("q"))
+      .withColumn("term",
+        round(col("p") * log(col("p") / col("q")), 8).cast("decimal(28,8)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+        round(sum(col("term")).cast("double"), 6).as("kl_div"))
+      .orderBy(col("source"))
+  }
+
+  val qDistDriftOracle: String =
+    """WITH d AS (SELECT doc_id, source, lang FROM documents),
+      |nl AS (SELECT count(DISTINCT lang) AS n_lang FROM d),
+      |grid AS (SELECT DISTINCT s.source, l.lang
+      |         FROM (SELECT DISTINCT source FROM d) s, (SELECT DISTINCT lang FROM d) l),
+      |ce AS (SELECT source, lang, count(*) AS c_even FROM d WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+      |co AS (SELECT source, lang, count(*) AS c_odd FROM d WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+      |te AS (SELECT source, count(*) AS n_even FROM d WHERE (doc_id // 20) % 2 = 0 GROUP BY 1),
+      |tod AS (SELECT source, count(*) AS n_odd FROM d WHERE (doc_id // 20) % 2 = 1 GROUP BY 1),
+      |terms AS (
+      |  SELECT g.source, te.n_even, tod.n_odd,
+      |         CAST(round(
+      |           ((coalesce(ce.c_even, 0) + 1.0) / (te.n_even + nl.n_lang)) *
+      |           ln(((coalesce(ce.c_even, 0) + 1.0) / (te.n_even + nl.n_lang)) /
+      |              ((coalesce(co.c_odd, 0) + 1.0) / (tod.n_odd + nl.n_lang))), 8)
+      |           AS DECIMAL(28,8)) AS term
+      |  FROM grid g
+      |  LEFT JOIN ce ON g.source = ce.source AND g.lang = ce.lang
+      |  LEFT JOIN co ON g.source = co.source AND g.lang = co.lang
+      |  JOIN te ON g.source = te.source
+      |  JOIN tod ON g.source = tod.source
+      |  CROSS JOIN nl)
+      |SELECT source, max(n_even) AS n_even, max(n_odd) AS n_odd,
+      |       round(CAST(sum(term) AS DOUBLE), 6) AS kl_div
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- blocked fuzzy entity matching (record linkage) ---
+  // Entity resolution without a cartesian product: probe records (every
+  // 20th customer with one character deleted from its name — a
+  // deterministic "dirty" feed) are matched back to the clean table by
+  // (1) BLOCKING — levenshtein <= 2 bounds the length difference to 2,
+  // so each probe explodes into its 5 candidate lengths and the
+  // candidate join is a pure EQUI-join on length (at scale the block key
+  // would also carry a prefix/q-gram; the explode-to-equi-join shape is
+  // the point) — then (2) VERIFY — exact levenshtein on the blocked
+  // pairs only — then (3) RESOLVE — best match per probe under the
+  // total order (distance, candidate key). Ambiguity is real: probe
+  // "Customer#00000000" sits at distance 1 from ten clean names; the
+  // deterministic tiebreak picks the smallest key.
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val probes = cust.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").as("probe_key"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000))
+          .as("dirty_name"))
+    val blocked = probes.withColumn("blen",
+      explode(sequence(length(col("dirty_name")) - 2, length(col("dirty_name")) + 2)))
+    val cands = cust.select(col("c_custkey").as("cand_key"),
+      col("c_name").as("cand_name"), length(col("c_name")).as("blen"))
+    blocked
+      .join(cands, Seq("blen"))
+      .withColumn("dist", levenshtein(col("dirty_name"), col("cand_name")))
+      .filter(col("dist") <= 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_key")).orderBy(col("dist"), col("cand_key"))))
+      .filter(col("rk") === 1)
+      .select(col("probe_key"), col("dirty_name"),
+        col("cand_key").as("matched_key"), col("dist").cast("long").as("dist"))
+      .orderBy(col("probe_key"))
+  }
+
+  val qFuzzyMatchOracle: String =
+    """WITH probes AS (
+      |  SELECT c_custkey AS probe_key,
+      |         substr(c_name, 1, 9) || substr(c_name, 11) AS dirty_name
+      |  FROM customer WHERE c_custkey % 20 = 0),
+      |blocked AS (
+      |  SELECT probe_key, dirty_name, length(dirty_name) + d AS blen
+      |  FROM probes, (SELECT unnest([-2, -1, 0, 1, 2]) AS d) ds),
+      |cands AS (
+      |  SELECT c_custkey AS cand_key, c_name AS cand_name, length(c_name) AS blen
+      |  FROM customer),
+      |v AS (
+      |  SELECT probe_key, dirty_name, cand_key,
+      |         levenshtein(dirty_name, cand_name) AS dist
+      |  FROM blocked JOIN cands USING (blen)
+      |  WHERE levenshtein(dirty_name, cand_name) <= 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY probe_key ORDER BY dist, cand_key) AS rk
+      |  FROM v)
+      |SELECT probe_key, dirty_name, cand_key AS matched_key, dist
+      |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity" -> (qPerplexity _),
+    "q_dist_drift" -> (qDistDrift _),
+    "q_fuzzy_match" -> (qFuzzyMatch _))
+
+  /** name -> DuckDB oracle SQL, for the driver gate. */
+  def oracles: Map[String, String] = Map(
+    "q_perplexity" -> qPerplexityOracle,
+    "q_dist_drift" -> qDistDriftOracle,
+    "q_fuzzy_match" -> qFuzzyMatchOracle)
+}

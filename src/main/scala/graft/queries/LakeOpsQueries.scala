@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Data-lake maintenance and observability operators: date-spine gap
+  * filling (the engine-side generalization of the reference's per-day
+  * gap semantics, SURVEY §2.9 ST4), snapshot diffing for incremental
+  * loads, small-file compaction planning, and bounded-state heavy-hitter
+  * detection.
+  *
+  * 100 TB shape: gap filling shuffles once on the series key and the
+  * spine explode is bounded by the date span; the snapshot diff is one
+  * full-outer hash join on the primary key; compaction planning is one
+  * window over (partition, file) order; heavy hitters keep O(k) state
+  * per partition and merge sketches associatively.
+  */
+object LakeOpsQueries {
+
+  // --- date-spine gap filling + forward fill ---
+  // The reference loads weather and violations day by day and documents
+  // what a missed day means (SURVEY §2.9 ST4: gaps stay empty, a backfill
+  // must be explicit). This operator makes gaps FIRST-CLASS: build each
+  // user's full daily spine with `sequence(min_day, max_day)`, left-join
+  // the observed daily aggregate, mark the holes, and forward-fill the
+  // last observation (`last(_, ignoreNulls = true)` over a running
+  // frame). One shuffle on user_id; the explode is bounded by span days,
+  // not corpus size, so a 1000-executor run partitions by series key and
+  // never materializes a global calendar.
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 4).as("day_value"))
+    val spine = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("day_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled_value"),
+        col("day_value").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qGapFillOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS day_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(
+      |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+      |       last_value(d.day_value IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      |       d.day_value IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- snapshot diff: added / removed / changed / unchanged ---
+  // The audit companion to the upsert sink (etl/Sinks.scala): given two
+  // snapshots of the same keyed table, classify every key with ONE
+  // full-outer hash join — the standard "what did this load change"
+  // report an incremental pipeline runs after every merge. Snapshots are
+  // carved deterministically from `orders` (old = keys not divisible by
+  // 97, new = keys not divisible by 89, with every 7th price perturbed
+  // by +1.0 — an exact double add, so the change predicate needs no
+  // rounding). Classification compares columns directly rather than
+  // hashing concatenated values: double→string formatting differs across
+  // engines, column equality doesn't.
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val old = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_totalprice").as("price_old"),
+        col("o_orderstatus").as("status_old"))
+    val neu = o.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("price_new"),
+        col("o_orderstatus").as("status_new"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("change_type",
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("price_old") =!= col("price_new") ||
+            col("status_old") =!= col("status_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(coalesce(col("k_old"), col("k_new"))).as("min_key"),
+        max(coalesce(col("k_old"), col("k_new"))).as("max_key"))
+      .orderBy(col("change_type"))
+  }
+
+  val qSnapshotDiffOracle: String =
+    """WITH old AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 97 != 0),
+      |neu AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS price,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 89 != 0),
+      |d AS (
+      |  SELECT CASE WHEN old.k IS NULL THEN 'added'
+      |              WHEN neu.k IS NULL THEN 'removed'
+      |              WHEN old.price != neu.price OR old.status != neu.status THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         coalesce(old.k, neu.k) AS k
+      |  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+      |SELECT change_type, count(*) AS n_keys, min(k) AS min_key, max(k) AS max_key
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- small-file compaction planning ---
+  // At 100 TB the lake accumulates small files (every incremental load
+  // writes a few); compaction groups them into ~target-size rewrite
+  // bins. Files here are the documents table (source = lake partition,
+  // doc_id = file, n_chars = bytes). Assignment is by START OFFSET: a
+  // file whose preceding cumulative size is `c` lands in bin `c div T` —
+  // one window per partition in stable (doc_id) order, integer-exact in
+  // both engines (operands are non-negative, so Spark's truncating `div`
+  // and DuckDB's flooring `//` agree). Offset binning can overshoot a
+  // bin by at most one file — the standard trade for a single-pass plan
+  // (an exact first-fit packer is inherently sequential).
+  private val CompactTarget = 1500L
+
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("start_off",
+        coalesce(
+          sum(col("n_chars")).over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin_id", expr(s"start_off div $CompactTarget"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_bytes"),
+        min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
+      .orderBy(col("source"), col("bin_id"))
+
+  val qCompactionPlanOracle: String =
+    s"""WITH f AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(coalesce(sum(n_chars) OVER (
+       |           PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM documents)
+       |SELECT source, start_off // $CompactTarget AS bin_id,
+       |       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       |       min(doc_id) AS first_file, max(doc_id) AS last_file
+       |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- heavy hitters: Misra-Gries sketch, gated on its guarantee ---
+  // "Which keys dominate this column" with O(k) state instead of a full
+  // groupBy of the tail — the first question against a skewed 100 TB
+  // join key. The key stream is deterministically skewed (2/3 of events
+  // collapse onto user_id % 7 → seven hot keys; the rest keep their
+  // user_id → a ~150-key tail), so the k=16 sketch must actually evict.
+  // Like q_distinct_approx / q_percentile_approx the sketch CONTENTS are
+  // engine-specific (tail membership depends on arrival order), so the
+  // gate checks the deterministic CONTRACT (Misra & Gries 1982): every
+  // key with true frequency > N/k MUST be in the sketch. The output is
+  // the exact heavy set (integer-exact `freq * k > N` threshold, no
+  // division) with its sketch-membership bit, which the oracle asserts
+  // is constant TRUE.
+  private val MgK = 16
+
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = events(spark, dir)
+      .select(
+        when(col("event_id") % 3 =!= 0, (col("user_id") % 7).cast("string"))
+          .otherwise(col("user_id").cast("string")).as("key"))
+    val mg = udaf(new graft.functions.MisraGries(MgK))
+    val sketch = keyed.agg(mg(col("key")).as("cand"))
+    val totals = keyed.agg(count(lit(1)).as("n_total"))
+    keyed
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("freq"))
+      .join(broadcast(totals), lit(true))
+      .filter(col("freq") * MgK > col("n_total"))
+      .join(broadcast(sketch), lit(true))
+      .select(col("key"), col("freq"),
+        array_contains(col("cand"), col("key")).as("in_sketch"))
+      .orderBy(col("freq").desc, col("key"))
+  }
+
+  val qHeavyHittersOracle: String =
+    s"""WITH keyed AS (
+       |  SELECT CASE WHEN event_id % 3 != 0 THEN CAST(user_id % 7 AS VARCHAR)
+       |              ELSE CAST(user_id AS VARCHAR) END AS key
+       |  FROM events),
+       |tot AS (SELECT count(*) AS n_total FROM keyed)
+       |SELECT key, count(*) AS freq, TRUE AS in_sketch
+       |FROM keyed, tot GROUP BY key, n_total
+       |HAVING count(*) * $MgK > n_total
+       |ORDER BY freq DESC, key""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
+
+  /** name -> DuckDB oracle SQL, for the driver gate. */
+  def oracles: Map[String, String] = Map(
+    "q_gap_fill" -> qGapFillOracle,
+    "q_snapshot_diff" -> qSnapshotDiffOracle,
+    "q_compaction_plan" -> qCompactionPlanOracle,
+    "q_heavy_hitters" -> qHeavyHittersOracle)
+}

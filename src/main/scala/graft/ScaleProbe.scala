@@ -35,6 +35,12 @@ object ScaleProbe {
     time("sim_ivfpq")(queries.PqQueries.qSimIvfPq(spark, dir).count())
     time("hard_negatives")(queries.SimilarityQueries.qHardNegatives(spark, dir).count())
     time("dedup_containment")(queries.CorpusOpsQueries.qDedupContainment(spark, dir).count())
+    time("perplexity")(queries.CurationQueries.qPerplexity(spark, dir).count())
+    time("dist_drift")(queries.CurationQueries.qDistDrift(spark, dir).count())
+    time("fuzzy_match")(queries.CurationQueries.qFuzzyMatch(spark, dir).count())
+    time("gap_fill")(queries.LakeOpsQueries.qGapFill(spark, dir).count())
+    time("heavy_hitters")(queries.LakeOpsQueries.qHeavyHitters(spark, dir).count())
+    time("compaction_plan")(queries.LakeOpsQueries.qCompactionPlan(spark, dir).count())
     spark.stop()
   }
 }

@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusOpsQueries, CurationQueries, FunctionQueries,
-  IncrementalDedupQueries, LakeOpsQueries, MultimodalQueries,
-  PipelineQueries, PqQueries, RelationalQueries, SimilarityQueries,
-  SketchDedupQueries, StreamingQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CorpusOpsQueries, CurationQueries,
+  FunctionQueries, IncrementalDedupQueries, LakeOpsQueries,
+  MultimodalQueries, PipelineQueries, PqQueries, RelationalQueries,
+  SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,7 @@ object SparkEntry {
       StreamingQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ PqQueries.queries ++
       CorpusOpsQueries.queries ++ LakeOpsQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +43,5 @@ object SparkEntry {
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       PipelineQueries.oracles ++ PqQueries.oracles ++
       CorpusOpsQueries.oracles ++ LakeOpsQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-analytics operators: ordered funnels, retention cohorts, SCD2
+  * (slowly-changing-dimension) interval construction, and exact
+  * largest-remainder budget allocation.
+  *
+  * All four are window/aggregation plans over the events or documents
+  * tables with integer-exact or timestamp-exact arithmetic — no doubles
+  * cross an ordering or a group boundary, so both engines agree
+  * bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  // --- ordered funnel: view -> click -> purchase ---
+  // The sequencing matters: a user counts for stage 2 only if a click
+  // STRICTLY FOLLOWS their first view, and for stage 3 only if a
+  // purchase strictly follows that click. Each stage is one conditional
+  // aggregation joined back on user_id — at scale three hash
+  // aggregations on the same key (co-partitioned after the first
+  // shuffle; AQE reuses the exchange), never a per-user sort of the
+  // whole event log. Timestamps are micros-exact in both engines.
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+        lit("view").as("stage_name"), col("n"))
+      .unionAll(s2.agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+        lit("click_after_view").as("stage_name"), col("n")))
+      .unionAll(s3.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+        lit("purchase_after_click").as("stage_name"), col("n")))
+    counts.orderBy(col("stage"))
+  }
+
+  val qFunnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n FROM s1
+      |UNION ALL
+      |SELECT 2, 'click_after_view', count(*) FROM s2
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  // --- retention cohorts ---
+  // Users grouped by first-activity week; for each later week, how many
+  // of the cohort came back. Two aggregations (first activity per user,
+  // then distinct user-week activity) and one join — the classic
+  // product-analytics triangle. Week arithmetic is date_trunc('week')
+  // (ISO Monday start in BOTH engines) and the offset is an exact
+  // integer day-diff div 7.
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("ts"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val active = e
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qRetentionCohortsOracle: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |       date_diff('day', cohort_week, week) // 7 AS week_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- SCD2 interval construction from a change stream ---
+  // Collapse each user's event stream into type-2 dimension rows: one
+  // (user, state, valid_from, valid_to) interval per RUN of equal
+  // states, closed by the next run's start, open (null valid_to) for
+  // the current state. Run detection is the standard gaps-and-islands
+  // double window: lag() marks run starts under the total order
+  // (ts, event_id), a running sum numbers the runs, and one group-by
+  // collapses them. Two window passes over the SAME (user_id ordered)
+  // partitioning — one exchange, one sort, both reused.
+  def qScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      .withColumn("is_start",
+        when(lag(col("state"), 1).over(ord).isNull ||
+          lag(col("state"), 1).over(ord) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("is_start")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = runs
+      .groupBy(col("user_id"), col("run_id"), col("state"))
+      .agg(min(col("ts")).as("valid_from"))
+    intervals
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+      .select(col("user_id"), col("state"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val qScd2IntervalsOracle: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w != event_type
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT *, sum(is_start) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM ordered),
+      |intervals AS (
+      |  SELECT user_id, run_id, state, min(ts) AS valid_from
+      |  FROM runs GROUP BY 1, 2, 3),
+      |closed AS (
+      |  SELECT user_id, state, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+      |  FROM intervals)
+      |SELECT user_id, state,
+      |       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM closed ORDER BY user_id, valid_from""".stripMargin
+
+  // --- exact largest-remainder budget allocation ---
+  // Allocate a fixed sample budget (K docs) across sources proportional
+  // to their token mass so the allocations SUM TO K EXACTLY — the
+  // training-mix counterpart of q_mix_weights, done with pure integer
+  // arithmetic: base share = (K * tokens) div total, and the K - Σbase
+  // leftover units go to the largest remainders ((K * tokens) mod
+  // total), tiebroken by source. No floating point anywhere, so both
+  // engines produce the identical allocation; a spec asserts Σ = K.
+  private val AllocBudget = 300L
+
+  /** Shared allocation core: (source, tokens, n_alloc) with Σ n_alloc =
+    * AllocBudget exactly. Post-aggregation table is |sources| rows, so
+    * the single-partition windows are driver-scale, not data-scale.
+    */
+  private def allocation(spark: SparkSession, dir: String): DataFrame = {
+    val k = AllocBudget
+    val toks = documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("tokens"))
+    val tot = toks.agg(sum(col("tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val based = toks.join(broadcast(tot), lit(true))
+      .withColumn("base", expr(s"($k * tokens) div total"))
+      .withColumn("rem", expr(s"($k * tokens) % total"))
+    val leftover = based
+      .withColumn("assigned", sum(col("base")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+    leftover
+      .select(col("source"), col("tokens"),
+        (col("base") + when(col("rk") <= lit(k) - col("assigned"), 1L).otherwise(0L))
+          .as("n_alloc"))
+  }
+
+  def qAllocLargestRemainder(spark: SparkSession, dir: String): DataFrame =
+    allocation(spark, dir).orderBy(col("source"))
+
+  // --- execute the allocation: deterministic per-source sample ---
+  // The materialization half: rank each source's docs by a salted
+  // portable hash (the same md5 recipe as q_sample_stratified — both
+  // engines compute the identical 60-bit integer) and keep the first
+  // n_alloc. A source with fewer docs than its allocation contributes
+  // everything it has — the cap is explicit, not an error. One window
+  // per source plus a broadcast join of the |sources|-row allocation.
+  def qAllocApply(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('alloc7:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(allocation(spark, dir).select(col("source"), col("n_alloc"))),
+        Seq("source"))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val qAllocLargestRemainderOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM toks),
+       |based AS (
+       |  SELECT source, tokens,
+       |         ($AllocBudget * tokens) // total AS base,
+       |         ($AllocBudget * tokens) % total AS rem
+       |  FROM toks, tot),
+       |ranked AS (
+       |  SELECT *, CAST(sum(base) OVER () AS BIGINT) AS assigned,
+       |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM based)
+       |SELECT source, tokens,
+       |       CAST(base + CASE WHEN rk <= $AllocBudget - assigned THEN 1 ELSE 0 END
+       |         AS BIGINT) AS n_alloc
+       |FROM ranked ORDER BY source""".stripMargin
+
+  val qAllocApplyOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM toks),
+       |based AS (
+       |  SELECT source, tokens,
+       |         ($AllocBudget * tokens) // total AS base,
+       |         ($AllocBudget * tokens) % total AS rem
+       |  FROM toks, tot),
+       |alloc AS (
+       |  SELECT source,
+       |         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |                  <= $AllocBudget - CAST(sum(base) OVER () AS BIGINT)
+       |              THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+       |  FROM based),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY
+       |           CAST('0x' || substr(md5('alloc7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |           doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source
+       |FROM ranked JOIN alloc USING (source)
+       |WHERE rk <= n_alloc ORDER BY doc_id""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
+    "q_scd2_intervals" -> (qScd2Intervals _),
+    "q_alloc_largest_remainder" -> (qAllocLargestRemainder _),
+    "q_alloc_apply" -> (qAllocApply _))
+
+  /** name -> DuckDB oracle SQL, for the driver gate. */
+  def oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelOracle,
+    "q_retention_cohorts" -> qRetentionCohortsOracle,
+    "q_scd2_intervals" -> qScd2IntervalsOracle,
+    "q_alloc_largest_remainder" -> qAllocLargestRemainderOracle,
+    "q_alloc_apply" -> qAllocApplyOracle)
+}

@@ -210,17 +210,69 @@ object LakeOpsQueries {
        |HAVING count(*) * $MgK > n_total
        |ORDER BY freq DESC, key""".stripMargin
 
+  // --- CDC log application ---
+  // The remaining lakehouse write primitive next to upsert/insert-ignore
+  // (etl/Sinks.scala) and the snapshot diff: replay an ordered
+  // change-data-capture log (insert / update / delete with a sequence
+  // number) into final table state. The log is carved deterministically
+  // from orders — every key inserts at seq 1, every 3rd key updates at
+  // seq 2 (price + 10.0, an exact double add), every 7th key deletes at
+  // seq 3 — so keys carry 1-3 log entries and every op type is
+  // exercised, including update-then-delete. Application is the
+  // standard shape: latest entry per key under the total (seq DESC)
+  // order wins, deletes drop out. ONE shuffle on the key; at 100 TB the
+  // log partitions by key and the window never sees more than one key's
+  // entries together. No tie ambiguity: seq is unique per key.
+  def qCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+    val ins = o.select(col("k"), lit("I").as("op"), lit(1L).as("seq"),
+      col("price"), col("status"))
+    val upd = o.filter(col("k") % 3 === 0)
+      .select(col("k"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("price") + 10.0).as("price"), col("status"))
+    val del = o.filter(col("k") % 7 === 0)
+      .select(col("k"), lit("D").as("op"), lit(3L).as("seq"),
+        lit(null).cast("double").as("price"), lit(null).cast("string").as("status"))
+    ins.unionAll(upd).unionAll(del)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("price"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qCdcApplyOracle: String =
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, 'I' AS op, 1 AS seq,
+      |         o_totalprice AS price, o_orderstatus AS status FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 2, o_totalprice + 10.0, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 3, NULL, NULL
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT k AS o_orderkey, price, status
+      |FROM latest WHERE rn = 1 AND op != 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (qGapFill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_compaction_plan" -> (qCompactionPlan _),
-    "q_heavy_hitters" -> (qHeavyHitters _))
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_cdc_apply" -> (qCdcApply _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_gap_fill" -> qGapFillOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,
-    "q_heavy_hitters" -> qHeavyHittersOracle)
+    "q_heavy_hitters" -> qHeavyHittersOracle,
+    "q_cdc_apply" -> qCdcApplyOracle)
 }

@@ -433,7 +433,65 @@ object StreamingQueries {
       |WHERE s.doc_id % 97 <> 0
       |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
+  /** Misra-Gries heavy hitters maintained INSIDE a streaming aggregation:
+    * the O(k)-state sketch is exactly what an unbounded stream needs (a
+    * full groupBy of an infinite key stream grows without bound; the MG
+    * buffer is k counters however long the stream runs). The typed
+    * Aggregator's merge is associative/commutative (Agarwal et al.
+    * mergeable summaries), so micro-batch partials folding into the state
+    * store preserve the frequency guarantee regardless of how
+    * AvailableNow splits the input. The terminal batch step joins the
+    * streamed sketch against the exact heavy set — same deterministic
+    * contract as q_heavy_hitters: every key with freq > N/k must be in
+    * the sketch (tail membership is arrival-order-specific, the
+    * guarantee is not).
+    */
+  def qStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+      withStreamConfs(spark) {
+    def keyCol = when(col("event_id") % 3 =!= 0, (col("user_id") % 7).cast("string"))
+      .otherwise(col("user_id").cast("string")).as("key")
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(keyCol)
+    val mg = udaf(new graft.functions.MisraGries(16))
+    val name = "stream_heavy_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = src.agg(mg(col("key")).as("cand")).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.table(name)
+    val keyed = graft.Tables.events(spark, dir).select(keyCol)
+    val totals = keyed.agg(count(lit(1)).as("n_total"))
+    keyed
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("freq"))
+      .join(broadcast(totals), lit(true))
+      .filter(col("freq") * 16 > col("n_total"))
+      .join(broadcast(sketch), lit(true))
+      .select(col("key"), col("freq"),
+        array_contains(col("cand"), col("key")).as("in_sketch"))
+      .orderBy(col("freq").desc, col("key"))
+  }
+
+  /** Same contract as the batch q_heavy_hitters oracle. */
+  val qStreamHeavyHittersOracle: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN event_id % 3 != 0 THEN CAST(user_id % 7 AS VARCHAR)
+      |              ELSE CAST(user_id AS VARCHAR) END AS key
+      |  FROM events),
+      |tot AS (SELECT count(*) AS n_total FROM keyed)
+      |SELECT key, count(*) AS freq, TRUE AS in_sketch
+      |FROM keyed, tot GROUP BY key, n_total
+      |HAVING count(*) * 16 > n_total
+      |ORDER BY freq DESC, key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_heavy" -> (qStreamHeavyHitters _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
     "q_stream_join" -> (qStreamJoin _),
@@ -443,6 +501,7 @@ object StreamingQueries {
     "q_stream_contam" -> (qStreamContam _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_heavy" -> qStreamHeavyHittersOracle,
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,
     "q_stream_join" -> qStreamJoinOracle,

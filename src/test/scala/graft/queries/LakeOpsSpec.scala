@@ -99,6 +99,21 @@ class LakeOpsSpec extends SparkSpec {
     assert(out.contains("added") && out.contains("removed") && out.contains("changed"))
   }
 
+  // --- CDC apply: op semantics per key class ---
+
+  test("q_cdc_apply: deletes drop, updates win, inserts persist") {
+    val out = LakeOpsQueries.qCdcApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val orig = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    orig.foreach { case (k, p) =>
+      if (k % 7 == 0) assert(!out.contains(k), s"deleted key $k survived")
+      else if (k % 3 == 0) assert(out(k) == p + 10.0, s"update lost on $k")
+      else assert(out(k) == p, s"insert mutated on $k")
+    }
+  }
+
   // --- fuzzy match: the planted match wins unless a true tie beats it ---
 
   test("q_fuzzy_match: every probe resolves at distance <= 1") {

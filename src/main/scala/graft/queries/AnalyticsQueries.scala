@@ -258,13 +258,85 @@ object AnalyticsQueries {
        |FROM ranked JOIN alloc USING (source)
        |WHERE rk <= n_alloc ORDER BY doc_id""".stripMargin
 
+  // --- hierarchy ancestor closure (recursive-CTE workload) ---
+  // Spark has no WITH RECURSIVE; the Spark-first answer for hierarchy
+  // traversal is pointer doubling (ops/TransitiveClosure): log2(depth)
+  // self-join rounds instead of one join per level. The fixture forest
+  // is parent(u) = u div 3 over the distinct event users — arbitrary
+  // but deterministic, with chains deep enough to force multiple
+  // doubling rounds. The oracle is DuckDB's NATIVE recursive CTE, so
+  // the gate proves the iterative plan reproduces true recursion
+  // exactly (node, ancestor, depth — all of them).
+  def qTreeClosure(spark: SparkSession, dir: String): DataFrame = {
+    val edges = events(spark, dir)
+      .select(col("user_id").as("child")).distinct()
+      .filter(col("child") > 0)
+      .withColumn("parent", expr("child div 3"))
+    graft.ops.TransitiveClosure.ancestors(edges)
+      .orderBy(col("node"), col("depth"))
+  }
+
+  val qTreeClosureOracle: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS depth
+      |  FROM (SELECT DISTINCT user_id AS child, user_id // 3 AS parent
+      |        FROM events WHERE user_id > 0)
+      |  UNION ALL
+      |  SELECT a.node, e.parent, a.depth + 1
+      |  FROM anc a
+      |  JOIN (SELECT DISTINCT user_id AS child, user_id // 3 AS parent
+      |        FROM events WHERE user_id > 0) e
+      |    ON a.ancestor = e.child)
+      |SELECT node, ancestor, depth FROM anc ORDER BY node, depth""".stripMargin
+
+  // --- MAD outlier detection ---
+  // Robust per-group anomaly flagging: median absolute deviation is the
+  // standard outlier scale when the data itself contains the outliers
+  // (stddev is polluted by what it's trying to find). Both medians use
+  // the same exact linear-interpolation percentile as q_quantiles
+  // (cross-engine identical); the 2×MAD threshold (n_chars is tight-tailed; 3×MAD flags nothing at any SF) compares doubles
+  // produced by identical arithmetic, strictly (boundary docs are
+  // inliers in both engines). Two grouped aggregations + one broadcast
+  // join back to rows — no per-group sort of the full table at the
+  // row level.
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val med = d.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val mad = d.join(broadcast(med), "lang")
+      .groupBy(col("lang"))
+      .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    d.join(broadcast(mad), "lang")
+      .filter(abs(col("n_chars") - col("med")) > col("mad") * 2.0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qMadOutliersOracle: String =
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY 1),
+      |mad AS (
+      |  SELECT d.lang, quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad,
+      |         any_value(med.med) AS med
+      |  FROM documents d JOIN med ON d.lang = med.lang GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |       round(mad.med, 4) AS med, round(mad.mad, 4) AS mad
+      |FROM documents d JOIN mad ON d.lang = mad.lang
+      |WHERE abs(d.n_chars - mad.med) > mad.mad * 2.0
+      |ORDER BY d.doc_id""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_scd2_intervals" -> (qScd2Intervals _),
     "q_alloc_largest_remainder" -> (qAllocLargestRemainder _),
-    "q_alloc_apply" -> (qAllocApply _))
+    "q_alloc_apply" -> (qAllocApply _),
+    "q_tree_closure" -> (qTreeClosure _),
+    "q_mad_outliers" -> (qMadOutliers _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -272,5 +344,7 @@ object AnalyticsQueries {
     "q_retention_cohorts" -> qRetentionCohortsOracle,
     "q_scd2_intervals" -> qScd2IntervalsOracle,
     "q_alloc_largest_remainder" -> qAllocLargestRemainderOracle,
-    "q_alloc_apply" -> qAllocApplyOracle)
+    "q_alloc_apply" -> qAllocApplyOracle,
+    "q_tree_closure" -> qTreeClosureOracle,
+    "q_mad_outliers" -> qMadOutliersOracle)
 }

@@ -48,6 +48,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_tree_closure: chains are contiguous and terminate at the root") {
+    val rows = AnalyticsQueries.qTreeClosure(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (node, anc) =>
+      val depths = anc.map(_.getLong(2)).sorted
+      assert(depths.head == 1L && depths.last == depths.length.toLong,
+        s"node $node: depths not contiguous: ${depths.toSeq}")
+      // deepest ancestor is the root (0 under parent = u div 3)
+      val deepest = anc.maxBy(_.getLong(2)).getLong(1)
+      assert(deepest == 0L, s"node $node: chain ends at $deepest, not the root")
+      // each depth resolves to exactly one ancestor (it's a forest)
+      assert(anc.map(_.getLong(2)).distinct.length == anc.length,
+        s"node $node: duplicate depth in chain")
+    }
+    // doubling must cover depth > 2 (i.e. it actually iterated)
+    assert(rows.map(_.getLong(2)).max > 2L, "fixture too shallow to exercise doubling")
+  }
+
+  test("q_mad_outliers: every flagged doc is outside its group's 2-MAD band") {
+    val out = AnalyticsQueries.qMadOutliers(spark, sf).collect()
+    out.foreach { r =>
+      val (n, med, mad) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(n - med) > 2.0 * mad - 1e-6,
+        s"doc ${r.getLong(0)} inside the band: |$n - $med| <= 3*$mad")
+    }
+  }
+
   test("q_alloc_largest_remainder: allocations sum exactly to the budget") {
     val out = AnalyticsQueries.qAllocLargestRemainder(spark, sf).collect()
     val total = out.map(_.getLong(2)).sum

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AnalyticsQueries, CorpusOpsQueries, CurationQueries,
-  FunctionQueries, IncrementalDedupQueries, LakeOpsQueries,
+  FunctionQueries, GraphQueries, IncrementalDedupQueries, LakeOpsQueries,
   MultimodalQueries, PipelineQueries, PqQueries, RelationalQueries,
   SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
 
@@ -31,7 +31,8 @@ object SparkEntry {
       StreamingQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ PqQueries.queries ++
       CorpusOpsQueries.queries ++ LakeOpsQueries.queries ++
-      CurationQueries.queries ++ AnalyticsQueries.queries
+      CurationQueries.queries ++ AnalyticsQueries.queries ++
+      GraphQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       PipelineQueries.oracles ++ PqQueries.oracles ++
       CorpusOpsQueries.oracles ++ LakeOpsQueries.oracles ++
-      CurationQueries.oracles ++ AnalyticsQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles ++
+      GraphQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Graph analytics over the user universe: PageRank and triangle
+  * enumeration, next to the existing connected components and ancestor
+  * closure. Both fixtures derive a deterministic graph from the distinct
+  * event users (arbitrary but reproducible in any engine), and both
+  * oracles replay the exact integer formula — PageRank as three unrolled
+  * iteration CTEs standing in for the loop Spark runs, triangles as the
+  * textbook three-way self-join the oriented plan must reproduce.
+  */
+object GraphQueries {
+
+  private def userNodes(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id").as("node")).distinct()
+
+  // --- PageRank (integer-exact, 3 iterations) ---
+  // Fixture: the functional graph u -> (u*u + 7) mod (max+1) over the
+  // distinct users, semi-joined so the target must exist (guards a
+  // non-contiguous id space). The quadratic map collides heavily at
+  // every scale (an affine map degenerates to a permutation whenever the
+  // multiplier is coprime to m — uniform ranks), so sinks collect many
+  // predecessors and ranks separate over 3 rounds.
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val stats = nodes.agg((max(col("node")) + 1).as("m"))
+    val edges = nodes.crossJoin(broadcast(stats))
+      .select(col("node").as("src"),
+        ((col("node") * col("node") + 7) % col("m")).as("dst"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      // a USING join moves the join column first — restore (src, dst)
+      // order before the op's positional toDF
+      .select(col("src"), col("dst"))
+    graft.ops.PageRank.ranks(edges, nodes, iters = 3)
+      .select(col("node").as("user_id"), col("pr"))
+      .orderBy(col("pr").desc, col("user_id"))
+  }
+
+  val qPagerankOracle: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |         CAST((SELECT 15000000000000 // (100 * n) FROM stats)
+         |              + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eo.dst, CAST(sum(p.pr // eo.outdeg) AS BIGINT) AS s
+         |    FROM eo JOIN $prev p ON eo.src = p.node GROUP BY 1) s
+         |  ON n.node = s.dst)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+       |stats AS (SELECT max(node) + 1 AS m, count(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT u.node AS src, (u.node * u.node + 7) % s.m AS dst
+       |  FROM nodes u CROSS JOIN stats s
+       |  WHERE (u.node * u.node + 7) % s.m IN (SELECT node FROM nodes)),
+       |eo AS (
+       |  SELECT e.src, e.dst, o.outdeg
+       |  FROM edges e JOIN (
+       |    SELECT src, count(*) AS outdeg FROM edges GROUP BY 1) o USING (src)),
+       |it0 AS (
+       |  SELECT node, CAST((SELECT 1000000000000 // n FROM stats) AS BIGINT) AS pr
+       |  FROM nodes),
+       |${iter("it0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT node AS user_id, pr FROM it3 ORDER BY pr DESC, node""".stripMargin
+  }
+
+  // --- triangle enumeration ---
+  // Fixture: the banded graph u ~ u+d for d in {1,2,3} (both endpoints
+  // must exist), which carries ~3 triangles per interior node. The Spark
+  // plan orients by (degree, id) before building wedges; the oracle is
+  // the unoriented a<b<c three-way join — identical triple sets.
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val edges = nodes
+      .select(col("node"), explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+      .select(col("node").as("x"), (col("node") + col("d")).as("y"))
+      .join(nodes.select(col("node").as("y")), Seq("y"), "left_semi")
+      .select(col("x"), col("y"))
+    graft.ops.TriangleCount.triangles(edges)
+      .orderBy(col("a"), col("b"), col("c"))
+  }
+
+  val qTriangleCountOracle: String =
+    """WITH nodes AS (
+      |  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+      |edges AS (
+      |  SELECT u.node AS a, u.node + d.d AS b
+      |  FROM nodes u CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (3)) d(d)
+      |  WHERE u.node + d.d IN (SELECT node FROM nodes))
+      |SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |FROM edges e1
+      |JOIN edges e2 ON e2.a = e1.b
+      |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPagerank _),
+    "q_triangle_count" -> (qTriangleCount _))
+
+  /** name -> DuckDB oracle SQL, for the driver gate. */
+  def oracles: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankOracle,
+    "q_triangle_count" -> qTriangleCountOracle)
+}

@@ -328,6 +328,96 @@ object AnalyticsQueries {
       |WHERE abs(d.n_chars - mad.med) > mad.mad * 2.0
       |ORDER BY d.doc_id""".stripMargin
 
+  // --- Markov transition matrix over event types ---
+  // Per-user ordered (current -> next) event-type transitions with
+  // Laplace-free empirical probabilities in integer basis points. One
+  // window shuffle on user_id builds the pairs; the transition matrix
+  // itself is bounded by |types|² so both follow-up aggregations are
+  // tiny. `(10000 * n) div total` keeps the probability integer-exact
+  // (both operands non-negative, so Spark's truncating div and DuckDB's
+  // flooring // agree).
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val t = pairs.groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("prev_type")).agg(sum(col("n")).as("total"))
+    t.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(10000 * n) div total").as("p_bp"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val qMarkovTransitionsOracle: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS prev_type,
+      |         lead(event_type, 1) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, next_type, count(*) AS n FROM pairs
+      |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n, (10000 * t.n) // tot.total AS p_bp
+      |FROM t JOIN tot USING (prev_type)
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- peak concurrency (sweep line) ---
+  // Max simultaneous open "sessions" per day, each event held open for
+  // 10 minutes, interval end exclusive. The sweep is the classic
+  // +1/-1 delta running sum; partitioning it by DAY keeps the window
+  // shuffle-parallel at scale, with midnight-crossing intervals split
+  // into per-day segments first (a 10-minute interval touches at most
+  // two days, so the explode is bounded at 2×). Within a timestamp tie
+  // the -1s apply first (delta ASC) — end-exclusive semantics; the
+  // running sum's intra-tie order is arbitrary but the MAX is
+  // tie-order-invariant, so both engines agree on the peak.
+  def qPeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = events(spark, dir)
+      .select(col("ts"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("te"))
+    val seg1 = iv.select(date_trunc("day", col("ts")).as("day"), col("ts").as("s"),
+      least(col("te"),
+        date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("e"))
+    val seg2 = iv
+      .filter(date_trunc("day", col("te")) > date_trunc("day", col("ts")) &&
+        col("te") > date_trunc("day", col("te")))
+      .select(date_trunc("day", col("te")).as("day"),
+        date_trunc("day", col("te")).as("s"), col("te").as("e"))
+    val seg = seg1.unionAll(seg2).filter(col("e") > col("s"))
+    val d = seg.select(col("day"), col("s").as("t"), lit(1).as("delta"))
+      .unionAll(seg.select(col("day"), col("e").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("c", sum(col("delta")).over(w))
+      .groupBy(col("day")).agg(max(col("c")).as("peak"))
+      .orderBy(col("day"))
+  }
+
+  val qPeakConcurrencyOracle: String =
+    """WITH iv AS (SELECT ts, ts + INTERVAL 10 MINUTE AS te FROM events),
+      |seg AS (
+      |  SELECT date_trunc('day', ts) AS day, ts AS s,
+      |         least(te, date_trunc('day', ts) + INTERVAL 1 DAY) AS e
+      |  FROM iv
+      |  UNION ALL
+      |  SELECT date_trunc('day', te) AS day, date_trunc('day', te) AS s, te
+      |  FROM iv
+      |  WHERE date_trunc('day', te) > date_trunc('day', ts)
+      |    AND te > date_trunc('day', te)),
+      |d AS (
+      |  SELECT day, s AS t, 1 AS delta FROM seg WHERE e > s
+      |  UNION ALL
+      |  SELECT day, e AS t, -1 AS delta FROM seg WHERE e > s),
+      |r AS (
+      |  SELECT day, sum(delta) OVER (
+      |    PARTITION BY day ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM d)
+      |SELECT day, CAST(max(c) AS BIGINT) AS peak
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -336,7 +426,9 @@ object AnalyticsQueries {
     "q_alloc_largest_remainder" -> (qAllocLargestRemainder _),
     "q_alloc_apply" -> (qAllocApply _),
     "q_tree_closure" -> (qTreeClosure _),
-    "q_mad_outliers" -> (qMadOutliers _))
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_markov_transitions" -> (qMarkovTransitions _),
+    "q_peak_concurrency" -> (qPeakConcurrency _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -346,5 +438,7 @@ object AnalyticsQueries {
     "q_alloc_largest_remainder" -> qAllocLargestRemainderOracle,
     "q_alloc_apply" -> qAllocApplyOracle,
     "q_tree_closure" -> qTreeClosureOracle,
-    "q_mad_outliers" -> qMadOutliersOracle)
+    "q_mad_outliers" -> qMadOutliersOracle,
+    "q_markov_transitions" -> qMarkovTransitionsOracle,
+    "q_peak_concurrency" -> qPeakConcurrencyOracle)
 }

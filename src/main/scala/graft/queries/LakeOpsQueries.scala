@@ -260,13 +260,56 @@ object LakeOpsQueries {
       |FROM latest WHERE rn = 1 AND op != 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- referential-integrity audit (orphan scan) ---
+  // The post-load FK check a lake needs after every ingest: anti-join
+  // each fact table against its dimension snapshot and report orphan
+  // rates. The fixture simulates a partially-lost dimension (customers
+  // ending in 3, orders ≡ 2 mod 7 dropped) so the audit actually finds
+  // orphans at gate scale. Anti joins are plain shuffle equi-joins —
+  // at 100 TB each relation audit is one join on its key, and the
+  // basis-point rate stays integer-exact.
+  def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(fact: DataFrame, factKey: String, dim: DataFrame,
+        dimKey: String, fkName: String): DataFrame =
+      fact.select(col(factKey).as("k"))
+        .join(dim.select(col(dimKey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(fact.agg(count(lit(1)).as("n_total")))
+        .select(lit(fkName).as("fk"), col("n_orphans"), col("n_total"),
+          expr("(10000 * n_orphans) div n_total").as("orphan_bp"))
+    val custSnap = customer(spark, dir).filter(col("c_custkey") % 10 =!= 3)
+    val ordSnap = orders(spark, dir).filter(col("o_orderkey") % 7 =!= 2)
+    audit(orders(spark, dir), "o_custkey", custSnap, "c_custkey",
+        "orders->customer")
+      .unionAll(audit(lineitem(spark, dir), "l_orderkey", ordSnap, "o_orderkey",
+        "lineitem->orders"))
+      .orderBy(col("fk"))
+  }
+
+  val qRefIntegrityOracle: String =
+    """WITH cs AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 != 3),
+      |os AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 != 2),
+      |r AS (
+      |  SELECT 'orders->customer' AS fk,
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM cs WHERE cs.c_custkey = o.o_custkey)) AS n_orphans,
+      |         (SELECT count(*) FROM orders) AS n_total
+      |  UNION ALL
+      |  SELECT 'lineitem->orders' AS fk,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM os WHERE os.o_orderkey = l.l_orderkey)) AS n_orphans,
+      |         (SELECT count(*) FROM lineitem) AS n_total)
+      |SELECT fk, n_orphans, n_total, (10000 * n_orphans) // n_total AS orphan_bp
+      |FROM r ORDER BY fk""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (qGapFill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_cdc_apply" -> (qCdcApply _))
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_ref_integrity" -> (qRefIntegrity _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -274,5 +317,6 @@ object LakeOpsQueries {
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
-    "q_cdc_apply" -> qCdcApplyOracle)
+    "q_cdc_apply" -> qCdcApplyOracle,
+    "q_ref_integrity" -> qRefIntegrityOracle)
 }

@@ -487,6 +487,32 @@ object RelationalQueries {
       |GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), o_orderpriority)
       |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin
 
+  // --- GROUPING SETS: the general form completing ROLLUP/CUBE ---
+  // Independent (lang), (source), and grand-total aggregates in ONE
+  // pass over documents — at 100 TB that's one scan + one expanded
+  // aggregation instead of three scans union-ed. Explicit per-column
+  // grouping flags (not grouping_id) keep the row-identity encoding
+  // engine-portable.
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
+      .orderBy(col("g_lang"), col("g_source"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val qGroupingSetsOracle: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |       CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |       CAST(GROUPING(source) AS BIGINT) AS g_source
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   // --- bucketized range join: interval containment without a BNLJ ---
   // Each purchase joins the same-user daily activity window (min..max ts
   // of that user's click/view events) containing it. The naive
@@ -761,6 +787,7 @@ object RelationalQueries {
     "q_distinct_users" -> (qDistinctUsers _),
     "q_quantiles" -> (qQuantiles _),
     "q_rollup_counts" -> (qRollupCounts _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_range_join" -> (qRangeJoin _),
     "q_outer_join_dist" -> (qOuterJoinDist _),
     "q_window_funcs" -> (qWindowFuncs _),
@@ -793,6 +820,7 @@ object RelationalQueries {
     "q_distinct_users" -> qDistinctUsersOracle,
     "q_quantiles" -> qQuantilesOracle,
     "q_rollup_counts" -> qRollupCountsOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
     "q_range_join" -> qRangeJoinOracle,
     "q_outer_join_dist" -> qOuterJoinDistOracle,
     "q_window_funcs" -> qWindowFuncsOracle,

@@ -75,6 +75,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_markov_transitions: rows per prev sum to the pair count; p_bp sums to ~10000") {
+    val rows = AnalyticsQueries.qMarkovTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val bp = rs.map(_.getLong(3)).sum
+      // each truncating div loses < 1 bp per next-type
+      assert(bp <= 10000 && bp > 10000 - rs.length,
+        s"$prev: probabilities sum to $bp bp over ${rs.length} rows")
+    }
+    val nPairs = rows.map(_.getLong(2)).sum
+    val nEvents = graft.Tables.events(spark, sf).count()
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(nPairs == nEvents - nUsers,
+      s"pair count $nPairs != events - users (${nEvents - nUsers})")
+  }
+
+  test("q_peak_concurrency: peaks are positive and bounded by the day's arrivals") {
+    val peaks = AnalyticsQueries.qPeakConcurrency(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(peaks.nonEmpty)
+    val perDay = graft.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    peaks.foreach { case (day, p) =>
+      assert(p >= 1L, s"$day: non-positive peak")
+      // intervals open during day D all started on D or carried over
+      // midnight from D-1, so arrivals(D) + arrivals(D-1) bounds the peak
+      val prev = java.sql.Timestamp.valueOf(day.toLocalDateTime.minusDays(1))
+      val bound = perDay.getOrElse(day, 0L) + perDay.getOrElse(prev, 0L)
+      assert(p <= bound, s"$day: peak $p exceeds arrivals+carry $bound")
+    }
+  }
+
   test("q_alloc_largest_remainder: allocations sum exactly to the budget") {
     val out = AnalyticsQueries.qAllocLargestRemainder(spark, sf).collect()
     val total = out.map(_.getLong(2)).sum

@@ -14,6 +14,21 @@ class CompositeOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("q_grouping_sets: each grouping set partitions the corpus count") {
+    val rows = RelationalQueries.qGroupingSets(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    // (lang) rows: g_lang=0, g_source=1; (source) rows: 1,0; (): 1,1
+    val byLang = rows.filter(r => r.getLong(4) == 0L && r.getLong(5) == 1L)
+    val bySrc = rows.filter(r => r.getLong(4) == 1L && r.getLong(5) == 0L)
+    val grand = rows.filter(r => r.getLong(4) == 1L && r.getLong(5) == 1L)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    assert(byLang.map(_.getLong(2)).sum == total)
+    assert(bySrc.map(_.getLong(2)).sum == total)
+    assert(byLang.forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+    assert(bySrc.forall(r => r.isNullAt(0) && !r.isNullAt(1)))
+    assert(rows.length == byLang.length + bySrc.length + 1)
+  }
+
   test("IVF-PQ distances agree with the full ADC scan; pruning only prunes") {
     // full-scan ADC pairs (no IVF pruning): the distance ground truth
     val full = PqQueries.qSimPqTopk(spark, sf)

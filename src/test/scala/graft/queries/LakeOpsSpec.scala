@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.Tables
 import graft.functions.MisraGries
 
 /** Specs for the lake-maintenance and curation operators beyond what the
@@ -100,6 +101,25 @@ class LakeOpsSpec extends SparkSpec {
   }
 
   // --- CDC apply: op semantics per key class ---
+
+  test("q_ref_integrity: orphan counts equal the dropped-slice membership") {
+    val rows = LakeOpsQueries.qRefIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("orders->customer", "lineitem->orders"))
+    // orphan orders are exactly those referencing a customer ending in 3
+    val o = Tables.orders(spark, sf)
+    val expOrd = o.filter(col("o_custkey") % 10 === 3).count()
+    assert(rows("orders->customer")._1 == expOrd)
+    assert(rows("orders->customer")._2 == o.count())
+    // every lineitem orphan references an order key = 2 mod 7
+    val l = Tables.lineitem(spark, sf)
+    val expLi = l.filter(col("l_orderkey") % 7 === 2).count()
+    assert(rows("lineitem->orders")._1 == expLi)
+    rows.values.foreach { case (orphans, total, bp) =>
+      assert(bp == 10000L * orphans / total)
+      assert(orphans > 0, "fixture must actually produce orphans")
+    }
+  }
 
   test("q_cdc_apply: deletes drop, updates win, inserts persist") {
     val out = LakeOpsQueries.qCdcApply(spark, sf).collect()

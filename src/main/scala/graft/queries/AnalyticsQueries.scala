@@ -418,6 +418,176 @@ object AnalyticsQueries {
       |SELECT day, CAST(max(c) AS BIGINT) AS peak
       |FROM r GROUP BY day ORDER BY day""".stripMargin
 
+  // --- top session paths ---
+  // The first five event types of each (user, day) session joined into a
+  // path string, ranked by frequency. The per-session truncation (rn <= 5)
+  // happens BEFORE the path aggregation, so no session contributes more
+  // than 5 rows to the shuffle however long it really is; the path
+  // frequency table is bounded by |types|^5, so the final top-20
+  // sort+limit runs over a tiny aggregate, not the event log. Ordered by
+  // (n DESC, path) — a total order, so LIMIT is deterministic in both
+  // engines.
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val qSessionPathsOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |         row_number() OVER (
+      |           PARTITION BY user_id, CAST(ts AS DATE)
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM paths GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // --- conversion-time quantiles (view -> first subsequent click) ---
+  // Time-to-convert distribution for the funnel's first transition, in
+  // integer seconds (micros-exact diff, truncating div — identical in
+  // both engines) with the exact interpolated percentiles both engines
+  // share. Two narrow per-user aggregations; the quantile runs over one
+  // row per converting user.
+  def qConversionTime(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), first(col("t1")).as("t1"))
+    s2.select(expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").as("secs"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(secs, 0.5)"), 4).as("p50_secs"),
+        round(expr("percentile(secs, 0.9)"), 4).as("p90_secs"))
+  }
+
+  val qConversionTimeOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |d AS (SELECT (epoch_us(t2) - epoch_us(t1)) // 1000000 AS secs FROM s2)
+      |SELECT count(*) AS n_converted,
+      |       round(quantile_cont(secs, 0.5), 4) AS p50_secs,
+      |       round(quantile_cont(secs, 0.9), 4) AS p90_secs
+      |FROM d""".stripMargin
+
+  // --- market-basket affinity (parts bought together) ---
+  // Pairwise co-occurrence within an order with parts-per-million lift.
+  // The pair explode is bounded by the basket size (a handful of line
+  // items per order), NEVER all-pairs over the catalog — the classic
+  // trick that keeps affinity mining linear in order count at any scale.
+  // Lift is computed entirely in integer ppm: (1e6 * n_ab * N) div
+  // (n_a * n_b), exact in both engines.
+  def qItemAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val np = li.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val tot = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(np.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(np.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
+
+  val qItemAffinityOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |np AS (SELECT p, count(*) AS n_p FROM li GROUP BY 1),
+      |tot AS (SELECT count(DISTINCT o) AS n_orders FROM li)
+      |SELECT pairs.pa, pairs.pb, pairs.n_ab, na.n_p AS n_a, nb.n_p AS n_b,
+      |       (1000000 * pairs.n_ab * tot.n_orders) // (na.n_p * nb.n_p) AS lift_ppm
+      |FROM pairs
+      |JOIN np na ON pairs.pa = na.p
+      |JOIN np nb ON pairs.pb = nb.p
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, pa, pb LIMIT 50""".stripMargin
+
+  // --- A/B lift report with z-score ---
+  // Users are hashed into two arms with the portable md5 recipe (the
+  // engine's standard cross-engine split), conversion is ">= 14 purchase
+  // events" (a high-value-customer cut that stays non-degenerate at any
+  // SF — per-user event counts are scale-invariant in the testdata,
+  // whereas "any purchase" converts EVERYONE and zeroes the z
+  // denominator), and the report carries integer basis-point conversion rates
+  // plus the two-proportion z-score. The z is the one double in the
+  // engine's analytics surface computed from a closed-form expression —
+  // identical operand order in both engines, rounded to 4 decimals.
+  def qAbLift(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14, 1)
+        .otherwise(0).as("conv"))
+      .withColumn("arm", expr(
+        "CASE WHEN cast(conv(substring(md5(concat('ab7:', cast(user_id as string))), 1, 15), 16, 10) as bigint) % 2 = 0 THEN 'A' ELSE 'B' END"))
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv").cast("long")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv").cast("long")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("(10000 * conv_a) div n_a").as("cr_a_bp"),
+        expr("(10000 * conv_b) div n_b").as("cr_b_bp"),
+        round(expr(
+          """(conv_a / n_a - conv_b / n_b) /
+            | sqrt(nullif(((conv_a + conv_b) / (n_a + n_b)) *
+            |       (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+            |       (1.0 / n_a + 1.0 / n_b), 0.0))""".stripMargin), 4).as("z_score"))
+
+  val qAbLiftOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS conv,
+      |         CASE WHEN CAST('0x' || substr(md5('ab7:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |s AS (
+      |  SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+      |         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM u)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       (10000 * conv_a) // n_a AS cr_a_bp,
+      |       (10000 * conv_b) // n_b AS cr_b_bp,
+      |       round((conv_a / n_a - conv_b / n_b) /
+      |             sqrt(nullif(((conv_a + conv_b) / (n_a + n_b)) *
+      |                  (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+      |                  (1.0 / n_a + 1.0 / n_b), 0.0)), 4) AS z_score
+      |FROM s""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -428,7 +598,11 @@ object AnalyticsQueries {
     "q_tree_closure" -> (qTreeClosure _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_markov_transitions" -> (qMarkovTransitions _),
-    "q_peak_concurrency" -> (qPeakConcurrency _))
+    "q_peak_concurrency" -> (qPeakConcurrency _),
+    "q_session_paths" -> (qSessionPaths _),
+    "q_conversion_time" -> (qConversionTime _),
+    "q_item_affinity" -> (qItemAffinity _),
+    "q_ab_lift" -> (qAbLift _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -440,5 +614,9 @@ object AnalyticsQueries {
     "q_tree_closure" -> qTreeClosureOracle,
     "q_mad_outliers" -> qMadOutliersOracle,
     "q_markov_transitions" -> qMarkovTransitionsOracle,
-    "q_peak_concurrency" -> qPeakConcurrencyOracle)
+    "q_peak_concurrency" -> qPeakConcurrencyOracle,
+    "q_session_paths" -> qSessionPathsOracle,
+    "q_conversion_time" -> qConversionTimeOracle,
+    "q_item_affinity" -> qItemAffinityOracle,
+    "q_ab_lift" -> qAbLiftOracle)
 }

@@ -110,6 +110,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_session_paths: paths have at most 5 hops and counts cover sessions") {
+    val rows = AnalyticsQueries.qSessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val hops = r.getString(0).split(">")
+      assert(hops.length <= 5 && hops.nonEmpty, s"bad path ${r.getString(0)}")
+      hops.foreach(h => assert(
+        Set("view", "click", "purchase", "signup", "error")(h), s"unknown type $h"))
+    }
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse), "not sorted by frequency")
+    val nSessions = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(ns.sum <= nSessions)
+  }
+
+  test("q_conversion_time: quantiles ordered, count matches funnel stage 2") {
+    val r = AnalyticsQueries.qConversionTime(spark, sf).collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) <= r.getDouble(2), "p50 > p90")
+    assert(r.getDouble(1) >= 0.0)
+    val funnelS2 = AnalyticsQueries.qFunnel(spark, sf).collect()
+      .find(_.getInt(0) == 2).get.getLong(2)
+    assert(r.getLong(0) == funnelS2,
+      s"conversion count ${r.getLong(0)} != funnel stage 2 $funnelS2")
+  }
+
+  test("q_item_affinity: pair order canonical, lift arithmetic exact") {
+    val rows = AnalyticsQueries.qItemAffinity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nOrders = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    rows.foreach { r =>
+      val (pa, pb, nab, na, nb, lift) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(pa < pb, s"pair not canonical: $pa >= $pb")
+      assert(nab >= 2 && nab <= math.min(na, nb))
+      assert(lift == 1000000L * nab * nOrders / (na * nb))
+    }
+  }
+
+  test("q_ab_lift: arms partition the users and z sign tracks the rate gap") {
+    val r = AnalyticsQueries.qAbLift(spark, sf).collect().head
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(na + nb == nUsers)
+    assert(ca <= na && cb <= nb)
+    assert(ca > 0 && cb > 0 && ca < na && cb < nb,
+      "conversion degenerate — z-score fixture broken")
+    val z = r.getDouble(6)
+    val gap = ca.toDouble / na - cb.toDouble / nb
+    assert(z.sign == gap.sign || gap == 0.0)
+  }
+
   test("q_alloc_largest_remainder: allocations sum exactly to the budget") {
     val out = AnalyticsQueries.qAllocLargestRemainder(spark, sf).collect()
     val total = out.map(_.getLong(2)).sum

@@ -41,6 +41,13 @@ object ScaleProbe {
     time("gap_fill")(queries.LakeOpsQueries.qGapFill(spark, dir).count())
     time("heavy_hitters")(queries.LakeOpsQueries.qHeavyHitters(spark, dir).count())
     time("compaction_plan")(queries.LakeOpsQueries.qCompactionPlan(spark, dir).count())
+    time("tree_closure")(queries.AnalyticsQueries.qTreeClosure(spark, dir).count())
+    time("pagerank")(queries.GraphQueries.qPagerank(spark, dir).count())
+    time("triangle_count")(queries.GraphQueries.qTriangleCount(spark, dir).count())
+    time("markov_transitions")(queries.AnalyticsQueries.qMarkovTransitions(spark, dir).count())
+    time("peak_concurrency")(queries.AnalyticsQueries.qPeakConcurrency(spark, dir).count())
+    time("session_paths")(queries.AnalyticsQueries.qSessionPaths(spark, dir).count())
+    time("item_affinity")(queries.AnalyticsQueries.qItemAffinity(spark, dir).count())
     spark.stop()
   }
 }

@@ -30,8 +30,19 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // driver testdata: TIMESTAMP(NANOS), surfaced as a long under the
+      // legacy conf — integer-divide to micros
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // regenerated probe corpora carry plain micros timestamps (NTZ or
+      // LTZ); normalize to the session type (UTC session, values intact)
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

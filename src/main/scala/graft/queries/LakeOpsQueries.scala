@@ -302,6 +302,56 @@ object LakeOpsQueries {
       |SELECT fk, n_orphans, n_total, (10000 * n_orphans) // n_total AS orphan_bp
       |FROM r ORDER BY fk""".stripMargin
 
+  // --- table profiling (ANALYZE-style statistics collection) ---
+  // The stats a cost-based optimizer or data-quality monitor wants after
+  // every load: row count, null count, exact NDV, min/max per column —
+  // in ONE pass over the table (a single multi-aggregate; Spark plans
+  // the three count-distincts via one Expand, still one scan), reshaped
+  // to one row per column with stack(). Profiled columns are integer- or
+  // string-typed so the min/max stringification is engine-portable
+  // (doubles would format differently).
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("string").as("mn1"),
+        max(col("o_orderkey")).cast("string").as("mx1"),
+        count(col("o_custkey")).as("nn2"),
+        countDistinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("string").as("mn2"),
+        max(col("o_custkey")).cast("string").as("mx2"),
+        count(col("o_orderpriority")).as("nn3"),
+        countDistinct(col("o_orderpriority")).as("nd3"),
+        min(col("o_orderpriority")).cast("string").as("mn3"),
+        max(col("o_orderpriority")).cast("string").as("mx3"))
+      .selectExpr(
+        """stack(3,
+          |  'o_orderkey',      n, n - nn1, nd1, mn1, mx1,
+          |  'o_custkey',       n, n - nn2, nd2, mn2, mx2,
+          |  'o_orderpriority', n, n - nn3, nd3, mn3, mx3)
+          | AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""".stripMargin)
+      .orderBy(col("col_name"))
+
+  val qProfileOracle: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |         count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+      |         CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+      |         count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+      |         CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+      |         count(o_orderpriority) AS nn3, count(DISTINCT o_orderpriority) AS nd3,
+      |         CAST(min(o_orderpriority) AS VARCHAR) AS mn3, CAST(max(o_orderpriority) AS VARCHAR) AS mx3
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls,
+      |       nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+      |UNION ALL
+      |SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2 FROM a
+      |UNION ALL
+      |SELECT 'o_orderpriority', n, n - nn3, nd3, mn3, mx3 FROM a
+      |ORDER BY col_name""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (qGapFill _),
@@ -309,7 +359,8 @@ object LakeOpsQueries {
     "q_compaction_plan" -> (qCompactionPlan _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_cdc_apply" -> (qCdcApply _),
-    "q_ref_integrity" -> (qRefIntegrity _))
+    "q_ref_integrity" -> (qRefIntegrity _),
+    "q_profile" -> (qProfile _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -318,5 +369,6 @@ object LakeOpsQueries {
     "q_compaction_plan" -> qCompactionPlanOracle,
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_cdc_apply" -> qCdcApplyOracle,
-    "q_ref_integrity" -> qRefIntegrityOracle)
+    "q_ref_integrity" -> qRefIntegrityOracle,
+    "q_profile" -> qProfileOracle)
 }

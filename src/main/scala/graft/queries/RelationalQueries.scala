@@ -513,6 +513,66 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
+  // --- INTERSECT / EXCEPT: the set-operation surface beyond UNION ---
+  // Which (lang, source) combinations appear in both corpus slices, and
+  // which only in the first. Both are distinct-set semantics (one
+  // shuffle on the full grouping key each); slices are deterministic
+  // doc_id residue classes.
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    val a = d.filter(col("doc_id") % 3 === 0).select(col("lang"), col("source"))
+    val b = d.filter(col("doc_id") % 5 === 0).select(col("lang"), col("source"))
+    a.intersect(b).select(lit("intersect").as("op"), col("lang"), col("source"))
+      .unionAll(
+        a.except(b).select(lit("except").as("op"), col("lang"), col("source")))
+      .orderBy(col("op"), col("lang"), col("source"))
+  }
+
+  val qSetOpsOracle: String =
+    """WITH a AS (SELECT lang, source FROM documents WHERE doc_id % 3 = 0),
+      |b AS (SELECT lang, source FROM documents WHERE doc_id % 5 = 0),
+      |i AS (SELECT lang, source FROM a INTERSECT SELECT lang, source FROM b),
+      |e AS (SELECT lang, source FROM a EXCEPT SELECT lang, source FROM b)
+      |SELECT 'intersect' AS op, lang, source FROM i
+      |UNION ALL
+      |SELECT 'except', lang, source FROM e
+      |ORDER BY op, lang, source""".stripMargin
+
+  // --- UNPIVOT (melt): wide-to-long reshaping ---
+  // The inverse of q_pivot_lang: a wide per-source language-count matrix
+  // melted back to (source, lang, n) rows with the Spark 4 unpivot API.
+  // The wide frame is an aggregate (|sources| rows), so the reshape is
+  // plan-side trivial — the point is API surface parity with SQL UNPIVOT.
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val agged = documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("de"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en"),
+        sum(when(col("lang") === "es", 1L).otherwise(0L)).as("es"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("fr"),
+        sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("zh"))
+    agged.unpivot(
+        Array(col("source")),
+        langs.map(col).toArray,
+        "lang", "n")
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val qUnpivotOracle: String =
+    """WITH wide AS (
+      |  SELECT source,
+      |         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |         CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |         CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |         CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |  FROM documents GROUP BY source)
+      |SELECT source, lang, n
+      |FROM wide UNPIVOT (n FOR lang IN (de, en, es, fr, zh))
+      |ORDER BY source, lang""".stripMargin
+
   // --- bucketized range join: interval containment without a BNLJ ---
   // Each purchase joins the same-user daily activity window (min..max ts
   // of that user's click/view events) containing it. The naive
@@ -788,6 +848,8 @@ object RelationalQueries {
     "q_quantiles" -> (qQuantiles _),
     "q_rollup_counts" -> (qRollupCounts _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_set_ops" -> (qSetOps _),
+    "q_unpivot" -> (qUnpivot _),
     "q_range_join" -> (qRangeJoin _),
     "q_outer_join_dist" -> (qOuterJoinDist _),
     "q_window_funcs" -> (qWindowFuncs _),
@@ -821,6 +883,8 @@ object RelationalQueries {
     "q_quantiles" -> qQuantilesOracle,
     "q_rollup_counts" -> qRollupCountsOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_set_ops" -> qSetOpsOracle,
+    "q_unpivot" -> qUnpivotOracle,
     "q_range_join" -> qRangeJoinOracle,
     "q_outer_join_dist" -> qOuterJoinDistOracle,
     "q_window_funcs" -> qWindowFuncsOracle,

@@ -734,7 +734,42 @@ object TextQueries {
       |                     THEN 0 ELSE 1 END) AS BIGINT) AS dropped
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- inverted index over 3-word shingles ---
+  // The retrieval-side companion to the decontamination join: build the
+  // shingle -> postings-list index itself, restricted to the useful df
+  // band (singleton shingles match nothing, stop-shingles match
+  // everything — the band keeps every postings list short by
+  // construction, which is exactly how a real index bounds its hot
+  // rows). One explode + one groupBy(shingle); the postings string is
+  // bounded by the df cap, never by corpus size.
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+          .as("postings"))
+      .filter(col("df").between(4, 12))
+      .orderBy(col("shingle"))
+
+  val qInvertedIndexOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)-1),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      |  FROM w WHERE len(ws) >= 3)
+      |SELECT shingle, count(*) AS df,
+      |       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |FROM sh GROUP BY 1 HAVING count(*) BETWEEN 4 AND 12
+      |ORDER BY shingle""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
     "q_langid_nb" -> (qLangIdNb _),
@@ -749,6 +784,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_inverted_index" -> qInvertedIndexOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,
     "q_langid_nb" -> qLangIdNbOracle,

@@ -29,6 +29,54 @@ class CompositeOpsSpec extends SparkSpec {
     assert(rows.length == byLang.length + bySrc.length + 1)
   }
 
+  test("q_inverted_index: postings agree with df, sorted and distinct") {
+    val rows = TextQueries.qInvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      assert(df >= 4 && df <= 12)
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length == df, s"${r.getString(0)}: postings != df")
+      assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
+    }
+  }
+
+  test("q_profile: PK column profiles as unique, stats parse and order") {
+    val rows = LakeOpsQueries.qProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderpriority"))
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == total && r.getLong(2) == 0L)
+    }
+    val pk = rows("o_orderkey")
+    assert(pk.getLong(3) == total, "order key should profile as unique")
+    assert(pk.getString(4).toLong <= pk.getString(5).toLong)
+    assert(rows("o_orderpriority").getLong(3) == 5L)
+  }
+
+  test("q_set_ops: intersect and except partition the first slice's pairs") {
+    val rows = RelationalQueries.qSetOps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val inter = rows.filter(_._1 == "intersect").map(t => (t._2, t._3)).toSet
+    val exc = rows.filter(_._1 == "except").map(t => (t._2, t._3)).toSet
+    assert(inter.nonEmpty)
+    assert(inter.intersect(exc).isEmpty, "intersect and except overlap")
+    val aPairs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).select("lang", "source").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inter.union(exc) == aPairs, "set ops do not partition slice A")
+  }
+
+  test("q_unpivot: long form conserves the corpus count over the full grid") {
+    val rows = RelationalQueries.qUnpivot(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val sources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == 5 * sources, "grid must be sources x 5 langs")
+  }
+
   test("IVF-PQ distances agree with the full ADC scan; pruning only prunes") {
     // full-scan ADC pairs (no IVF pruning): the distance ground truth
     val full = PqQueries.qSimPqTopk(spark, sf)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AnalyticsQueries, CorpusOpsQueries, CurationQueries,
-  FunctionQueries, GraphQueries, IncrementalDedupQueries, LakeOpsQueries,
+  FeatureQueries, FunctionQueries, GraphQueries, IncrementalDedupQueries, LakeOpsQueries,
   MultimodalQueries, PipelineQueries, PqQueries, RelationalQueries,
   SimilarityQueries, SketchDedupQueries, StreamingQueries, TextQueries}
 
@@ -32,7 +32,7 @@ object SparkEntry {
       PipelineQueries.queries ++ PqQueries.queries ++
       CorpusOpsQueries.queries ++ LakeOpsQueries.queries ++
       CurationQueries.queries ++ AnalyticsQueries.queries ++
-      GraphQueries.queries
+      GraphQueries.queries ++ FeatureQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +45,5 @@ object SparkEntry {
       PipelineQueries.oracles ++ PqQueries.oracles ++
       CorpusOpsQueries.oracles ++ LakeOpsQueries.oracles ++
       CurationQueries.oracles ++ AnalyticsQueries.oracles ++
-      GraphQueries.oracles
+      GraphQueries.oracles ++ FeatureQueries.oracles
 }

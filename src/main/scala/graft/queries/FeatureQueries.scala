@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Feature-store operators: the transforms a training pipeline runs to
+  * attach model features to events — point-in-time-correct dimension
+  * lookup, trailing-window aggregates, deterministic negative sampling,
+  * and an exponentially-weighted moving average.
+  *
+  * Determinism: every feature is integer-exact (counts, micro-units,
+  * integer weights) or order-insensitive (max), so the DuckDB oracle
+  * matches bit-for-bit; nothing depends on accumulation order.
+  */
+object FeatureQueries {
+
+  // --- point-in-time (PIT) join ---
+  // The feature-store correctness rule: a training row built at fact
+  // time t may only see dimension state with valid_from <= t — anything
+  // later leaks the future into the features. State here is the user's
+  // latest signup/error event ("account status stream"); facts are
+  // purchases. Implemented as the as-of union trick: tag state rows 0
+  // and fact rows 1, sort each user's merged timeline once, and carry
+  // the last seen state forward — ONE shuffle on user_id, no inequality
+  // join, no per-fact probe. A state change at exactly t applies to t
+  // (tag 0 sorts first).
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val states = e.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("tag"), col("event_type").as("state"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("tag"), lit(null).cast("string").as("state"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    states.unionAll(facts)
+      .withColumn("state_at", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("state_at"), lit("none")).as("state_at"))
+      .orderBy(col("event_id"))
+  }
+
+  val qPitJoinOracle: String =
+    """WITH tl AS (
+      |  SELECT user_id, ts, event_id, 0 AS tag, event_type AS state
+      |  FROM events WHERE event_type IN ('signup', 'error')
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 1 AS tag, NULL AS state
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *, last_value(state IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, tag, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_at
+      |  FROM tl)
+      |SELECT event_id, user_id, ts, coalesce(state_at, 'none') AS state_at
+      |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin
+
+  // --- trailing-window features (RANGE frame) ---
+  // "How active was this user in the 7 days before this purchase" — the
+  // canonical trailing feature, computed with a VALUE-based range frame
+  // over integer epoch seconds (deterministic under timestamp ties,
+  // unlike a row frame). Features are a count and an order-insensitive
+  // max, so no accumulation-order hazard; windows are computed over the
+  // full per-user timeline, then only fact rows are kept.
+  def qTrailingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = 7L * 86400L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-horizon, 0)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
+      .withColumn("n_events_7d", count(lit(1)).over(w))
+      .withColumn("n_purchases_7d",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      .withColumn("max_value_7d", max(col("value")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("n_events_7d"), col("n_purchases_7d"), col("max_value_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val qTrailingFeaturesOracle: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         epoch_us(ts) // 1000000 AS tsec
+      |  FROM events),
+      |f AS (
+      |  SELECT event_id, user_id, event_type,
+      |         count(*) OVER w AS n_events_7d,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              OVER w AS BIGINT) AS n_purchases_7d,
+      |         max(value) OVER w AS max_value_7d
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+      |               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, n_events_7d, n_purchases_7d, max_value_7d
+      |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // --- deterministic negative sampling ---
+  // Recommendation training needs (user, item-they-did-NOT-buy) pairs.
+  // Candidates come from the portable salted-md5 hash (8 per customer),
+  // existence-checked against `part`, purged of true interactions with
+  // an anti-join, and the first 3 surviving candidates per customer (by
+  // draw index, then part key) are kept. Everything is equi-join +
+  // bounded explode: 8 candidate rows per user, never |users| × |parts|.
+  def qNegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val bought = orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val maxPart = part(spark, dir).agg(max(col("p_partkey")).as("mp"))
+    val cands = customer(spark, dir).select(col("c_custkey").as("custkey"))
+      .select(col("custkey"), explode(expr("sequence(0, 7)")).as("i"))
+      .crossJoin(broadcast(maxPart))
+      .withColumn("partkey", expr(
+        "cast(conv(substring(md5(concat('neg11:', cast(custkey as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % mp + 1"))
+      .join(part(spark, dir).select(col("p_partkey").as("partkey")),
+        Seq("partkey"), "left_semi")
+      .groupBy(col("custkey"), col("partkey")).agg(min(col("i")).as("i"))
+    cands.join(bought, Seq("custkey", "partkey"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("custkey")).orderBy(col("i"), col("partkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("custkey"), col("partkey"), col("rk"))
+      .orderBy(col("custkey"), col("rk"))
+  }
+
+  val qNegativeSampleOracle: String =
+    """WITH bought AS (
+      |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |mp AS (SELECT max(p_partkey) AS mp FROM part),
+      |cands AS (
+      |  SELECT c.c_custkey AS custkey, d.i,
+      |         CAST('0x' || substr(md5('neg11:' || CAST(c.c_custkey AS VARCHAR)
+      |           || ':' || CAST(d.i AS VARCHAR)), 1, 15) AS BIGINT) % mp.mp + 1 AS partkey
+      |  FROM customer c CROSS JOIN (SELECT unnest(range(0, 8)) AS i) d
+      |  CROSS JOIN mp),
+      |ex AS (
+      |  SELECT cands.custkey, cands.partkey, min(cands.i) AS i
+      |  FROM cands
+      |  WHERE cands.partkey IN (SELECT p_partkey FROM part)
+      |  GROUP BY 1, 2),
+      |neg AS (
+      |  SELECT e.custkey, e.partkey, e.i,
+      |         CAST(row_number() OVER (PARTITION BY e.custkey
+      |                                 ORDER BY e.i, e.partkey) AS INT) AS rk
+      |  FROM ex e ANTI JOIN bought b
+      |    ON e.custkey = b.custkey AND e.partkey = b.partkey)
+      |SELECT custkey, partkey, rk FROM neg WHERE rk <= 3
+      |ORDER BY custkey, rk""".stripMargin
+
+  // --- exponentially-weighted moving average (integer-exact) ---
+  // Per-user EWMA of the last 8 purchase values with decay 0.9, done
+  // entirely in integers: 0.9^j scaled by 1e7 is a whole number for
+  // j <= 7, so the weight table is a literal CASE and the average is
+  // (Σ value_micros·w) div (Σ w). No pow(), no floating-point decay —
+  // the usual EWMA cross-engine drift is impossible by construction.
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val weightCase =
+      """CASE rn WHEN 1 THEN 10000000 WHEN 2 THEN 9000000 WHEN 3 THEN 8100000
+        | WHEN 4 THEN 7290000 WHEN 5 THEN 6561000 WHEN 6 THEN 5904900
+        | WHEN 7 THEN 5314410 ELSE 4782969 END""".stripMargin
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .select(col("user_id"),
+        expr("cast(round(value * 1000000) as bigint)").as("vm"),
+        expr(weightCase).as("wt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_used"),
+        expr("sum(vm * wt) div sum(wt)").as("ewma_micros"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEwmaOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(round(value * 1000000) AS BIGINT) AS vm,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |k AS (
+      |  SELECT user_id, vm,
+      |         CASE rn WHEN 1 THEN 10000000 WHEN 2 THEN 9000000
+      |                 WHEN 3 THEN 8100000 WHEN 4 THEN 7290000
+      |                 WHEN 5 THEN 6561000 WHEN 6 THEN 5904900
+      |                 WHEN 7 THEN 5314410 ELSE 4782969 END AS wt
+      |  FROM p WHERE rn <= 8)
+      |SELECT user_id, count(*) AS n_used,
+      |       CAST(sum(vm * wt) AS BIGINT) // CAST(sum(wt) AS BIGINT) AS ewma_micros
+      |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** name -> query builder, for SparkEntry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_join" -> (qPitJoin _),
+    "q_trailing_features" -> (qTrailingFeatures _),
+    "q_negative_sample" -> (qNegativeSample _),
+    "q_ewma" -> (qEwma _))
+
+  /** name -> DuckDB oracle SQL, for the driver gate. */
+  def oracles: Map[String, String] = Map(
+    "q_pit_join" -> qPitJoinOracle,
+    "q_trailing_features" -> qTrailingFeaturesOracle,
+    "q_negative_sample" -> qNegativeSampleOracle,
+    "q_ewma" -> qEwmaOracle)
+}

@@ -490,7 +490,77 @@ object StreamingQueries {
       |HAVING count(*) * 16 > n_total
       |ORDER BY freq DESC, key""".stripMargin
 
+  // --- streaming Markov transitions ---
+  // The batch transition matrix (AnalyticsQueries.qMarkovTransitions)
+  // maintained on a live stream: per-user keyed state carries only the
+  // LAST event seen (one tiny row per user, however long the stream
+  // runs); each micro-batch sorts its own events by (micros, event_id)
+  // — establishing order within the batch — emits the transition pairs
+  // including the carry-over from state, and advances the state. The
+  // count aggregation runs as a terminal batch step over the emitted
+  // pairs (the house pattern for post-stateful aggregation). Assumes
+  // per-user order ACROSS micro-batches (the daily-ingest arrival
+  // order, like the reference's incremental loads); within-batch
+  // disorder is handled by the sort.
+  // public: Catalyst's generated (de)serializers must access these
+  case class MkEvent(
+    event_id: Long, ts: Long, user_id: Long, event_type: String)
+  case class MkLast(tsMicros: Long, eventId: Long, etype: String)
+  case class MkPair(prev_type: String, next_type: String)
+
+  private[queries] def streamMarkov(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStreamConfs(spark) {
+    import spark.implicits._
+    val reader = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val src = reader.parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[MkEvent]
+    val pairs = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[MkEvent], state: GroupState[MkLast]) =>
+          val evs = it.toVector.sortBy(e => (e.ts / 1000L, e.event_id))
+          val out = Vector.newBuilder[MkPair]
+          var prev = state.getOption
+          evs.foreach { e =>
+            prev.foreach(p => out += MkPair(p.etype, e.event_type))
+            prev = Some(MkLast(e.ts / 1000L, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+    val name = "stream_markov_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  def qStreamMarkov(spark: SparkSession, dir: String): DataFrame =
+    streamMarkov(spark, dir, "events.parquet", None)
+
+  val qStreamMarkovOracle: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS prev_type,
+      |         lead(event_type, 1) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT prev_type, next_type, count(*) AS n FROM pairs
+      |WHERE next_type IS NOT NULL GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_markov" -> (qStreamMarkov _),
     "q_stream_heavy" -> (qStreamHeavyHitters _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
@@ -501,6 +571,7 @@ object StreamingQueries {
     "q_stream_contam" -> (qStreamContam _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_markov" -> qStreamMarkovOracle,
     "q_stream_heavy" -> qStreamHeavyHittersOracle,
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,

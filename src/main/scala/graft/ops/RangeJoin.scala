@@ -50,4 +50,36 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval × interval OVERLAP join (`a.start <= b.end AND b.start <=
+    * a.end`), bucketized the same way — but with interval inputs on BOTH
+    * sides a pair can now meet in every bucket their overlap spans, so
+    * the join would emit duplicates. The standard fix (used by the
+    * Databricks range-join optimization) avoids a post-`distinct`
+    * entirely: emit the pair only in the bucket containing
+    * `greatest(a.start, b.start)`. For an overlapping pair that instant
+    * lies inside BOTH intervals, so both sides are registered in that
+    * bucket, and it is a single well-defined bucket — each qualifying
+    * pair meets exactly once. Cost stays one hash equi-join on the
+    * bucket id; fan-out per interval is len/bucketWidth + 1.
+    *
+    * Column names from the two inputs must not collide.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / bucketWidthSec).cast("long")
+    val lb = left.withColumn("_bucket",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val rb = right.withColumn("_rbucket",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    lb.join(rb, col("_bucket") === col("_rbucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(bucketOf(greatest(col(lStart), col(rStart))) === col("_bucket"))
+      .drop("_bucket", "_rbucket")
+  }
 }

@@ -588,6 +588,102 @@ object AnalyticsQueries {
       |                  (1.0 / n_a + 1.0 / n_b), 0.0)), 4) AS z_score
       |FROM s""".stripMargin
 
+  // --- interval-overlap join: user activity windows × incident windows ---
+  // Two interval sets with NO shared equi-key: per-(user, day) activity
+  // spans [first event, last event] vs global incident windows (error
+  // events with value >= 150, ±30 min). The naive formulation is a cross
+  // join with two inequalities — a BroadcastNestedLoopJoin that dies at
+  // scale. graft.ops.RangeJoin.overlapJoin turns it into ONE hash
+  // equi-join on a time bucket, emitting each qualifying pair exactly
+  // once (in the bucket of greatest(start_a, start_b) — see the op's
+  // scaladoc), so no post-distinct. Bucket width 1 h ≈ the incident
+  // window length, so incident fan-out is ≤ 2 buckets. Timestamp
+  // comparisons are micros-exact in both engines; the oracle is the
+  // naive overlap join — bucketing must be invisible in the result.
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val activity = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"))
+    val incidents = e.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(col("event_id").as("incident_id"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("i_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("i_end"))
+    graft.ops.RangeJoin.overlapJoin(
+        activity, incidents, "a_start", "a_end", "i_start", "i_end", 3600L)
+      .groupBy(col("user_id"), col("day"))
+      .agg(countDistinct(col("incident_id")).as("n_incidents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val qIntervalJoinOracle: String =
+    """WITH a AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         min(ts) AS a_start, max(ts) AS a_end
+      |  FROM events GROUP BY 1, 2),
+      |i AS (
+      |  SELECT event_id AS incident_id,
+      |         ts - INTERVAL 30 MINUTE AS i_start,
+      |         ts + INTERVAL 30 MINUTE AS i_end
+      |  FROM events WHERE event_type = 'error' AND value >= 150)
+      |SELECT a.user_id, a.day, count(DISTINCT i.incident_id) AS n_incidents
+      |FROM a JOIN i ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- lag-k autocorrelation of the daily event-count series ---
+  // The Pearson r at lags 1..3 over (count(day), count(day+k)) pairs.
+  // The distributed shape is one tiny daily aggregate (365 rows however
+  // big the event log — the heavy shuffle happens ONCE) followed by
+  // metadata-scale self-joins on date arithmetic. Cross-engine
+  // determinism: every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²)
+  // is an exact BIGINT; the double arithmetic happens once, in the same
+  // closed-form expression over identical integers, so the rounded r is
+  // bit-identical — never an engine-internal `corr()` whose accumulation
+  // order differs.
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val lags = spark.range(1, 4).select(col("id").cast("int").as("lag"))
+    val pairs = daily.as("x")
+      .crossJoin(broadcast(lags))
+      .join(daily.as("y"), expr("date_add(x.day, lag) = y.day"))
+      .select(col("lag"), col("x.cnt").as("xc"), col("y.cnt").as("yc"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"))
+      .select(col("lag"), col("n"),
+        round(expr(
+          """(n * sxy - sx * sy) /
+            | sqrt(nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0.0))"""
+            .stripMargin), 5).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val qAutocorrOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT l.lag, x.cnt AS xc, y.cnt AS yc
+      |  FROM (SELECT unnest([1, 2, 3]) AS lag) l, d x
+      |  JOIN d y ON x.day + l.lag = y.day),
+      |s AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+      |         CAST(sum(xc * yc) AS BIGINT) AS sxy,
+      |         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+      |         CAST(sum(yc * yc) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT CAST(lag AS INTEGER) AS lag, n,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt(nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0.0)), 5) AS r
+      |FROM s ORDER BY lag""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -602,7 +698,9 @@ object AnalyticsQueries {
     "q_session_paths" -> (qSessionPaths _),
     "q_conversion_time" -> (qConversionTime _),
     "q_item_affinity" -> (qItemAffinity _),
-    "q_ab_lift" -> (qAbLift _))
+    "q_ab_lift" -> (qAbLift _),
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_autocorr" -> (qAutocorr _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -618,5 +716,7 @@ object AnalyticsQueries {
     "q_session_paths" -> qSessionPathsOracle,
     "q_conversion_time" -> qConversionTimeOracle,
     "q_item_affinity" -> qItemAffinityOracle,
-    "q_ab_lift" -> qAbLiftOracle)
+    "q_ab_lift" -> qAbLiftOracle,
+    "q_interval_join" -> qIntervalJoinOracle,
+    "q_autocorr" -> qAutocorrOracle)
 }

@@ -267,14 +267,82 @@ object CurationQueries {
       |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- count-min sketch: fixed-size frequency summary + point queries ---
+  // The d=4 x w=64 counter grid (Cormode & Muthukrishnan 2005): every
+  // token increments one cell per hash row, a point estimate is the MIN
+  // over its d cells, and est >= true always (one-sided error, bounded
+  // by e*N/w with the usual probabilistic guarantee). The distributed
+  // shape is what matters at 100 TB: the sketch is a groupBy over at
+  // most d*w = 256 cells — map-side combine collapses every partition
+  // to <= 256 partials regardless of corpus size, and two sketches
+  // merge by cell-wise ADD, so the same plan serves batch, incremental
+  // (add yesterday's sketch), and streaming. Hash rows use the repo's
+  // portable md5 recipe, so DuckDB reproduces the sketch bit-for-bit
+  // and the oracle gates EXACT cell values, not a loose contract; the
+  // probe output carries est - true per token (>= 0 by construction,
+  // asserted in spec).
+  def qCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    // one sketch increment per (token occurrence, hash row)
+    val cells = toksDf
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('cm:', cast(r as string), ':', tok)), 1, 15), 16, 10) as bigint) % 64"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val truth = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    val probes = truth
+      .filter(col("tok").isin("spark", "window", "merge", "slow", "customer",
+        "hash", "scan", "batch"))
+    probes
+      .select(col("tok"), col("true_cnt"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('cm:', cast(r as string), ':', tok)), 1, 15), 16, 10) as bigint) % 64"))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy(col("tok"), col("true_cnt"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
+  val qCountminOracle: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |), tnz AS (SELECT tok FROM t WHERE tok <> ''
+      |), inc AS (
+      |  SELECT tok, r,
+      |         CAST('0x' || substr(md5('cm:' || CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 64 AS bucket
+      |  FROM tnz CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+      |), cells AS (
+      |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS cell FROM inc GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM tnz GROUP BY 1
+      |), probes AS (
+      |  SELECT tok, true_cnt, r,
+      |         CAST('0x' || substr(md5('cm:' || CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 64 AS bucket
+      |  FROM truth CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+      |  WHERE tok IN ('spark', 'window', 'merge', 'slow', 'customer',
+      |                'hash', 'scan', 'batch')
+      |)
+      |SELECT p.tok, p.true_cnt, min(c.cell) AS est,
+      |       min(c.cell) - p.true_cnt AS overcount
+      |FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+      |GROUP BY 1, 2
+      |ORDER BY p.tok""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_perplexity" -> (qPerplexity _),
     "q_dist_drift" -> (qDistDrift _),
-    "q_fuzzy_match" -> (qFuzzyMatch _))
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_countmin" -> (qCountmin _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_perplexity" -> qPerplexityOracle,
     "q_dist_drift" -> qDistDriftOracle,
-    "q_fuzzy_match" -> qFuzzyMatchOracle)
+    "q_fuzzy_match" -> qFuzzyMatchOracle,
+    "q_countmin" -> qCountminOracle)
 }

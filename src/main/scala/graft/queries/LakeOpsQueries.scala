@@ -353,6 +353,60 @@ object LakeOpsQueries {
       |ORDER BY col_name""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- clustering-depth report: how well does a file layout skip? ---
+  // The metric behind Delta/Iceberg OPTIMIZE decisions: per file, how
+  // many files' [min, max] ranges of the clustering key overlap it —
+  // i.e. how many files a point lookup on that key range must read.
+  // A perfectly clustered layout has depth 1 (plus boundary ties); an
+  // arrival-ordered layout approaches depth = #files because every file
+  // spans the whole key range. Computed for BOTH layouts over the same
+  // corpus (16 synthetic files each, key = n_chars) so the report shows
+  // the re-cluster win. Scale shape: per-file min/max is one
+  // aggregation (at 100 TB these come free from parquet footers /
+  // the table manifest), and the overlap count runs on file METADATA —
+  // 16 rows per layout, not data rows — exactly how a table-format
+  // planner evaluates layouts. File assignment here uses ntile over a
+  // global order to make the synthetic layout deterministic; a real
+  // writer assigns files, it is not a data-path window.
+  def qClusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      d.withColumn("file_id", ntile(16).over(Window.orderBy(order: _*)))
+        .groupBy(col("file_id"))
+        .agg(min(col("n_chars")).as("f_min"), max(col("n_chars")).as("f_max"))
+        .withColumn("layout", lit(name))
+    val files = layout("arrival", Seq(col("doc_id")))
+      .unionByName(layout("clustered", Seq(col("n_chars"), col("doc_id"))))
+    files.as("a")
+      .join(files.as("b"),
+        col("a.layout") === col("b.layout")
+          && col("a.f_min") <= col("b.f_max") && col("b.f_min") <= col("a.f_max"))
+      .groupBy(col("a.layout").as("layout"), col("a.file_id").as("file_id"),
+        col("a.f_min").as("f_min"), col("a.f_max").as("f_max"))
+      .agg(count(lit(1)).as("depth"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
+  val qClusteringDepthOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |fa AS (
+      |  SELECT ntile(16) OVER (ORDER BY doc_id) AS file_id, n_chars FROM d),
+      |fc AS (
+      |  SELECT ntile(16) OVER (ORDER BY n_chars, doc_id) AS file_id, n_chars FROM d),
+      |files AS (
+      |  SELECT 'arrival' AS layout, file_id, min(n_chars) AS f_min,
+      |         max(n_chars) AS f_max FROM fa GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'clustered' AS layout, file_id, min(n_chars) AS f_min,
+      |         max(n_chars) AS f_max FROM fc GROUP BY 2)
+      |SELECT a.layout, CAST(a.file_id AS INTEGER) AS file_id,
+      |       a.f_min, a.f_max, CAST(count(*) AS BIGINT) AS depth
+      |FROM files a JOIN files b
+      |  ON a.layout = b.layout AND a.f_min <= b.f_max AND b.f_min <= a.f_max
+      |GROUP BY 1, 2, a.f_min, a.f_max
+      |ORDER BY a.layout, file_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gap_fill" -> (qGapFill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -360,7 +414,8 @@ object LakeOpsQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_ref_integrity" -> (qRefIntegrity _),
-    "q_profile" -> (qProfile _))
+    "q_profile" -> (qProfile _),
+    "q_clustering_depth" -> (qClusteringDepth _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -370,5 +425,6 @@ object LakeOpsQueries {
     "q_heavy_hitters" -> qHeavyHittersOracle,
     "q_cdc_apply" -> qCdcApplyOracle,
     "q_ref_integrity" -> qRefIntegrityOracle,
-    "q_profile" -> qProfileOracle)
+    "q_profile" -> qProfileOracle,
+    "q_clustering_depth" -> qClusteringDepthOracle)
 }

@@ -170,6 +170,71 @@ object PipelineQueries {
       |QUALIFY rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // --- BM25 document ranking for a fixed query-term set ---
+  // Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's ln(1 + ...) idf) over the
+  // whitespace-token corpus, top-10 docs for the query
+  // {spark, window, merge}. Scale shape: the (doc, term) tf table is
+  // FILTERED TO THE QUERY TERMS before any join — a 3-term query
+  // touches 3 posting lists however wide the vocabulary — and the
+  // corpus-level stats (N, avgdl, per-term df) are single-row /
+  // 3-row broadcasts. Cross-engine determinism: each per-term partial
+  // is rounded to integer MICRO-units and the doc score is a BIGINT sum
+  // of those — double addition order across terms can never flip a
+  // rank, the one thing `sum(double)` cannot guarantee across engines.
+  def qBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "window", "merge")
+    val toksDf = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok") =!= "")
+    val stats = toksDf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val tf = toksDf.filter(col("tok").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(stats))
+      .withColumn("part_micro", expr(
+        """CAST(round(1000000 * ln(1.0 + (nd - dfq + 0.5) / (dfq + 0.5)) *
+          |  (tf * (1.2 + 1.0)) /
+          |  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+          |) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qBm25TopkOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tnz AS (SELECT * FROM t WHERE tok <> ''
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM tnz)
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+      |  FROM tnz WHERE tok IN ('spark', 'window', 'merge') GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY 1
+      |), p AS (
+      |  SELECT tf.doc_id,
+      |         CAST(round(1000000 * ln(1.0 + (nd - dfq + 0.5) / (dfq + 0.5)) *
+      |           (tf * (1.2 + 1.0)) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+      |         ) AS BIGINT) AS part_micro
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats
+      |)
+      |SELECT doc_id, CAST(sum(part_micro) AS BIGINT) AS score_micro,
+      |       CAST(count(*) AS BIGINT) AS n_terms_hit
+      |FROM p GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   // --- int8 symmetric embedding quantization ---
   // The vector-compression pass before ANN at scale (4 bytes -> 1 byte
   // per dim). scale = max|v| / 127 per vector; reported as checksums
@@ -558,6 +623,7 @@ object PipelineQueries {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_bm25_topk" -> (qBm25Topk _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_spans" -> (qPackSpans _),
@@ -574,6 +640,7 @@ object PipelineQueries {
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
+    "q_bm25_topk" -> qBm25TopkOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_pack_spans" -> qPackSpansOracle,

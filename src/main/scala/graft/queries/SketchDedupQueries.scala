@@ -486,7 +486,75 @@ object SketchDedupQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // --- sorted-neighborhood blocking (Hernández & Stolfo 1995) ---
+  // The third candidate-generation family next to LSH banding and
+  // prefix filtering: sort the corpus on a blocking key (lang, then
+  // n_chars — near-dups have near-equal lengths), slide a window of
+  // w = 3 over the sorted order, verify only pairs within the window.
+  // Distributed shape: the sort is a per-lang window (row_number
+  // partitioned by lang — each language sorts in parallel; a 100 TB
+  // deployment range-partitions within language), and the
+  // window-neighbor self-join is an equi-join on lang with a bounded
+  // rank-distance predicate — candidate volume is exactly (w-1) * N,
+  // linear by construction, the property that makes SNM attractive when
+  // LSH's shingle-frequency skew bites. Verification is integer-exact
+  // (common*5 >= 3*union ⇔ Jaccard >= 0.6 — no float threshold).
+  // The oracle mirrors the same heuristic (the gate checks the
+  // implementation, not SNM's recall).
+  def qSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sarr", array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("sarr"), size(col("sarr")).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.lang") === col("b.lang")
+          && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 2)
+      .withColumn("common",
+        size(array_intersect(col("a.sarr"), col("b.sarr"))).cast("long"))
+      .withColumn("uni", col("a.n") + col("b.n") - col("common"))
+      .filter(col("common") * 5 >= col("uni") * 3)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        round(col("common").cast("double") / col("uni"), 5).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qSortedNeighborhoodOracle: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         list_distinct(list_transform(
+      |           generate_series(1, len(tk)-2),
+      |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sarr,
+      |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+      |  FROM d0
+      |), p AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |         CAST(len(list_intersect(a.sarr, b.sarr)) AS BIGINT) AS common,
+      |         CAST(len(a.sarr) + len(b.sarr) - len(list_intersect(a.sarr, b.sarr)) AS BIGINT) AS uni
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 2
+      |)
+      |SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+      |       round(CAST(common AS DOUBLE) / uni, 5) AS jaccard
+      |FROM p WHERE common * 5 >= uni * 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_source_similarity" -> (qSourceSimilarity _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_simhash_fingerprints" -> (qSimhashFingerprints _),
@@ -495,6 +563,7 @@ object SketchDedupQueries {
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
+    "q_sorted_neighborhood" -> qSortedNeighborhoodOracle,
     "q_source_similarity" -> qSourceSimilarityOracle,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,
     "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,

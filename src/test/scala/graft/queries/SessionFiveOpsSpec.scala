@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract tests for the fifth-session batch: interval-overlap join,
+  * lag-k autocorrelation, BM25 ranking, count-min sketch,
+  * sorted-neighborhood blocking, and the clustering-depth report.
+  * The value-level gate is the DuckDB oracle; these pin the properties
+  * the oracle can't express (dedup-free bucketing, one-sided sketch
+  * error, bounded state, layout-quality ordering).
+  */
+class SessionFiveOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("overlapJoin emits each qualifying pair exactly once, matching the naive join") {
+    import spark.implicits._
+    // intervals long enough to span MANY buckets — the dedup trick
+    // (emit only in the bucket of greatest start) is what's under test
+    val left = Seq(
+      (1L, "2024-01-01 00:10:00", "2024-01-01 07:50:00"),
+      (2L, "2024-01-01 03:00:00", "2024-01-01 03:05:00"),
+      (3L, "2024-01-02 00:00:00", "2024-01-02 00:30:00"))
+      .toDF("lid", "ls", "le")
+      .select(col("lid"), col("ls").cast("timestamp").as("l_start"),
+        col("le").cast("timestamp").as("l_end"))
+    val right = Seq(
+      (10L, "2024-01-01 02:00:00", "2024-01-01 09:00:00"),
+      (11L, "2024-01-01 07:49:00", "2024-01-01 07:51:00"),
+      (12L, "2024-01-03 00:00:00", "2024-01-03 01:00:00"))
+      .toDF("rid", "rs", "re")
+      .select(col("rid"), col("rs").cast("timestamp").as("r_start"),
+        col("re").cast("timestamp").as("r_end"))
+    val got = graft.ops.RangeJoin
+      .overlapJoin(left, right, "l_start", "l_end", "r_start", "r_end", 3600L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.crossJoin(right)
+      .filter(col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "bucketized join emitted duplicates")
+    assert(got.toSet === naive.toSet)
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("count-min estimates are one-sided: est >= true for every probe") {
+    val rows = CurationQueries.qCountmin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"${r.getString(0)}: est $est < true $cnt")
+    }
+  }
+
+  test("count-min sketch state is bounded by d*w cells regardless of corpus") {
+    // the sketch aggregation the query builds over: at most 4*64 cells
+    val cells = graft.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('cm:', cast(r as string), ':', tok)), 1, 15), 16, 10) as bigint) % 64"))
+      .groupBy("r", "bucket").count()
+    assert(cells.count() <= 256)
+  }
+
+  test("autocorrelation r stays in [-1, 1]") {
+    val rows = AnalyticsQueries.qAutocorr(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    rows.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2)) <= 1.0, s"lag ${r.getInt(0)}: |r| > 1")
+    }
+  }
+
+  test("BM25 top-10 is rank-consistent and every hit count is in 1..3") {
+    val rows = PipelineQueries.qBm25Topk(spark, sf).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not non-increasing in output order")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L)
+    }
+  }
+
+  test("sorted-neighborhood pairs all verify at jaccard >= 0.6") {
+    val rows = SketchDedupQueries.qSortedNeighborhood(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.6 - 1e-9)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("clustered layout has no worse total depth than arrival layout") {
+    val rows = LakeOpsQueries.qClusteringDepth(spark, sf).collect()
+    val byLayout = rows.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(4)).sum }
+    assert(byLayout.keySet === Set("arrival", "clustered"))
+    assert(byLayout("clustered") <= byLayout("arrival"),
+      s"re-clustering did not improve depth: $byLayout")
+  }
+}

@@ -501,6 +501,14 @@ object SketchDedupQueries {
   // (common*5 >= 3*union ⇔ Jaccard >= 0.6 — no float threshold).
   // The oracle mirrors the same heuristic (the gate checks the
   // implementation, not SNM's recall).
+  //
+  // Plan-shape hazard (measured): if the shingle ARRAYS ride the
+  // rank-join, Catalyst pushes the Jaccard filter into the join
+  // condition and evaluates array_intersect for EVERY same-lang pair —
+  // O(N²/langs) intersections, 93 s at 5k docs. So the rank-join
+  // carries only (doc_id, lang, n, rn); the arrays are re-attached to
+  // the (w-1)*N surviving candidates by two equi-joins, and the
+  // intersect runs on candidates alone (1.3 s at the same scale).
   def qSortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(spark, dir)
@@ -513,17 +521,24 @@ object SketchDedupQueries {
         col("sarr"), size(col("sarr")).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
-    docs.as("a")
-      .join(docs.as("b"),
+      .persist()
+    val slim = docs.select(col("doc_id"), col("lang"), col("n"), col("rn"))
+    val cand = slim.as("a")
+      .join(slim.as("b"),
         col("a.lang") === col("b.lang")
           && col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 2)
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        (col("a.n") + col("b.n")).as("ntot"))
+    cand
+      .join(docs.select(col("doc_id").as("ida"), col("sarr").as("sa")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("sarr").as("sb")), "idb")
       .withColumn("common",
-        size(array_intersect(col("a.sarr"), col("b.sarr"))).cast("long"))
-      .withColumn("uni", col("a.n") + col("b.n") - col("common"))
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", col("ntot") - col("common"))
       .filter(col("common") * 5 >= col("uni") * 3)
       .select(
-        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
         round(col("common").cast("double") / col("uni"), 5).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

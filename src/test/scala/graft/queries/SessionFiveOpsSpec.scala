@@ -59,9 +59,10 @@ class SessionFiveOpsSpec extends SparkSpec {
     val cells = graft.Tables.documents(spark, sf)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("tok"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("h", md5(concat(lit("cm:"), col("tok"))))
+      .select(col("h"), explode(expr("sequence(0, 3)")).as("r"))
       .withColumn("bucket", expr(
-        "cast(conv(substring(md5(concat('cm:', cast(r as string), ':', tok)), 1, 15), 16, 10) as bigint) % 64"))
+        "cast(conv(substring(h, 8 * r + 1, 8), 16, 10) as bigint) % 64"))
       .groupBy("r", "bucket").count()
     assert(cells.count() <= 256)
   }

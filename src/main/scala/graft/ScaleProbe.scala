@@ -48,6 +48,12 @@ object ScaleProbe {
     time("peak_concurrency")(queries.AnalyticsQueries.qPeakConcurrency(spark, dir).count())
     time("session_paths")(queries.AnalyticsQueries.qSessionPaths(spark, dir).count())
     time("item_affinity")(queries.AnalyticsQueries.qItemAffinity(spark, dir).count())
+    time("sorted_neighborhood")(queries.SketchDedupQueries.qSortedNeighborhood(spark, dir).count())
+    time("bm25_topk")(queries.PipelineQueries.qBm25Topk(spark, dir).count())
+    time("countmin")(queries.CurationQueries.qCountmin(spark, dir).count())
+    time("interval_join")(queries.AnalyticsQueries.qIntervalJoin(spark, dir).count())
+    time("autocorr")(queries.AnalyticsQueries.qAutocorr(spark, dir).count())
+    time("clustering_depth")(queries.LakeOpsQueries.qClusteringDepth(spark, dir).count())
     spark.stop()
   }
 }

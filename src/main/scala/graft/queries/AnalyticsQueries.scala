@@ -684,6 +684,57 @@ object AnalyticsQueries {
       |             sqrt(nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0.0)), 5) AS r
       |FROM s ORDER BY lag""".stripMargin
 
+  // --- seasonality-adjusted outlier days ---
+  // Raw daily-count thresholds flag every weekend on a weekday-seasonal
+  // series; the standard fix is to score each day against ITS OWN
+  // weekday's baseline. baseline = interpolated median of that
+  // weekday's counts; residual = cnt - baseline; a day is anomalous
+  // when |residual| > 2 × MAD(all residuals) — the same robust recipe
+  // as q_mad_outliers, composed with seasonal grouping. Scale shape:
+  // one shuffle builds the daily aggregate (365 rows/year regardless of
+  // event volume); everything after is metadata-scale over days.
+  // percentile() on exact integer/decimal inputs is interpolation over
+  // sorted values — deterministic in both engines; results are rounded
+  // once for output, comparisons use the unrounded values in BOTH
+  // engines identically.
+  def qSeasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")))
+      .persist()
+    val base = daily.groupBy(col("dow"))
+      .agg(expr("percentile(cnt, 0.5)").as("baseline"))
+    val resid = daily.join(broadcast(base), "dow")
+      .withColumn("residual", col("cnt") - col("baseline"))
+    val madDf = resid.agg(expr("percentile(abs(residual), 0.5)").as("mad"))
+    resid.crossJoin(broadcast(madDf))
+      .filter(abs(col("residual")) > col("mad") * 2.0)
+      .select(col("day"), col("cnt"),
+        round(col("baseline"), 4).as("baseline"),
+        round(col("residual"), 4).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  val qSeasonalOutliersOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt,
+      |         dayofweek(CAST(ts AS DATE)) + 1 AS dow
+      |  FROM events GROUP BY 1),
+      |base AS (
+      |  SELECT dow, quantile_cont(cnt, 0.5) AS baseline
+      |  FROM daily GROUP BY 1),
+      |resid AS (
+      |  SELECT d.day, d.cnt, b.baseline, d.cnt - b.baseline AS residual
+      |  FROM daily d JOIN base b ON d.dow = b.dow),
+      |m AS (SELECT quantile_cont(abs(residual), 0.5) AS mad FROM resid)
+      |SELECT r.day, r.cnt,
+      |       round(r.baseline, 4) AS baseline,
+      |       round(r.residual, 4) AS residual
+      |FROM resid r CROSS JOIN m
+      |WHERE abs(r.residual) > m.mad * 2.0
+      |ORDER BY r.day""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -700,7 +751,8 @@ object AnalyticsQueries {
     "q_item_affinity" -> (qItemAffinity _),
     "q_ab_lift" -> (qAbLift _),
     "q_interval_join" -> (qIntervalJoin _),
-    "q_autocorr" -> (qAutocorr _))
+    "q_autocorr" -> (qAutocorr _),
+    "q_seasonal_outliers" -> (qSeasonalOutliers _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -718,5 +770,6 @@ object AnalyticsQueries {
     "q_item_affinity" -> qItemAffinityOracle,
     "q_ab_lift" -> qAbLiftOracle,
     "q_interval_join" -> qIntervalJoinOracle,
-    "q_autocorr" -> qAutocorrOracle)
+    "q_autocorr" -> qAutocorrOracle,
+    "q_seasonal_outliers" -> qSeasonalOutliersOracle)
 }

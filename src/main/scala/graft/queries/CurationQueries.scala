@@ -267,6 +267,76 @@ object CurationQueries {
       |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- entity resolution end-to-end: block -> verify -> cluster ---
+  // The full ER pipeline the pieces above exist for: a dirty batch
+  // (customer names with one char deleted) is matched against the
+  // master table via the same FastSS deletion-neighborhood blocking as
+  // q_fuzzy_match, kept at ALL matches with lev <= 2 (not best-of-1),
+  // and the resulting bipartite match graph is resolved into entities
+  // with graft.ops.ConnectedComponents — two dirty records matching
+  // the same master row, or one dirty record bridging two master rows,
+  // land in one entity. Output: every matched record (dirty ids offset
+  // by 1e6) with its entity id = min record id in the cluster. Scale
+  // shape: blocking bounds candidates (no name cross join), the match
+  // graph is star-like so CC converges in 2 log-rounds, and the heavy
+  // strings never enter the CC shuffle (ids only). Oracle: the same
+  // length-blocked levenshtein pairs + recursive-CTE closure.
+  def qErClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val probes = cust.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") + 1000000L).as("probe_id"),
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000))
+          .as("dirty_name"))
+    val candIdx = cust.select(col("c_custkey").as("cand_key"),
+      explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
+        .as("variant"))
+    val probeIdx = probes.select(col("probe_id"),
+      explode(expr(s"transform(${delNeighborhood("dirty_name")}, v -> xxhash64(v))"))
+        .as("variant"))
+    val pairs = broadcast(probeIdx)
+      .join(candIdx, Seq("variant"))
+      .select(col("probe_id"), col("cand_key"))
+      .distinct()
+      .join(probes, Seq("probe_id"))
+      .join(cust.select(col("c_custkey").as("cand_key"), col("c_name").as("cand_name")),
+        Seq("cand_key"))
+      .filter(levenshtein(col("dirty_name"), col("cand_name")) <= 2)
+      .select(col("probe_id").as("src"), col("cand_key").as("dst"))
+    graft.ops.ConnectedComponents.components(pairs)
+      .select(col("id").as("record_id"), col("comp").as("entity_id"))
+      .orderBy(col("record_id"))
+  }
+
+  val qErClustersOracle: String =
+    """WITH RECURSIVE probes AS (
+      |  SELECT c_custkey + 1000000 AS probe_id,
+      |         substr(c_name, 1, 9) || substr(c_name, 11) AS dirty_name
+      |  FROM customer WHERE c_custkey % 20 = 0),
+      |blocked AS (
+      |  SELECT probe_id, dirty_name, length(dirty_name) + d AS blen
+      |  FROM probes, (SELECT unnest([-2, -1, 0, 1, 2]) AS d) ds),
+      |cands AS (
+      |  SELECT c_custkey AS cand_key, c_name AS cand_name,
+      |         length(c_name) AS blen
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT DISTINCT probe_id AS src, cand_key AS dst
+      |  FROM blocked JOIN cands USING (blen)
+      |  WHERE levenshtein(dirty_name, cand_name) <= 2),
+      |adj AS (
+      |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM adj
+      |  UNION
+      |  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+      |)
+      |SELECT v.id AS record_id,
+      |       CAST(least(v.id, min(r.dst)) AS BIGINT) AS entity_id
+      |FROM (SELECT DISTINCT src AS id FROM adj) v
+      |LEFT JOIN reach r ON r.src = v.id
+      |GROUP BY v.id
+      |ORDER BY 1""".stripMargin
+
   // --- count-min sketch: fixed-size frequency summary + point queries ---
   // The d=4 x w=64 counter grid (Cormode & Muthukrishnan 2005): every
   // token increments one cell per hash row, a point estimate is the MIN
@@ -344,12 +414,14 @@ object CurationQueries {
     "q_perplexity" -> (qPerplexity _),
     "q_dist_drift" -> (qDistDrift _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
-    "q_countmin" -> (qCountmin _))
+    "q_countmin" -> (qCountmin _),
+    "q_er_clusters" -> (qErClusters _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_perplexity" -> qPerplexityOracle,
     "q_dist_drift" -> qDistDriftOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
-    "q_countmin" -> qCountminOracle)
+    "q_countmin" -> qCountminOracle,
+    "q_er_clusters" -> qErClustersOracle)
 }

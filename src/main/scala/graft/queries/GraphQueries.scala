@@ -101,12 +101,73 @@ object GraphQueries {
       |ORDER BY 1, 2, 3""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- HITS hubs & authorities (integer-exact, 2 unrolled rounds) ---
+  // Kleinberg's mutual-reinforcement pair over the same functional
+  // graph as PageRank: auth(v) = Σ hub of in-neighbors, hub(u) = Σ auth
+  // of out-neighbors, alternating. The usual L2 normalization only
+  // rescales each vector, so RANKINGS are preserved without it — and
+  // dropping it keeps every score an exact BIGINT sum of integer counts
+  // (auth1 = indegree, hub1 = Σ indeg of targets, auth2 = Σ hub1 of
+  // sources): zero doubles anywhere, so both engines agree bit-for-bit
+  // with no rounding discipline at all. Each round is one equi-join +
+  // one map-side-combinable groupBy — the PageRank shuffle shape.
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val stats = nodes.agg((max(col("node")) + 1).as("m"))
+    val edges = nodes.crossJoin(broadcast(stats))
+      .select(col("node").as("src"),
+        ((col("node") * col("node") + 7) % col("m")).as("dst"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .persist()
+    val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+    val hub1 = edges.join(auth1, "dst")
+      .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+    val auth2 = edges.join(hub1, "src")
+      .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+    nodes
+      .join(auth2.select(col("dst").as("node"), col("a2")), Seq("node"), "left")
+      .join(hub1.select(col("src").as("node"), col("h1")), Seq("node"), "left")
+      .select(col("node").as("user_id"),
+        coalesce(col("a2"), lit(0L)).as("authority"),
+        coalesce(col("h1"), lit(0L)).as("hub"))
+      .orderBy(col("authority").desc, col("user_id"))
+      .limit(15)
+  }
+
+  val qHitsOracle: String =
+    """WITH nodes AS (
+      |  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+      |stats AS (SELECT max(node) + 1 AS m FROM nodes),
+      |edges AS (
+      |  SELECT u.node AS src, (u.node * u.node + 7) % s.m AS dst
+      |  FROM nodes u CROSS JOIN stats s
+      |  WHERE (u.node * u.node + 7) % s.m IN (SELECT node FROM nodes)),
+      |auth1 AS (
+      |  SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM edges GROUP BY 1),
+      |hub1 AS (
+      |  SELECT e.src, CAST(sum(a.a1) AS BIGINT) AS h1
+      |  FROM edges e JOIN auth1 a ON e.dst = a.dst GROUP BY 1),
+      |auth2 AS (
+      |  SELECT e.dst, CAST(sum(h.h1) AS BIGINT) AS a2
+      |  FROM edges e JOIN hub1 h ON e.src = h.src GROUP BY 1)
+      |SELECT n.node AS user_id,
+      |       CAST(coalesce(a.a2, 0) AS BIGINT) AS authority,
+      |       CAST(coalesce(h.h1, 0) AS BIGINT) AS hub
+      |FROM nodes n
+      |LEFT JOIN auth2 a ON a.dst = n.node
+      |LEFT JOIN hub1 h ON h.src = n.node
+      |ORDER BY authority DESC, user_id
+      |LIMIT 15""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (qPagerank _),
-    "q_triangle_count" -> (qTriangleCount _))
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_hits" -> (qHits _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> qPagerankOracle,
-    "q_triangle_count" -> qTriangleCountOracle)
+    "q_triangle_count" -> qTriangleCountOracle,
+    "q_hits" -> qHitsOracle)
 }

@@ -433,6 +433,73 @@ object StreamingQueries {
       |WHERE s.doc_id % 97 <> 0
       |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
+  /** Count-min sketch maintained INSIDE a streaming aggregation — the
+    * batch q_countmin grid (d=4 × w=64, row hashes sliced from one md5)
+    * as a streaming groupBy in complete mode. The sketch IS a bounded
+    * aggregation: at most 256 cells of state however long the stream
+    * runs, and cell-wise ADD is the merge, so micro-batch partials
+    * folding into the state store reproduce the batch sketch EXACTLY —
+    * unlike MG, whose tail content is arrival-order-specific, count-min
+    * is split-invariant to the cell value (asserted in spec), which is
+    * why the same DuckDB oracle gates both the batch and stream forms.
+    * The probe step (est = min over the 4 cells, vs exact counts) runs
+    * as the terminal batch step over the streamed grid.
+    */
+  private[queries] def streamCountmin(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+      withStreamConfs(spark) {
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def toks(d: DataFrame): DataFrame = d
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val reader = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val cells = toks(reader.parquet(dir))
+      .withColumn("h", md5(concat(lit("cm:"), col("tok"))))
+      .select(col("h"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(h, 8 * r + 1, 8), 16, 10) as bigint) % 64"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val name = "stream_countmin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = cells.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.table(name)
+    val truth = toks(
+        spark.read.schema(docsSchema).option("pathGlobFilter", glob).parquet(dir))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    truth
+      .filter(col("tok").isin("spark", "window", "merge", "slow", "customer",
+        "hash", "scan", "batch"))
+      .withColumn("h", md5(concat(lit("cm:"), col("tok"))))
+      .select(col("tok"), col("true_cnt"), col("h"),
+        explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(h, 8 * r + 1, 8), 16, 10) as bigint) % 64"))
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy(col("tok"), col("true_cnt"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("true_cnt"), col("est"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
+  def qStreamCountmin(spark: SparkSession, dir: String): DataFrame =
+    streamCountmin(spark, dir, "documents.parquet")
+
   /** Misra-Gries heavy hitters maintained INSIDE a streaming aggregation:
     * the O(k)-state sketch is exactly what an unbounded stream needs (a
     * full groupBy of an infinite key stream grows without bound; the MG
@@ -568,7 +635,8 @@ object StreamingQueries {
     "q_stream_upsert" -> (qStreamUpsert _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_neardedup" -> (qStreamNearDedup _),
-    "q_stream_contam" -> (qStreamContam _))
+    "q_stream_contam" -> (qStreamContam _),
+    "q_stream_countmin" -> (qStreamCountmin _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_markov" -> qStreamMarkovOracle,
@@ -579,5 +647,6 @@ object StreamingQueries {
     "q_stream_upsert" -> qStreamUpsertOracle,
     "q_stream_dedup" -> qStreamDedupOracle,
     "q_stream_neardedup" -> qStreamNearDedupOracle,
-    "q_stream_contam" -> qStreamContamOracle)
+    "q_stream_contam" -> qStreamContamOracle,
+    "q_stream_countmin" -> CurationQueries.qCountminOracle)
 }

@@ -96,6 +96,59 @@ class SessionFiveOpsSpec extends SparkSpec {
     }
   }
 
+  test("every dirty record resolves into the same entity as its true master") {
+    val rows = CurationQueries.qErClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirty = rows.keys.filter(_ >= 1000000L)
+    assert(dirty.nonEmpty)
+    dirty.foreach { d =>
+      val master = d - 1000000L
+      assert(rows.contains(master), s"master $master of dirty $d not in any cluster")
+      assert(rows(d) === rows(master),
+        s"dirty $d (entity ${rows(d)}) split from master $master (entity ${rows(master)})")
+    }
+  }
+
+  test("HITS scores equal the brute-force two-round computation") {
+    val nodes = graft.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val m = nodes.max + 1
+    val edges = nodes.toSeq.map(u => (u, (u * u + 7) % m)).filter(e => nodes(e._2))
+    val auth1 = edges.groupBy(_._2).map { case (v, es) => v -> es.size.toLong }
+    val hub1 = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => auth1.getOrElse(e._2, 0L)).sum }
+    val auth2 = edges.groupBy(_._2).map { case (v, es) =>
+      v -> es.map(e => hub1.getOrElse(e._1, 0L)).sum }
+    val expected = nodes.toSeq
+      .map(n => (n, auth2.getOrElse(n, 0L), hub1.getOrElse(n, 0L)))
+      .sortBy { case (n, a, _) => (-a, n) }
+      .take(15)
+    val got = GraphQueries.qHits(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("seasonal outliers flag exactly the days beyond 2x residual MAD") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1).toDouble, r.getInt(2)))
+    val base = daily.groupBy(_._3).map { case (d, rs) => d -> medianOf(rs.map(_._2).toSeq) }
+    val resid = daily.map { case (day, cnt, dow) => (day, cnt - base(dow)) }
+    val mad = medianOf(resid.map(r => math.abs(r._2)).toSeq)
+    val expected = resid.filter(r => math.abs(r._2) > 2.0 * mad).map(_._1).toSet
+    val got = AnalyticsQueries.qSeasonalOutliers(spark, sf).collect()
+      .map(_.getDate(0).toString).toSet
+    assert(got === expected)
+    assert(mad > 0.0)
+  }
+
   test("clustered layout has no worse total depth than arrival layout") {
     val rows = LakeOpsQueries.qClusteringDepth(spark, sf).collect()
     val byLayout = rows.groupBy(_.getString(0))

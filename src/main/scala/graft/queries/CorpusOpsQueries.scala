@@ -813,7 +813,60 @@ object CorpusOpsQueries {
       |             / (sum(n_seqs * c - t) + sum(t)), 6) AS waste_frac
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- per-document novelty vs a reference corpus slice ---
+  // The curation score for "how much of this doc is NEW relative to
+  // what we already have": fraction (basis points) of the doc's
+  // distinct trigram shingles absent from the reference slice
+  // (sources src0-src4). The inverse of contamination scoring — used
+  // to PRIORITIZE additions rather than reject them. Shape: one
+  // equi-join of candidate shingles against the distinct reference
+  // shingle set (left join + null marker — the join is the membership
+  // test), then a per-doc count aggregation; novelty arithmetic is
+  // integer basis points, `div` on non-negative operands.
+  def qNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("shingle"))
+    val isRef = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val refSet = shingled.filter(isRef)
+      .select(col("shingle")).distinct().withColumn("seen", lit(1))
+    shingled.filter(!isRef)
+      .join(refSet, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_shingles"),
+        expr("(10000 * novel) div n_shingles").as("novel_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNoveltyOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), ref AS (
+      |  SELECT DISTINCT shingle FROM s
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+      |)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       (10000 * CAST(sum(CASE WHEN ref.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+      |         // count(*) AS novel_bp
+      |FROM s LEFT JOIN ref ON s.shingle = ref.shingle
+      |WHERE s.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (qNovelty _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_skew_report" -> (qSkewReport _),
@@ -831,6 +884,7 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_novelty" -> qNoveltyOracle,
     "q_packing_efficiency" -> qPackingEfficiencyOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,
     "q_skew_report" -> qSkewReportOracle,

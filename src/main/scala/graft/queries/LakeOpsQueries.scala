@@ -353,6 +353,96 @@ object LakeOpsQueries {
       |ORDER BY col_name""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- equi-depth histogram (ANALYZE statistics collection) ---
+  // The planner-statistics histogram: 8 equi-depth buckets over
+  // o_totalprice, boundaries at the interpolated octiles, per-bucket
+  // row counts + actual [min, max]. Scale shape: boundary computation
+  // is one percentile aggregate; bucket ASSIGNMENT broadcasts the
+  // 7-element boundary array and ranks each row with a codegen'd
+  // array filter — no range join, no per-bucket scan. The same
+  // unrounded boundaries drive the comparison in both engines (the
+  // established percentile-determinism recipe); output bounds are
+  // rounded once for display.
+  def qHistogramStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_totalprice"))
+    val bounds = o.agg(expr(
+      "percentile(o_totalprice, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+      .as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr("size(filter(bs, b -> o_totalprice > b)) + 1"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramStatsOracle: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice,
+      |           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_totalprice,
+      |         len(list_filter(bs, x -> o_totalprice > x)) + 1 AS bucket
+      |  FROM orders CROSS JOIN b)
+      |SELECT CAST(bucket AS INTEGER) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(min(o_totalprice), 2) AS lo,
+      |       round(max(o_totalprice), 2) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- join-cardinality estimation by key-universe sampling ---
+  // The optimizer-statistics technique for join sizing: sample the KEY
+  // UNIVERSE (md5(key) % 16 == 0), not rows — both sides keep ALL rows
+  // of a sampled key, so matching pairs survive together and
+  // est = pairs_on_sampled_keys × 16 is unbiased for the true join
+  // size (row-level Bernoulli sampling would need ×16² and has far
+  // higher variance on skewed keys). Everything is integer-exact; the
+  // report carries the true size next to the estimate with the signed
+  // error in basis points — the accuracy statement IS the result.
+  def qJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir).select(col("o_orderkey"))
+    val l = lineitem(spark, dir).select(col("l_orderkey"))
+    val trueSize = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("true_pairs"))
+    def sampled(df: DataFrame, key: String) = df.filter(expr(
+      s"cast(conv(substring(md5(concat('js:', cast($key as string))), 1, 15), 16, 10) as bigint) % 16 = 0"))
+    val estSize = sampled(o, "o_orderkey")
+      .join(sampled(l, "l_orderkey"), col("o_orderkey") === col("l_orderkey"))
+      .agg((count(lit(1)) * 16L).as("est_pairs"))
+    trueSize.crossJoin(estSize)
+      .select(col("true_pairs"), col("est_pairs"),
+        // signed error with NON-NEGATIVE div operands only: Spark `div`
+        // truncates toward zero while DuckDB `//` floors, so negatives
+        // must never reach the division (house gotcha)
+        expr("""CASE WHEN est_pairs >= true_pairs
+               |  THEN (10000 * (est_pairs - true_pairs)) div true_pairs
+               |  ELSE -((10000 * (true_pairs - est_pairs)) div true_pairs)
+               |END""".stripMargin).as("err_bp"))
+  }
+
+  val qJoinEstimateOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS true_pairs
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |so AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE CAST('0x' || substr(md5('js:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 16 = 0),
+      |sl AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  WHERE CAST('0x' || substr(md5('js:' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 16 = 0),
+      |e AS (
+      |  SELECT CAST(count(*) * 16 AS BIGINT) AS est_pairs
+      |  FROM so JOIN sl ON so.o_orderkey = sl.l_orderkey)
+      |SELECT true_pairs, est_pairs,
+      |       CASE WHEN est_pairs >= true_pairs
+      |         THEN (10000 * (est_pairs - true_pairs)) // true_pairs
+      |         ELSE -((10000 * (true_pairs - est_pairs)) // true_pairs)
+      |       END AS err_bp
+      |FROM t CROSS JOIN e""".stripMargin
+
   // --- clustering-depth report: how well does a file layout skip? ---
   // The metric behind Delta/Iceberg OPTIMIZE decisions: per file, how
   // many files' [min, max] ranges of the clustering key overlap it —
@@ -415,7 +505,9 @@ object LakeOpsQueries {
     "q_cdc_apply" -> (qCdcApply _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_profile" -> (qProfile _),
-    "q_clustering_depth" -> (qClusteringDepth _))
+    "q_clustering_depth" -> (qClusteringDepth _),
+    "q_histogram_stats" -> (qHistogramStats _),
+    "q_join_estimate" -> (qJoinEstimate _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -426,5 +518,7 @@ object LakeOpsQueries {
     "q_cdc_apply" -> qCdcApplyOracle,
     "q_ref_integrity" -> qRefIntegrityOracle,
     "q_profile" -> qProfileOracle,
-    "q_clustering_depth" -> qClusteringDepthOracle)
+    "q_clustering_depth" -> qClusteringDepthOracle,
+    "q_histogram_stats" -> qHistogramStatsOracle,
+    "q_join_estimate" -> qJoinEstimateOracle)
 }

@@ -149,6 +149,44 @@ class SessionFiveOpsSpec extends SparkSpec {
     assert(mad > 0.0)
   }
 
+  test("frame sampling caps fan-out at 8 frames per document") {
+    val perDoc = MultimodalQueries.qFrameSample(spark, sf).collect()
+      .groupBy(_.getLong(0)).map(_._2.length)
+    assert(perDoc.nonEmpty)
+    assert(perDoc.max <= 8)
+    assert(perDoc.max == 8, "fixture never exercises the cap — weaken detected")
+  }
+
+  test("equi-depth histogram buckets are balanced") {
+    val counts = LakeOpsQueries.qHistogramStats(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(counts.length === 8)
+    assert(counts.max - counts.min <= 2,
+      s"equi-depth buckets unbalanced: ${counts.mkString(",")}")
+  }
+
+  test("join-size estimate is self-consistent") {
+    val r = LakeOpsQueries.qJoinEstimate(spark, sf).collect().head
+    val (t, e, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(t > 0 && e > 0)
+    val expectBp =
+      if (e >= t) 10000 * (e - t) / t else -(10000 * (t - e) / t)
+    assert(bp === expectBp)
+  }
+
+  test("novelty is 0 bp for a doc fully covered by the reference slice") {
+    // reference docs themselves are excluded; but a candidate identical
+    // to a reference doc would be 0 — assert the weaker invariants that
+    // hold on any corpus: bp in [0, 10000], and some doc is fully novel
+    val rows = CorpusOpsQueries.qNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L)
+    }
+    assert(rows.exists(_.getLong(2) < 10000L),
+      "no candidate shares ANY shingle with the reference slice")
+  }
+
   test("clustered layout has no worse total depth than arrival layout") {
     val rows = LakeOpsQueries.qClusteringDepth(spark, sf).collect()
     val byLayout = rows.groupBy(_.getString(0))

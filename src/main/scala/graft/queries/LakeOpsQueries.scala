@@ -260,6 +260,164 @@ object LakeOpsQueries {
       |FROM latest WHERE rn = 1 AND op != 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- time travel: table state AS OF each point in the CDC log ---
+  // The lakehouse snapshot query next to q_cdc_apply's final-state
+  // replay: reconstruct the table as of EVERY sequence point (seq <= S
+  // for S in 1..3) and report per-snapshot row count + decimal-summed
+  // price total. One log scan per snapshot boundary at gate scale; a
+  // table format does this with manifest pointers, the ENGINE semantics
+  // (latest-entry-per-key up to S, deletes drop) are what's gated here.
+  // The price total routes through decimal(18,2) — the house recipe for
+  // order-insensitive double sums.
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val log = o.select(col("k"), lit("I").as("op"), lit(1L).as("seq"), col("price"))
+      .unionAll(o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit("U").as("op"), lit(2L).as("seq"),
+          (col("price") + 10.0).as("price")))
+      .unionAll(o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("D").as("op"), lit(3L).as("seq"),
+          lit(null).cast("double").as("price")))
+    val snaps = spark.range(1, 4).select(col("id").as("snapshot"))
+    log.crossJoin(broadcast(snaps))
+      .filter(col("seq") <= col("snapshot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("snapshot"), col("k")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("snapshot"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double"), 2).as("total_price"))
+      .orderBy(col("snapshot"))
+  }
+
+  val qTimeTravelOracle: String =
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, 'I' AS op, 1 AS seq, o_totalprice AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 2, o_totalprice + 10.0
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 3, NULL
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |x AS (
+      |  SELECT s.snapshot, log.*,
+      |         row_number() OVER (PARTITION BY s.snapshot, log.k
+      |                            ORDER BY log.seq DESC) AS rn
+      |  FROM log CROSS JOIN (SELECT unnest([1, 2, 3]) AS snapshot) s
+      |  WHERE log.seq <= s.snapshot)
+      |SELECT CAST(snapshot AS BIGINT) AS snapshot,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+      |FROM x WHERE rn = 1 AND op != 'D'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- SCD2 MERGE: apply a changes batch to a type-2 dimension ---
+  // The dimension-maintenance write: a changes feed (customers ≡ 0
+  // mod 5 move to segment PROMO effective 2024-06-01) hits a current
+  // SCD2 table (every customer open since 2024-01-01). Semantics:
+  // close the changed keys' open intervals at the effective date, and
+  // append the new open rows; unchanged keys pass through untouched.
+  // Shape: ONE equi-join of the dim against the broadcast-size changes
+  // batch decides close-vs-carry per row, and the new rows are the
+  // changes batch itself — no window, no full-table rewrite of
+  // unchanged history (at 100 TB the join prunes to affected
+  // partitions). This is the write path whose READ side is
+  // q_scd2_intervals and whose point-in-time lookup is q_pit_join.
+  // Open intervals use the conventional 9999-12-31 sentinel rather than
+  // NULL — the standard SCD2 encoding (BETWEEN probes need no NULL
+  // branch), and it keeps the date column NULL-free.
+  def qScd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    val openEnd = to_date(lit("9999-12-31"))
+    val dim = customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        openEnd.as("valid_to"))
+    val changes = customer(spark, dir)
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("custkey"),
+        lit("PROMO").as("segment"),
+        to_date(lit("2024-06-01")).as("valid_from"),
+        openEnd.as("valid_to"))
+    val changedKeys = changes.select(col("custkey")).withColumn("chg", lit(1))
+    val existing = dim.join(broadcast(changedKeys), Seq("custkey"), "left")
+      .select(col("custkey"), col("segment"), col("valid_from"),
+        when(col("chg") === 1, to_date(lit("2024-06-01")))
+          .otherwise(col("valid_to")).as("valid_to"))
+    existing.unionByName(changes)
+      .withColumn("is_current", col("valid_to") === openEnd)
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
+  val qScd2ApplyOracle: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+      |         DATE '2024-01-01' AS valid_from, DATE '9999-12-31' AS valid_to
+      |  FROM customer),
+      |changes AS (
+      |  SELECT c_custkey AS custkey, 'PROMO' AS segment,
+      |         DATE '2024-06-01' AS valid_from, DATE '9999-12-31' AS valid_to
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |existing AS (
+      |  SELECT d.custkey, d.segment, d.valid_from,
+      |         CASE WHEN c.custkey IS NOT NULL THEN DATE '2024-06-01'
+      |              ELSE d.valid_to END AS valid_to
+      |  FROM dim d LEFT JOIN (SELECT DISTINCT custkey FROM changes) c
+      |    ON d.custkey = c.custkey),
+      |merged AS (
+      |  SELECT * FROM existing UNION ALL SELECT * FROM changes)
+      |SELECT custkey, segment, valid_from, valid_to,
+      |       valid_to = DATE '9999-12-31' AS is_current
+      |FROM merged ORDER BY custkey, valid_from""".stripMargin
+
+  // --- file-pruning stats: point lookups per layout ---
+  // The payoff view of q_clustering_depth: for 8 point predicates on
+  // the clustering key, how many files must a reader open under the
+  // arrival vs re-clustered layout? files_read(probe) = #files whose
+  // [min, max] contains it — the planner's manifest-pruning arithmetic,
+  // computed on file metadata only. The re-clustered layout reads ~1
+  // file per probe; arrival reads ~all of them.
+  def qPruningStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      d.withColumn("file_id", ntile(16).over(Window.orderBy(order: _*)))
+        .groupBy(col("file_id"))
+        .agg(min(col("n_chars")).as("f_min"), max(col("n_chars")).as("f_max"))
+        .withColumn("layout", lit(name))
+    val files = layout("arrival", Seq(col("doc_id")))
+      .unionByName(layout("clustered", Seq(col("n_chars"), col("doc_id"))))
+    val probes = spark.range(1, 9).select((col("id") * 64).as("probe"))
+    files.crossJoin(broadcast(probes))
+      .filter(col("f_min") <= col("probe") && col("probe") <= col("f_max"))
+      .groupBy(col("layout"), col("probe"))
+      .agg(count(lit(1)).as("files_read"))
+      .orderBy(col("layout"), col("probe"))
+  }
+
+  val qPruningStatsOracle: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents),
+      |fa AS (
+      |  SELECT ntile(16) OVER (ORDER BY doc_id) AS file_id, n_chars FROM d),
+      |fc AS (
+      |  SELECT ntile(16) OVER (ORDER BY n_chars, doc_id) AS file_id, n_chars FROM d),
+      |files AS (
+      |  SELECT 'arrival' AS layout, file_id, min(n_chars) AS f_min,
+      |         max(n_chars) AS f_max FROM fa GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'clustered' AS layout, file_id, min(n_chars) AS f_min,
+      |         max(n_chars) AS f_max FROM fc GROUP BY 2),
+      |probes AS (SELECT unnest([64, 128, 192, 256, 320, 384, 448, 512]) AS probe)
+      |SELECT f.layout, CAST(p.probe AS BIGINT) AS probe,
+      |       CAST(count(*) AS BIGINT) AS files_read
+      |FROM files f JOIN probes p
+      |  ON f.f_min <= p.probe AND p.probe <= f.f_max
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // --- referential-integrity audit (orphan scan) ---
   // The post-load FK check a lake needs after every ingest: anti-join
   // each fact table against its dimension snapshot and report orphan
@@ -507,7 +665,10 @@ object LakeOpsQueries {
     "q_profile" -> (qProfile _),
     "q_clustering_depth" -> (qClusteringDepth _),
     "q_histogram_stats" -> (qHistogramStats _),
-    "q_join_estimate" -> (qJoinEstimate _))
+    "q_join_estimate" -> (qJoinEstimate _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_scd2_apply" -> (qScd2Apply _),
+    "q_pruning_stats" -> (qPruningStats _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -520,5 +681,8 @@ object LakeOpsQueries {
     "q_profile" -> qProfileOracle,
     "q_clustering_depth" -> qClusteringDepthOracle,
     "q_histogram_stats" -> qHistogramStatsOracle,
-    "q_join_estimate" -> qJoinEstimateOracle)
+    "q_join_estimate" -> qJoinEstimateOracle,
+    "q_time_travel" -> qTimeTravelOracle,
+    "q_scd2_apply" -> qScd2ApplyOracle,
+    "q_pruning_stats" -> qPruningStatsOracle)
 }

@@ -99,6 +99,45 @@ object PipelineQueries {
       |      < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
       |ORDER BY 1""".stripMargin
 
+  // --- class-balanced downsampling (cap every class at the smallest) ---
+  // The complement of proportional stratified sampling: equalize
+  // classes by capping each language at the SMALLEST language's count —
+  // the balancing pass before training a classifier on skewed labels.
+  // Which docs survive is deterministic (rank by salted portable md5,
+  // ties by doc_id), so the oracle reproduces the exact kept set. The
+  // per-class rank is a window partitioned by lang — each class ranks
+  // in parallel, and the cap is a broadcast scalar, not a per-row
+  // subquery.
+  def qBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('bal5:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+    val cap = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("cap"))
+    d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBalancedSampleOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5('bal5:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |cap AS (
+      |  SELECT min(n) AS cap FROM (
+      |    SELECT lang, count(*) AS n FROM d GROUP BY 1)),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |  FROM d)
+      |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+      |FROM r CROSS JOIN cap WHERE rk <= cap
+      |ORDER BY doc_id""".stripMargin
+
   // --- deterministic train/test split ---
   // Salted hash split (salt isolates this split from the sampling hash
   // above — correlated splits leak). Reported as counts per (lang, split)
@@ -621,6 +660,7 @@ object PipelineQueries {
     "q_decontaminate" -> (qDecontaminate _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_balanced_sample" -> (qBalancedSample _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -638,6 +678,7 @@ object PipelineQueries {
     "q_decontaminate" -> qDecontaminateOracle,
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_balanced_sample" -> qBalancedSampleOracle,
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
     "q_bm25_topk" -> qBm25TopkOracle,

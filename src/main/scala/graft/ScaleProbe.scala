@@ -54,6 +54,16 @@ object ScaleProbe {
     time("interval_join")(queries.AnalyticsQueries.qIntervalJoin(spark, dir).count())
     time("autocorr")(queries.AnalyticsQueries.qAutocorr(spark, dir).count())
     time("clustering_depth")(queries.LakeOpsQueries.qClusteringDepth(spark, dir).count())
+    time("er_clusters")(queries.CurationQueries.qErClusters(spark, dir).count())
+    time("hits")(queries.GraphQueries.qHits(spark, dir).count())
+    time("seasonal_outliers")(queries.AnalyticsQueries.qSeasonalOutliers(spark, dir).count())
+    time("novelty")(queries.CorpusOpsQueries.qNovelty(spark, dir).count())
+    time("histogram_stats")(queries.LakeOpsQueries.qHistogramStats(spark, dir).count())
+    time("join_estimate")(queries.LakeOpsQueries.qJoinEstimate(spark, dir).count())
+    time("time_travel")(queries.LakeOpsQueries.qTimeTravel(spark, dir).count())
+    time("scd2_apply")(queries.LakeOpsQueries.qScd2Apply(spark, dir).count())
+    time("balanced_sample")(queries.PipelineQueries.qBalancedSample(spark, dir).count())
+    time("frame_sample")(queries.MultimodalQueries.qFrameSample(spark, dir).count())
     spark.stop()
   }
 }

@@ -281,29 +281,52 @@ object CurationQueries {
   // graph is star-like so CC converges in 2 log-rounds, and the heavy
   // strings never enter the CC shuffle (ids only). Oracle: the same
   // length-blocked levenshtein pairs + recursive-CTE closure.
+  //
+  // Identical-name collapse (the ngram-dedup lesson, re-learned here on
+  // the 10x probe: 86.6 s -> the distinct-name level): records sharing
+  // an exact name have IDENTICAL match adjacency, so blocking + verify
+  // run once per distinct name (node id = min member id, making the
+  // component minimum invariant under expansion) and members rejoin
+  // after CC. Lossless by construction; on a duplicate-heavy feed this
+  // is the difference between candidate volume ~distinct² and ~records²
+  // — exact-duplicate names are the norm in real dirty batches.
   def qErClusters(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"))
     val probes = cust.filter(col("c_custkey") % 20 === 0)
       .select((col("c_custkey") + 1000000L).as("probe_id"),
         concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000))
           .as("dirty_name"))
-    val candIdx = cust.select(col("c_custkey").as("cand_key"),
+    // one representative per distinct name on each side; the group node
+    // carries min(member id) so comp minima survive expansion
+    val mGroups = cust.groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("m_node"))
+      .persist()
+    val pGroups = probes.groupBy(col("dirty_name"))
+      .agg(min(col("probe_id")).as("p_node"))
+      .persist()
+    val candIdx = mGroups.select(col("m_node"),
       explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
         .as("variant"))
-    val probeIdx = probes.select(col("probe_id"),
+    val probeIdx = pGroups.select(col("p_node"),
       explode(expr(s"transform(${delNeighborhood("dirty_name")}, v -> xxhash64(v))"))
         .as("variant"))
     val pairs = broadcast(probeIdx)
       .join(candIdx, Seq("variant"))
-      .select(col("probe_id"), col("cand_key"))
+      .select(col("p_node"), col("m_node"))
       .distinct()
-      .join(probes, Seq("probe_id"))
-      .join(cust.select(col("c_custkey").as("cand_key"), col("c_name").as("cand_name")),
-        Seq("cand_key"))
-      .filter(levenshtein(col("dirty_name"), col("cand_name")) <= 2)
-      .select(col("probe_id").as("src"), col("cand_key").as("dst"))
-    graft.ops.ConnectedComponents.components(pairs)
-      .select(col("id").as("record_id"), col("comp").as("entity_id"))
+      .join(pGroups, Seq("p_node"))
+      .join(mGroups, Seq("m_node"))
+      .filter(levenshtein(col("dirty_name"), col("c_name")) <= 2)
+      .select(col("p_node").as("src"), col("m_node").as("dst"))
+    val comps = graft.ops.ConnectedComponents.components(pairs)
+    // expand group components back to member records
+    val mMembers = cust.join(mGroups, Seq("c_name"))
+      .select(col("m_node").as("id"), col("c_custkey").as("record_id"))
+    val pMembers = probes.join(pGroups, Seq("dirty_name"))
+      .select(col("p_node").as("id"), col("probe_id").as("record_id"))
+    mMembers.unionByName(pMembers)
+      .join(comps, Seq("id"))
+      .select(col("record_id"), col("comp").as("entity_id"))
       .orderBy(col("record_id"))
   }
 

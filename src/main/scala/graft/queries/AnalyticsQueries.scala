@@ -735,6 +735,50 @@ object AnalyticsQueries {
       |WHERE abs(r.residual) > m.mad * 2.0
       |ORDER BY r.day""".stripMargin
 
+  // --- CUSUM drift detection over the daily event-count series ---
+  // The sequential change detector next to the pointwise outlier ops
+  // (MAD, seasonal): CUSUM accumulates small sustained shifts that no
+  // single-day threshold sees. The textbook recursion
+  // s_t = max(0, s_{t-1} + x_t - (target + slack)) is not directly
+  // window-expressible, but it has the exact closed form
+  // s_t = P_t - min(0, min_{j<=t} P_j) over prefix sums P of the
+  // drift-adjusted deltas — two cumulative windows (sum, then running
+  // min), both over the 30-row daily aggregate, everything BIGINT.
+  // target = integer mean, slack = 5% of target, alarm at
+  // s_t > target/4. Alarm days are corpus-dependent; the full series
+  // with the statistic is the output so the gate pins every value.
+  def qCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val target = daily.agg(expr("sum(cnt) div count(*)").as("target"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(target))
+      .withColumn("psum",
+        sum(col("cnt") - col("target") - expr("target div 20")).over(w))
+      .withColumn("cusum", col("psum") - least(lit(0L), min(col("psum")).over(w)))
+      .select(col("day"), col("cnt"), col("cusum"),
+        (col("cusum") > expr("target div 4")).as("alarm"))
+      .orderBy(col("day"))
+  }
+
+  val qCusumDriftOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) // count(*) AS target FROM d),
+      |p AS (
+      |  SELECT day, cnt, target,
+      |         CAST(sum(cnt - target - (target // 20))
+      |              OVER (ORDER BY day) AS BIGINT) AS psum
+      |  FROM d CROSS JOIN t),
+      |s AS (
+      |  SELECT day, cnt, target,
+      |         CAST(psum - least(0, min(psum) OVER (ORDER BY day)) AS BIGINT) AS cusum
+      |  FROM p)
+      |SELECT day, cnt, cusum, cusum > target // 4 AS alarm
+      |FROM s ORDER BY day""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
@@ -752,7 +796,8 @@ object AnalyticsQueries {
     "q_ab_lift" -> (qAbLift _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_autocorr" -> (qAutocorr _),
-    "q_seasonal_outliers" -> (qSeasonalOutliers _))
+    "q_seasonal_outliers" -> (qSeasonalOutliers _),
+    "q_cusum_drift" -> (qCusumDrift _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
@@ -771,5 +816,6 @@ object AnalyticsQueries {
     "q_ab_lift" -> qAbLiftOracle,
     "q_interval_join" -> qIntervalJoinOracle,
     "q_autocorr" -> qAutocorrOracle,
-    "q_seasonal_outliers" -> qSeasonalOutliersOracle)
+    "q_seasonal_outliers" -> qSeasonalOutliersOracle,
+    "q_cusum_drift" -> qCusumDriftOracle)
 }

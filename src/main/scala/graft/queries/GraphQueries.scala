@@ -160,13 +160,81 @@ object GraphQueries {
       |ORDER BY authority DESC, user_id
       |LIMIT 15""".stripMargin
 
+  // --- degree assortativity (Newman 2002) ---
+  // Do high-degree nodes attach to high-degree nodes? Pearson r over
+  // the edge list of (deg(src), deg(dst)) — negative on hub-and-spoke
+  // graphs, positive on social graphs; the one-number structure summary
+  // a graph pipeline reports next to the degree histogram. Shape: one
+  // degree aggregation (union of endpoints, map-side combinable), one
+  // join of the edge list to the degree table per endpoint, and the
+  // autocorr determinism recipe — all sufficient statistics BIGINT,
+  // the double closed form evaluated once identically in both engines.
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val stats = nodes.agg((max(col("node")) + 1).as("m"))
+    val edges = nodes.crossJoin(broadcast(stats))
+      .select(col("node").as("src"),
+        ((col("node") * col("node") + 7) % col("m")).as("dst"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .persist()
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("node").as("src"), col("deg").as("xd")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("yd")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("yd")).as("sxy"),
+        sum(col("xd") * col("xd")).as("sxx"),
+        sum(col("yd") * col("yd")).as("syy"))
+      .select(col("n").as("n_edges"),
+        round(expr(
+          """(n * sxy - sx * sy) /
+            | sqrt(nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0.0))"""
+            .stripMargin), 5).as("assortativity"))
+  }
+
+  val qAssortativityOracle: String =
+    """WITH nodes AS (
+      |  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+      |stats AS (SELECT max(node) + 1 AS m FROM nodes),
+      |edges AS (
+      |  SELECT u.node AS src, (u.node * u.node + 7) % s.m AS dst
+      |  FROM nodes u CROSS JOIN stats s
+      |  WHERE (u.node * u.node + 7) % s.m IN (SELECT node FROM nodes)),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT dx.deg AS xd, dy.deg AS yd
+      |  FROM edges e
+      |  JOIN deg dx ON e.src = dx.node
+      |  JOIN deg dy ON e.dst = dy.node),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(xd) AS BIGINT) AS sx, CAST(sum(yd) AS BIGINT) AS sy,
+      |         CAST(sum(xd * yd) AS BIGINT) AS sxy,
+      |         CAST(sum(xd * xd) AS BIGINT) AS sxx,
+      |         CAST(sum(yd * yd) AS BIGINT) AS syy
+      |  FROM j)
+      |SELECT n AS n_edges,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt(nullif((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy), 0.0)), 5)
+      |         AS assortativity
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> (qAssortativity _),
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_hits" -> (qHits _))
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_assortativity" -> qAssortativityOracle,
     "q_pagerank" -> qPagerankOracle,
     "q_triangle_count" -> qTriangleCountOracle,
     "q_hits" -> qHitsOracle)

@@ -768,7 +768,68 @@ object TextQueries {
       |FROM sh GROUP BY 1 HAVING count(*) BETWEEN 4 AND 12
       |ORDER BY shingle""".stripMargin
 
+  // --- distinctive terms per corpus slice: Monroe log-odds z-scores ---
+  // "What characterizes sources src0-4 against the rest" — the
+  // corpus-comparison op behind curation dashboards. Monroe, Colaresi &
+  // Quinn (2008) weighted log-odds with a uniform Dirichlet prior
+  // (alpha_w = 1): delta_w = ln((a+1)/(A+V-a-1)) - ln((b+1)/(B+V-b-1)),
+  // z_w = delta_w / sqrt(1/(a+1) + 1/(b+1)); the prior regularizes rare
+  // terms, unlike raw log-ratio which ranks hapaxes first. Scale shape:
+  // two conditional aggregations over one token scan (never two
+  // scans), corpus totals as a single-row broadcast. All inputs are
+  // BIGINT; doubles are touched once in an identical closed form and
+  // rounded to 5 — the tfidf/bm25 determinism recipe. Top/bottom 5 by
+  // rounded z (most A-distinctive and most B-distinctive).
+  def qLogOddsTerms(spark: SparkSession, dir: String): DataFrame = {
+    val isA = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val counts = documents(spark, dir)
+      .select(isA.as("in_a"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("b"))
+      .persist()
+    val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("v"))
+    val z = counts.crossJoin(broadcast(totals))
+      .withColumn("z", round(expr(
+        """(ln((a + 1.0) / (ta + v - a - 1.0)) - ln((b + 1.0) / (tb + v - b - 1.0)))
+          | / sqrt(1.0 / (a + 1.0) + 1.0 / (b + 1.0))""".stripMargin), 5))
+      .select(col("tok"), col("a"), col("b"), col("z"))
+    val top = z.orderBy(col("z").desc, col("tok")).limit(5)
+      .withColumn("side", lit("A"))
+    val bottom = z.orderBy(col("z").asc, col("tok")).limit(5)
+      .withColumn("side", lit("B"))
+    top.unionByName(bottom).orderBy(col("side"), col("z").desc, col("tok"))
+  }
+
+  val qLogOddsTermsOracle: String =
+    """WITH t AS (
+      |  SELECT source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS in_a,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT tok,
+      |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+      |  FROM t WHERE tok <> '' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+      |         CAST(count(*) AS BIGINT) AS v FROM c),
+      |z AS (
+      |  SELECT tok, a, b,
+      |         round((ln((a + 1.0) / (ta + v - a - 1.0)) - ln((b + 1.0) / (tb + v - b - 1.0)))
+      |               / sqrt(1.0 / (a + 1.0) + 1.0 / (b + 1.0)), 5) AS z
+      |  FROM c CROSS JOIN tot),
+      |top AS (
+      |  SELECT tok, a, b, z, 'A' AS side FROM z ORDER BY z DESC, tok LIMIT 5),
+      |bottom AS (
+      |  SELECT tok, a, b, z, 'B' AS side FROM z ORDER BY z ASC, tok LIMIT 5)
+      |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bottom)
+      |ORDER BY side, z DESC, tok""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_log_odds_terms" -> (qLogOddsTerms _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
@@ -784,6 +845,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_log_odds_terms" -> qLogOddsTermsOracle,
     "q_inverted_index" -> qInvertedIndexOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,

@@ -187,6 +187,39 @@ class SessionFiveOpsSpec extends SparkSpec {
       "no candidate shares ANY shingle with the reference slice")
   }
 
+  test("windowed CUSUM closed form equals the textbook recursion") {
+    val rows = AnalyticsQueries.qCusumDrift(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val target = total / rows.length
+    val slack = target / 20
+    var s = 0L
+    rows.foreach { case (day, cnt, got) =>
+      s = math.max(0L, s + cnt - target - slack)
+      assert(got === s, s"$day: closed form $got != recursion $s")
+    }
+  }
+
+  test("assortativity is a valid correlation") {
+    val r = GraphQueries.qAssortativity(spark, sf).collect().head
+    assert(r.getLong(0) > 0)
+    if (!r.isNullAt(1)) assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
+  test("A-distinctive log-odds terms are relatively more frequent in A") {
+    val rows = TextQueries.qLogOddsTerms(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.filter(_.getString(4) == "A").foreach { r =>
+      val (a, b, z) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(z > 0.0, s"${r.getString(0)}: A-side term with z <= 0")
+      assert(a > 0L)
+    }
+    rows.filter(_.getString(4) == "B").foreach { r =>
+      assert(r.getDouble(3) < 0.0, s"${r.getString(0)}: B-side term with z >= 0")
+    }
+  }
+
   test("clustered layout has no worse total depth than arrival layout") {
     val rows = LakeOpsQueries.qClusteringDepth(spark, sf).collect()
     val byLayout = rows.groupBy(_.getString(0))

@@ -274,6 +274,90 @@ object PipelineQueries {
       |ORDER BY score_micro DESC, doc_id
       |LIMIT 10""".stripMargin
 
+  // --- reciprocal-rank fusion of two retrieval rankings ---
+  // The standard hybrid-retrieval combiner (Cormack et al. 2009):
+  // RRF(d) = Σ_r 1/(60 + rank_r(d)) over the input rankings — here
+  // BM25 and TF-IDF for the same 3-term query, both derived from ONE
+  // (doc, term) tf scan. Robust to score-scale mismatch because only
+  // RANKS enter the fusion, which is also what makes it exactly
+  // integer-expressible: contribution = 1000000 div (60 + rank) in
+  // micro-units (integer division — zero doubles end to end; even the
+  // per-ranking scores are BIGINT micro-units). A doc absent from a
+  // ranking contributes nothing — the real RRF convention for
+  // heterogeneous retrievers. Top-10 fused, ties by doc_id.
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "window", "merge")
+    val toksDf = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok") =!= "")
+    val stats = toksDf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val tf = toksDf.filter(col("tok").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    val scored = tf.join(broadcast(dfreq), "tok").join(broadcast(stats))
+      .withColumn("bm25_micro", expr(
+        """CAST(round(1000000 * ln(1.0 + (nd - dfq + 0.5) / (dfq + 0.5)) *
+          |  (tf * (1.2 + 1.0)) /
+          |  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+          |) AS BIGINT)""".stripMargin))
+      .withColumn("tfidf_micro", expr(
+        "CAST(round(1000000 * tf * ln(CAST(nd AS DOUBLE) / dfq)) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bm25_micro")).as("s1"), sum(col("tfidf_micro")).as("s2"))
+    val ranked = scored
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("s1").desc, col("doc_id"))))
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("s2").desc, col("doc_id"))))
+    ranked
+      .withColumn("rrf_micro",
+        expr("1000000 div (60 + rank_bm25) + 1000000 div (60 + rank_tfidf)"))
+      .select(col("doc_id"), col("rank_bm25").cast("long").as("rank_bm25"),
+        col("rank_tfidf").cast("long").as("rank_tfidf"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qRankFusionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tnz AS (SELECT * FROM t WHERE tok <> ''
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM tnz)
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+      |  FROM tnz WHERE tok IN ('spark', 'window', 'merge') GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |         CAST(sum(CAST(round(1000000 * ln(1.0 + (nd - dfq + 0.5) / (dfq + 0.5)) *
+      |           (tf * (1.2 + 1.0)) /
+      |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+      |         ) AS BIGINT)) AS BIGINT) AS s1,
+      |         CAST(sum(CAST(round(1000000 * tf * ln(CAST(nd AS DOUBLE) / dfq)) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM tf JOIN df USING (tok) CROSS JOIN stats
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY s1 DESC, doc_id) AS rank_bm25,
+      |         row_number() OVER (ORDER BY s2 DESC, doc_id) AS rank_tfidf
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+      |       CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+      |       CAST(1000000 // (60 + rank_bm25) + 1000000 // (60 + rank_tfidf) AS BIGINT)
+      |         AS rrf_micro
+      |FROM ranked
+      |ORDER BY rrf_micro DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   // --- int8 symmetric embedding quantization ---
   // The vector-compression pass before ANN at scale (4 bytes -> 1 byte
   // per dim). scale = max|v| / 127 per vector; reported as checksums
@@ -664,6 +748,7 @@ object PipelineQueries {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25Topk _),
+    "q_rank_fusion" -> (qRankFusion _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pack_spans" -> (qPackSpans _),
@@ -682,6 +767,7 @@ object PipelineQueries {
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
+    "q_rank_fusion" -> qRankFusionOracle,
     "q_embed_quantize" -> qEmbedQuantizeOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_pack_spans" -> qPackSpansOracle,

@@ -138,6 +138,35 @@ object PipelineQueries {
       |FROM r CROSS JOIN cap WHERE rk <= cap
       |ORDER BY doc_id""".stripMargin
 
+  // --- weighted sampling without replacement (Efraimidis-Spirakis) ---
+  // Quality/length-weighted corpus subsampling: select k docs where
+  // P(selection) tilts toward weight w (here n_chars — stand-in for any
+  // quality score) via the A-ES one-pass reduction: key = ln(u)/w with
+  // u ~ U(0,1], take the k LARGEST keys. Equivalent to sequential
+  // weighted draws without replacement (Efraimidis & Spirakis 2006), but
+  // expressed as a per-row scalar + top-k — no sequential state, so it
+  // parallelizes over any partitioning and at 100 TB is a TakeOrdered
+  // (per-partition top-k, then merge k*P rows on the driver), never a
+  // global sort. u is a salted portable md5 of the doc id, so the sample
+  // is reproducible in any engine; the key is one closed-form double
+  // rounded to 9 (ties broken by doc_id).
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("u_i", expr(
+        "cast(conv(substring(md5(concat('ws7:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 1000000000"))
+      .withColumn("skey", round(expr("ln((u_i + 1) / 1000000000.0) / n_chars"), 9))
+      .select(col("doc_id"), col("n_chars"), col("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(25)
+
+  val qWeightedSampleOracle: String =
+    """SELECT doc_id, n_chars,
+      |       round(ln(((CAST('0x' || substr(md5('ws7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |                  % 1000000000) + 1) / 1000000000.0) / n_chars, 9) AS skey
+      |FROM documents
+      |ORDER BY skey DESC, doc_id
+      |LIMIT 25""".stripMargin
+
   // --- deterministic train/test split ---
   // Salted hash split (salt isolates this split from the sampling hash
   // above — correlated splits leak). Reported as counts per (lang, split)
@@ -745,6 +774,7 @@ object PipelineQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_balanced_sample" -> (qBalancedSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -764,6 +794,7 @@ object PipelineQueries {
     "q_asof_join" -> qAsofJoinOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_balanced_sample" -> qBalancedSampleOracle,
+    "q_weighted_sample" -> qWeightedSampleOracle,
     "q_train_test_split" -> qTrainTestSplitOracle,
     "q_tfidf_topk" -> qTfidfTopkOracle,
     "q_bm25_topk" -> qBm25TopkOracle,

@@ -734,6 +734,56 @@ object TextQueries {
       |                     THEN 0 ELSE 1 END) AS BIGINT) AS dropped
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- per-doc token Shannon entropy (repetition/junk quality signal) ---
+  // H = ln(N) - (1/N) * sum_t c_t*ln(c_t) over the doc's token counts —
+  // the closed form that needs ONE double per distinct token instead of
+  // per-token probabilities. Low H flags degenerate docs (one phrase
+  // repeated, template boilerplate) that length/stopword filters miss;
+  // CCNet/Gopher-style pipelines cut on exactly this signal. Determinism:
+  // each c*ln(c) term is rounded to integer micro-nats FIRST, so the
+  // per-doc sum is a BIGINT sum (order-free under any partitioning);
+  // doubles are touched once more in the identical closed form on the two
+  // BIGINT sufficient statistics. Scale shape: one explode + one
+  // two-level agg — no joins, no windows.
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(expr("CAST(round(1000000 * c * ln(c)) AS BIGINT)")).as("s_micro"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(expr("ln(n_tokens) - s_micro / (1000000.0 * n_tokens)"), 5)
+          .as("entropy_nats"))
+      .withColumn("low_entropy", col("entropy_nats") < 2.0)
+      .orderBy(col("doc_id"))
+
+  val qTokenEntropyOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id,
+      |         CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |         CAST(sum(CAST(round(1000000 * c * ln(c)) AS BIGINT)) AS BIGINT)
+      |           AS s_micro
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens, distinct_tokens,
+      |       round(ln(n_tokens) - s_micro / (1000000.0 * n_tokens), 5)
+      |         AS entropy_nats,
+      |       round(ln(n_tokens) - s_micro / (1000000.0 * n_tokens), 5) < 2.0
+      |         AS low_entropy
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // --- inverted index over 3-word shingles ---
   // The retrieval-side companion to the decontamination join: build the
   // shingle -> postings-list index itself, restricted to the useful df
@@ -830,6 +880,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_odds_terms" -> (qLogOddsTerms _),
+    "q_token_entropy" -> (qTokenEntropy _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
@@ -846,6 +897,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_log_odds_terms" -> qLogOddsTermsOracle,
+    "q_token_entropy" -> qTokenEntropyOracle,
     "q_inverted_index" -> qInvertedIndexOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,

@@ -568,7 +568,70 @@ object SketchDedupQueries {
       |FROM p WHERE common * 5 >= uni * 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------ winnowing
+  // Minimizer fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+  // algorithm): hash every 3-token shingle, then keep the MINIMUM hash of
+  // each window of 4 consecutive shingle hashes. Winnowing guarantees any
+  // shared run of >= w+k-1 tokens contributes at least one shared
+  // fingerprint, so it detects LOCAL overlap (a copied paragraph inside
+  // otherwise-different docs) that whole-doc MinHash dilutes away —
+  // the sub-document dedup layer of a corpus pipeline. Density is ~2/(w+1)
+  // of the shingle count regardless of doc length, so the fingerprint
+  // table is a bounded fraction of the corpus.
+  //
+  // Scale shape: fingerprint extraction is per-row higher-order-function
+  // work (no explode until the distinct minimizer set, ~29% of shingles);
+  // pair generation is an equi-join on the fingerprint key with a df cap
+  // (<= 50) that bounds every postings list — the same hot-key guard as
+  // the inverted index and embedding blocking. Pairs sharing >= 3
+  // fingerprints are reported with their overlap count. The shingle hash
+  // is the portable md5->int64, so DuckDB replays it bit-for-bit.
+  def qMinimizers(spark: SparkSession, dir: String): DataFrame = {
+    val fps = documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 6) // >= 4 shingles -> >= 1 window
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(tk)-3),
+          |  i -> cast(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15), 16, 10) as bigint))""".stripMargin))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(hs)-3), j -> array_min(slice(hs, j, 4)))")))
+        .as("fp"))
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 50)
+      .select(col("doc_id"), col("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinimizersOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(tk)-1),
+      |           i -> CAST('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15) AS BIGINT)) AS hs
+      |  FROM w WHERE len(tk) >= 6),
+      |m AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs)-2),
+      |         j -> list_aggregate(hs[j:j+3], 'min')))) AS fp
+      |  FROM h),
+      |capped AS (
+      |  SELECT doc_id, fp FROM (
+      |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM m)
+      |  WHERE df <= 50)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(count(*) AS BIGINT) AS shared_fps
+      |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minimizers" -> (qMinimizers _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_source_similarity" -> (qSourceSimilarity _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
@@ -578,6 +641,7 @@ object SketchDedupQueries {
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
+    "q_minimizers" -> qMinimizersOracle,
     "q_sorted_neighborhood" -> qSortedNeighborhoodOracle,
     "q_source_similarity" -> qSourceSimilarityOracle,
     "q_dedup_minhash_lsh" -> qDedupMinhashLshOracle,

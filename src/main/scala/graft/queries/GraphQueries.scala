@@ -226,7 +226,68 @@ object GraphQueries {
       |         AS assortativity
       |FROM s""".stripMargin
 
+  // --- k-core (bounded parallel peel) ---
+  // Fixture: the union of the banded graph u ~ u+{1,2,3} (lattice, deg
+  // <= 6) and the functional graph u -> (u*u+7) mod m, symmetrized —
+  // dense enough that the 5-core is non-trivial but keeps real peel
+  // casualties (gap-adjacent lattice nodes and the deg-4 tail). Same
+  // bounded-loop contract as qPagerank: EXACTLY 3 parallel-peel rounds,
+  // which the oracle unrolls as 3 CTE pairs; KCoreSpec asserts rounds 3
+  // and 4 agree at the gated scale factors, so the bounded form is the
+  // true 5-core on gated data.
+  private[queries] def kcoreEdges(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val stats = nodes.agg((max(col("node")) + 1).as("m"))
+    val fwd = nodes.crossJoin(broadcast(stats))
+      .select(col("node").as("src"),
+        ((col("node") * col("node") + 7) % col("m")).as("dst"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .unionByName(nodes
+        .select(col("node"), explode(array(lit(1L), lit(2L), lit(3L))).as("d"))
+        .select(col("node").as("src"), (col("node") + col("d")).as("dst"))
+        .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+  }
+
+  def qKCore(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.KCore.peel(kcoreEdges(spark, dir), k = 5, rounds = 3)
+      .select(col("node").as("user_id"), col("deg"))
+      .orderBy(col("user_id"))
+
+  val qKCoreOracle: String = {
+    def round(prev: String, i: Int): String =
+      s"""s$i AS (
+         |  SELECT src AS node FROM $prev GROUP BY 1 HAVING count(*) >= 5),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN s$i a ON e.src = a.node JOIN s$i b ON e.dst = b.node)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT DISTINCT user_id AS node FROM events WHERE user_id IS NOT NULL),
+       |stats AS (SELECT max(node) + 1 AS m FROM nodes),
+       |fwd AS (
+       |  SELECT u.node AS src, (u.node * u.node + 7) % s.m AS dst
+       |  FROM nodes u CROSS JOIN stats s
+       |  WHERE (u.node * u.node + 7) % s.m IN (SELECT node FROM nodes)
+       |  UNION ALL
+       |  SELECT u.node AS src, u.node + d.d AS dst
+       |  FROM nodes u CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (3)) d(d)
+       |  WHERE u.node + d.d IN (SELECT node FROM nodes)),
+       |e0 AS (
+       |  SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)
+       |  WHERE src <> dst),
+       |${round("e0", 1)},
+       |${round("e1", 2)},
+       |${round("e2", 3)}
+       |SELECT src AS user_id, CAST(count(*) AS BIGINT) AS deg
+       |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> (qKCore _),
     "q_assortativity" -> (qAssortativity _),
     "q_pagerank" -> (qPagerank _),
     "q_triangle_count" -> (qTriangleCount _),
@@ -234,6 +295,7 @@ object GraphQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_kcore" -> qKCoreOracle,
     "q_assortativity" -> qAssortativityOracle,
     "q_pagerank" -> qPagerankOracle,
     "q_triangle_count" -> qTriangleCountOracle,

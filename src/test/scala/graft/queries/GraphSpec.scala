@@ -14,6 +14,33 @@ class GraphSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   import spark.implicits._
 
+  test("KCore: pendant cascade peels over rounds, K4 core is exact") {
+    // K4 on {1,2,3,4} + path 4-5 + pendants 5-8, 5-9. Round 1: 8, 9 die
+    // (deg 1); 5 survives (deg 3). Round 2: 5 dies (deg 1 after its
+    // pendants left) — the cascade a single-round filter can't see.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 8L), (5L, 9L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = graft.ops.KCore.peel(sym, k = 3, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    val r3 = graft.ops.KCore.peel(sym, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("q_kcore: 3 peel rounds is the fixpoint at the gated scale factors") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = GraphQueries.kcoreEdges(spark, dir)
+      val r3 = graft.ops.KCore.peel(e, k = 5, rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r4 = graft.ops.KCore.peel(e, k = 5, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(r3.nonEmpty)
+      assert(r3 == r4, s"$dir: peel not converged at 3 rounds")
+    }
+  }
+
   test("PageRank: a 2-cycle is an exact fixpoint at 500e9 micro-units each") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L).toDF("node")

@@ -433,7 +433,117 @@ object CurationQueries {
       |GROUP BY 1, 2
       |ORDER BY p.tok""".stripMargin
 
+  // --- golden record (survivorship over resolved entities) ---
+  // The step after entity resolution: collapse each entity's member
+  // records into ONE canonical record under explicit survivorship rules
+  // (MDM "survivorship"; Bleiholder & Naumann 2009 data fusion). Fixture:
+  // every 20th master receives a 3-record dirty feed — two ingests that
+  // lost the SAME character (duplicate submissions) and one that lost a
+  // different one — and each dirty record is resolved to its best master
+  // by the same FastSS deletion-neighborhood blocking + exact-levenshtein
+  // verify as q_fuzzy_match (rank 1 by (distance, master), so entities
+  // are per-master and bounded — no transitive lev-chain blowup; the
+  // truncated third variant is genuinely ambiguous and the total order
+  // deterministically resolves it, sometimes to a smaller neighboring
+  // master — the conflict-resolution behavior a fusion pass must pin,
+  // not hide). Rules:
+  // canonical name = most FREQUENT member name, ties lexicographically
+  // (the mode rule — here the twice-submitted dirty variant beats the
+  // master's own spelling, which is exactly what frequency survivorship
+  // does and a recency/priority rule would not); master_id = smallest
+  // member id. The mode is a groupBy min_by over (-cnt, name) — map-side
+  // combinable argmin, no window over member lists.
+  def qGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val dirty = cust.filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("v"))
+      .select((col("c_custkey") * 10 + col("v") + 10000000L).as("record_id"),
+        when(col("v") === 3,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .otherwise(
+            concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000)))
+          .as("name"))
+    val dGroups = dirty.groupBy(col("name")).agg(min(col("record_id")).as("d_node"))
+    val dIdx = dGroups.select(col("d_node"),
+      explode(expr(s"transform(${delNeighborhood("name")}, v -> xxhash64(v))"))
+        .as("variant"))
+    val mIdx = cust.select(col("c_custkey"),
+      explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
+        .as("variant"))
+    val best = broadcast(dIdx)
+      .join(mIdx, Seq("variant"))
+      .select(col("d_node"), col("c_custkey"))
+      .distinct()
+      .join(dGroups, Seq("d_node"))
+      .join(cust, Seq("c_custkey"))
+      .withColumn("dist", levenshtein(col("name"), col("c_name")))
+      .filter(col("dist") <= 2)
+      .groupBy(col("d_node"))
+      .agg(min_by(col("c_custkey"), struct(col("dist"), col("c_custkey")))
+        .as("entity_id"))
+    val members = dirty.join(dGroups, Seq("name"))
+      .join(best, Seq("d_node"))
+      .select(col("entity_id"), col("record_id"), col("name"))
+      .unionByName(cust
+        .select(col("c_custkey").as("entity_id"),
+          col("c_custkey").as("record_id"), col("c_name").as("name")))
+    val canon = members
+      .groupBy(col("entity_id"), col("name"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("entity_id"))
+      .agg(
+        min_by(col("name"), struct((-col("cnt")).as("nc"), col("name")))
+          .as("canonical_name"),
+        count(lit(1)).as("n_names"))
+    members.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"), min(col("record_id")).as("master_id"))
+      .filter(col("n_records") > 1)
+      .join(canon, Seq("entity_id"))
+      .select(col("entity_id"), col("master_id"), col("n_records"),
+        col("n_names"), col("canonical_name"))
+      .orderBy(col("entity_id"))
+  }
+
+  val qGoldenRecordOracle: String =
+    """WITH dirty AS (
+      |  SELECT c_custkey * 10 + v.v + 10000000 AS record_id,
+      |         CASE WHEN v.v = 3
+      |              THEN substr(c_name, 1, length(c_name) - 1)
+      |              ELSE substr(c_name, 1, 9) || substr(c_name, 11) END AS name
+      |  FROM customer, (SELECT unnest([1, 2, 3]) AS v) v
+      |  WHERE c_custkey % 20 = 0),
+      |best AS (
+      |  SELECT d.record_id, c.c_custkey AS entity_id
+      |  FROM dirty d JOIN customer c
+      |    ON abs(length(d.name) - length(c.c_name)) <= 2
+      |   AND levenshtein(d.name, c.c_name) <= 2
+      |  QUALIFY row_number() OVER (PARTITION BY d.record_id
+      |      ORDER BY levenshtein(d.name, c.c_name), c.c_custkey) = 1),
+      |members AS (
+      |  SELECT b.entity_id, d.record_id, d.name
+      |  FROM dirty d JOIN best b USING (record_id)
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey, c_name FROM customer),
+      |nc AS (
+      |  SELECT entity_id, name, count(*) AS cnt
+      |  FROM members GROUP BY 1, 2),
+      |canon AS (
+      |  SELECT entity_id, name AS canonical_name,
+      |         CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_names
+      |  FROM nc
+      |  QUALIFY row_number() OVER (PARTITION BY entity_id
+      |                             ORDER BY cnt DESC, name) = 1)
+      |SELECT m.entity_id,
+      |       CAST(min(m.record_id) AS BIGINT) AS master_id,
+      |       CAST(count(*) AS BIGINT) AS n_records,
+      |       any_value(c.n_names) AS n_names,
+      |       any_value(c.canonical_name) AS canonical_name
+      |FROM members m JOIN canon c USING (entity_id)
+      |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_golden_record" -> (qGoldenRecord _),
     "q_perplexity" -> (qPerplexity _),
     "q_dist_drift" -> (qDistDrift _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -442,6 +552,7 @@ object CurationQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_golden_record" -> qGoldenRecordOracle,
     "q_perplexity" -> qPerplexityOracle,
     "q_dist_drift" -> qDistDriftOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,

@@ -542,7 +542,33 @@ object CurationQueries {
       |FROM members m JOIN canon c USING (entity_id)
       |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 
+  // --- k-anonymity audit over quasi-identifiers ---
+  // The privacy-side companion to q_pii_redact: count equivalence
+  // classes over the quasi-identifier combination (lang, source,
+  // coarse length bucket) and report every class smaller than k = 5 —
+  // the records a release would expose to re-identification by joining
+  // on those attributes (Sweeney 2002). A release pipeline either
+  // suppresses these rows or coarsens the QI. Pure two-level agg —
+  // map-side combinable, one shuffle on the QI key; the small-class
+  // report is bounded by k * |QI| regardless of corpus size.
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  val qKAnonymityOracle: String =
+    """SELECT lang, source, n_chars // 100 AS len_bucket,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM documents
+      |GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanonymity" -> (qKAnonymity _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_perplexity" -> (qPerplexity _),
     "q_dist_drift" -> (qDistDrift _),
@@ -552,6 +578,7 @@ object CurationQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_kanonymity" -> qKAnonymityOracle,
     "q_golden_record" -> qGoldenRecordOracle,
     "q_perplexity" -> qPerplexityOracle,
     "q_dist_drift" -> qDistDriftOracle,

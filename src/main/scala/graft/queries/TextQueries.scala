@@ -734,6 +734,51 @@ object TextQueries {
       |                     THEN 0 ELSE 1 END) AS BIGINT) AS dropped
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- normalization-aware exact dedup ---
+  // Exact dedup after text canonicalization — lowercase, strip
+  // non-alphanumerics, collapse whitespace, trim — the "fuzzy-exact"
+  // layer every corpus pipeline runs between byte-identical dedup and
+  // sketch near-dedup (case/punctuation/spacing variants of the same
+  // page are the single most common duplicate class in web crawls).
+  // Fixture: every 5th doc gets a deterministic variant (uppercased,
+  // trailing punctuation, doubled spacing) under an offset id, so the
+  // op provably collapses variants that byte-exact dedup (q_dedup_exact)
+  // keeps apart. Scale shape: per-row codegen'd regexp chain, one
+  // shuffle on the 128-bit canonical hash — identical to exact dedup.
+  def qNormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+    base.unionByName(variants)
+      .withColumn("norm_hash", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+", " "))))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("norm_hash"))
+  }
+
+  val qNormalizedDedupOracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text) || '  !!'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |h AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text),
+      |             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+      |  FROM all_docs)
+      |SELECT norm_hash, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM h GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY 1""".stripMargin
+
   // --- per-doc token Shannon entropy (repetition/junk quality signal) ---
   // H = ln(N) - (1/N) * sum_t c_t*ln(c_t) over the doc's token counts —
   // the closed form that needs ONE double per distinct token instead of
@@ -881,6 +926,7 @@ object TextQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_log_odds_terms" -> (qLogOddsTerms _),
     "q_token_entropy" -> (qTokenEntropy _),
+    "q_normalized_dedup" -> (qNormalizedDedup _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangId _),
@@ -898,6 +944,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_log_odds_terms" -> qLogOddsTermsOracle,
     "q_token_entropy" -> qTokenEntropyOracle,
+    "q_normalized_dedup" -> qNormalizedDedupOracle,
     "q_inverted_index" -> qInvertedIndexOracle,
     "q_text_stats" -> qTextStatsOracle,
     "q_text_langid" -> qTextLangIdOracle,

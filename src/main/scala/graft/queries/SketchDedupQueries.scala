@@ -630,7 +630,96 @@ object SketchDedupQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- content-defined chunking
+  // Rolling-hash chunk boundaries (the LBFS/rsync/FastCDC family, Muthitacharoen
+  // et al. 2001), at token granularity: a boundary falls after token j
+  // whenever the Karp-Rabin hash of the 4-token window ending at j is
+  // ≡ 0 mod 8. Because the boundary decision depends only on LOCAL
+  // content, inserting or deleting a token re-chunks only the
+  // surrounding window — chunk fingerprints before and after the edit
+  // still match, which is what makes CDC the storage-dedup layer (and a
+  // shift-robust alternative to fixed-stride shingles). Chunks are
+  // reported as shared fingerprints across docs (n_docs >= 2).
+  //
+  // Arithmetic: token hash = portable md5->int64 mod P (P = 1e9+7),
+  // window hash = Σ h_i * 31^(3-i) mod P — every intermediate stays
+  // under 1.2e14, exact in BIGINT in both engines. All per-row
+  // higher-order functions until the chunk explode (~1 row per ~8-30
+  // tokens); one shuffle on the chunk fingerprint. element_at keeps
+  // Spark's indexing 1-based to mirror the oracle's list semantics.
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(documents(spark, dir))
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("fp"))
+
+  /** (doc_id, text) -> (doc_id, chunk) under the rolling-hash boundary
+    * rule; exposed for the shift-robustness spec.
+    */
+  private[queries] def cdcChunks(docs: DataFrame): DataFrame = {
+    val P = 1000000007L
+    def th(e: String) =
+      s"(cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint) % $P)"
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 4)
+      // hash every token ONCE, then window sums only read the array —
+      // lambdas are interpreted (no codegen), so hashing per window
+      // member instead of per token was a measured 9x on the hot path
+      // (68 s -> 7.4 s at sf0.1: 4x duplicate md5s plus the per-window
+      // hex-string conv parsing)
+      .withColumn("ths", expr(s"transform(tk, t -> ${th("t")})"))
+      .withColumn("hs", expr(
+        s"""transform(sequence(4, size(tk)), j ->
+           |  (element_at(ths, j-3) * 29791
+           |   + element_at(ths, j-2) * 961
+           |   + element_at(ths, j-1) * 31
+           |   + element_at(ths, j)) % $P)""".stripMargin))
+      // sort after distinct: DuckDB's list_distinct does not preserve
+      // order, so BOTH engines pin ascending ends explicitly
+      .withColumn("ends", expr(
+        """array_sort(array_distinct(concat(
+          |  filter(sequence(4, size(tk)), j -> element_at(hs, j-3) % 8 = 0),
+          |  array(size(tk)))))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ends)), k ->
+          |  array_join(slice(tk,
+          |    CASE WHEN k = 1 THEN 1 ELSE element_at(ends, k-1) + 1 END,
+          |    element_at(ends, k)
+          |      - CASE WHEN k = 1 THEN 1 ELSE element_at(ends, k-1) + 1 END + 1),
+          |  ' '))""".stripMargin)).as("chunk"))
+  }
+
+  val qCdcChunksOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 4),
+      |h AS (
+      |  SELECT doc_id, tk,
+      |         list_transform(range(4, len(tk)+1), j ->
+      |           ((CAST('0x' || substr(md5(tk[j-3]), 1, 15) AS BIGINT) % 1000000007) * 29791
+      |          + (CAST('0x' || substr(md5(tk[j-2]), 1, 15) AS BIGINT) % 1000000007) * 961
+      |          + (CAST('0x' || substr(md5(tk[j-1]), 1, 15) AS BIGINT) % 1000000007) * 31
+      |          + (CAST('0x' || substr(md5(tk[j]),   1, 15) AS BIGINT) % 1000000007)) % 1000000007) AS hs
+      |  FROM w),
+      |b AS (
+      |  SELECT doc_id, tk,
+      |         list_sort(list_distinct(list_append(
+      |           list_filter(range(4, len(tk)+1), j -> hs[j-3] % 8 = 0), len(tk)))) AS ends
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ends)+1), k ->
+      |           array_to_string(tk[CASE WHEN k = 1 THEN 1 ELSE ends[k-1]+1 END : ends[k]], ' '))) AS chunk
+      |  FROM b)
+      |SELECT md5(chunk) AS fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(*) AS BIGINT) AS n_occ
+      |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_chunks" -> (qCdcChunks _),
     "q_minimizers" -> (qMinimizers _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_source_similarity" -> (qSourceSimilarity _),
@@ -641,6 +730,7 @@ object SketchDedupQueries {
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
+    "q_cdc_chunks" -> qCdcChunksOracle,
     "q_minimizers" -> qMinimizersOracle,
     "q_sorted_neighborhood" -> qSortedNeighborhoodOracle,
     "q_source_similarity" -> qSourceSimilarityOracle,

@@ -630,6 +630,60 @@ object SketchDedupQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 3
       |ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- strategy agreement audit
+  // The evaluation pass a pipeline runs before SWITCHING dedup
+  // strategies: score each sketch candidate generator (MinHash+LSH,
+  // SimHash) against the exact n-gram Jaccard >= 0.6 pair set — the
+  // lossless AllPairs result, so it IS ground truth at its threshold —
+  // as pair-level precision/recall. Thresholds are the generators' own
+  // (LSH banding vs hamming <= 3), so the numbers measure what the
+  // approximations actually trade, not a rescaled toy. Counts and
+  // micro-unit ratios only (1e6 div n) — integer-exact end to end.
+  // Each generator's plan is reused verbatim; the audit itself is two
+  // broadcast-joinable pair-set intersections over tiny pair tables.
+  def qDedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val truth = TextQueries.qDedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val strategies = Seq(
+      "minhash_lsh" -> qDedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
+      "simhash" -> qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
+    strategies.map { case (name, pairs) =>
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCommon = pairs.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nPairs.crossJoin(nTruth).crossJoin(nCommon)
+        .select(lit(name).as("strategy"), col("n_pairs"), col("n_truth"),
+          col("n_common"),
+          expr("1000000 * n_common div n_pairs").as("precision_micro"),
+          expr("1000000 * n_common div n_truth").as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy(col("strategy"))
+  }
+
+  val qDedupAgreementOracle: String =
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b FROM (${TextQueries.qDedupNgramJaccardOracle})),
+       |lsh AS (
+       |  SELECT doc_a, doc_b FROM ($qDedupMinhashLshOracle)),
+       |sh AS (
+       |  SELECT doc_a, doc_b FROM ($qDedupSimhashOracle)),
+       |stats AS (
+       |  SELECT 'minhash_lsh' AS strategy,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_pairs,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM lsh JOIN truth USING (doc_a, doc_b)) AS n_common
+       |  UNION ALL
+       |  SELECT 'simhash',
+       |         (SELECT CAST(count(*) AS BIGINT) FROM sh),
+       |         (SELECT CAST(count(*) AS BIGINT) FROM truth),
+       |         (SELECT CAST(count(*) AS BIGINT)
+       |          FROM sh JOIN truth USING (doc_a, doc_b)))
+       |SELECT strategy, n_pairs, n_truth, n_common,
+       |       CAST(1000000 * n_common // n_pairs AS BIGINT) AS precision_micro,
+       |       CAST(1000000 * n_common // n_truth AS BIGINT) AS recall_micro
+       |FROM stats ORDER BY strategy""".stripMargin
+
   // ----------------------------------------------- content-defined chunking
   // Rolling-hash chunk boundaries (the LBFS/rsync/FastCDC family, Muthitacharoen
   // et al. 2001), at token granularity: a boundary falls after token j
@@ -719,6 +773,7 @@ object SketchDedupQueries {
       |ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_agreement" -> (qDedupAgreement _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_minimizers" -> (qMinimizers _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
@@ -730,6 +785,7 @@ object SketchDedupQueries {
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_agreement" -> qDedupAgreementOracle,
     "q_cdc_chunks" -> qCdcChunksOracle,
     "q_minimizers" -> qMinimizersOracle,
     "q_sorted_neighborhood" -> qSortedNeighborhoodOracle,

@@ -537,7 +537,69 @@ object SimilarityQueries {
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // --- greedy k-center / farthest-point diverse subset selection ---
+  // Gonzalez (1985) 2-approximation to the k-center problem: seed with
+  // the smallest vec_id, then 5 times add the point FARTHEST (cosine
+  // distance) from its nearest chosen center — the diversity-sampling
+  // pass that picks maximally-spread exemplars (coreset seeding,
+  // kmeans++-style init, eval-set diversification). The selection
+  // distance is also the coverage radius guarantee: every point is
+  // within that distance of some chosen center.
+  //
+  // Scale shape per round: the chosen set (<= 6 rows) broadcasts; each
+  // point computes min distance to it map-side (no shuffle on the
+  // corpus), and the argmax is a TakeOrdered(1), not a sort. The chosen
+  // set is localCheckpoint'd so round t+1's plan doesn't recompute
+  // rounds 1..t. Determinism: distances are round(1-cos, 5) per
+  // (point, center) BEFORE the min — order-free — and ties break by
+  // vec_id; the oracle unrolls the same 5 rounds as CTEs.
+  def qKCenter(spark: SparkSession, dir: String): DataFrame = {
+    val pts = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
+    var centers = pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"), lit(0L).as("sel_round"),
+        lit(0.0).as("far_dist"))
+      .localCheckpoint(true)
+    for (t <- 1 to 5) {
+      val next = pts.crossJoin(
+          broadcast(centers.select(col("cv"), col("cnorm"))))
+        .select(col("vec_id"),
+          round(lit(1.0) - dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 5)
+            .as("d"))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .join(pts, Seq("vec_id"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("norm").as("cnorm"), lit(t.toLong).as("sel_round"),
+          col("mind").as("far_dist"))
+      centers = centers.unionByName(next).localCheckpoint(true)
+    }
+    centers.select(col("sel_round"), col("cid").as("vec_id"), col("far_dist"))
+      .orderBy(col("sel_round"))
+  }
+
+  val qKCenterOracle: String = {
+    def centersOf(t: Int): String =
+      "SELECT vec_id, v FROM c0" + (1 to t).map(i =>
+        s" UNION ALL SELECT e.vec_id, e.v FROM n$i JOIN e USING (vec_id)").mkString
+    def round(t: Int): String =
+      s"""n$t AS (
+         |  SELECT p.vec_id AS vec_id, min(round(1 - list_cosine_similarity(p.v, c.v), 5)) AS mind
+         |  FROM e p CROSS JOIN (${centersOf(t - 1)}) c
+         |  GROUP BY 1 ORDER BY mind DESC, p.vec_id LIMIT 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS sel_round, vec_id, 0.0 AS far_dist FROM c0
+       |${(1 to 5).map(t =>
+         s"UNION ALL SELECT $t, vec_id, mind FROM n$t").mkString("\n")}
+       |ORDER BY sel_round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcenter" -> (qKCenter _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_sim_lsh_bucketed" -> (qSimLshBucketed _),
@@ -547,6 +609,7 @@ object SimilarityQueries {
     "q_hard_negatives" -> (qHardNegatives _))
 
   def oracles: Map[String, String] = Map(
+    "q_kcenter" -> qKCenterOracle,
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,
     "q_dedup_embedding" -> qDedupEmbeddingOracle,
     "q_sim_lsh_bucketed" -> qSimLshBucketedOracle,

@@ -44,6 +44,21 @@ object Tables {
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     }
   }
+  /** Events with `ts` as raw epoch NANOS (long) whatever the file's
+    * physical type — the layout the streaming code and its specs work
+    * in. TIMESTAMP(NANOS) testdata passes through under the legacy
+    * conf; micros-timestamp corpora convert (value-preserving, UTC).
+    */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -44,22 +44,34 @@ object StreamingQueries {
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")(f)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Events as a STREAM with `ts` normalized to raw epoch NANOS (long)
+    * whatever the file's physical type — TIMESTAMP(NANOS) testdata
+    * surfaces as a long under the scoped legacy conf and passes through;
+    * micros-timestamp corpora (the regenerated driver testdata) convert
+    * via unix_micros, value-preserving in the UTC session. The stream
+    * schema comes from ONE batch footer probe, so this adapts without
+    * a hand-maintained StructType going stale against the data.
+    */
+  private def eventsRawStream(
+      spark: SparkSession, dir: String, glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val batch = spark.read.option("pathGlobFilter", glob).parquet(dir)
+    val reader = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val src = reader.parquet(dir)
+    batch.schema("ts").dataType match {
+      case LongType => src
+      case _ => src.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
 
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame =
       withStreamConfs(spark) {
     // the file source requires a directory; pathGlobFilter narrows the
     // listing to the events table
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsRawStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = src
       .withWatermark("ts", "1 hour")
@@ -104,10 +116,7 @@ object StreamingQueries {
   def qStreamUserCounts(spark: SparkSession, dir: String): DataFrame =
       withStreamConfs(spark) {
     import spark.implicits._
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsRawStream(spark, dir)
       .as[RawEvent]
     val updated = src
       .groupByKey(_.user_id)
@@ -154,10 +163,7 @@ object StreamingQueries {
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame =
       withStreamConfs(spark) {
     def side(tpe: String, alias: String): DataFrame =
-      spark.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      eventsRawStream(spark, dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(s"${alias}_id"),
@@ -204,10 +210,7 @@ object StreamingQueries {
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("stream-upsert")
       .resolve("t").toString
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsRawStream(spark, dir)
       .as[RawEvent]
     val updated = src
       .groupByKey(_.user_id)
@@ -250,10 +253,7 @@ object StreamingQueries {
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
       withStreamConfs(spark) {
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsRawStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
@@ -517,10 +517,7 @@ object StreamingQueries {
       withStreamConfs(spark) {
     def keyCol = when(col("event_id") % 3 =!= 0, (col("user_id") % 7).cast("string"))
       .otherwise(col("user_id").cast("string")).as("key")
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val src = eventsRawStream(spark, dir)
       .select(keyCol)
     val mg = udaf(new graft.functions.MisraGries(16))
     val name = "stream_heavy_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -579,11 +576,7 @@ object StreamingQueries {
       spark: SparkSession, dir: String, glob: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = withStreamConfs(spark) {
     import spark.implicits._
-    val reader = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val src = reader.parquet(dir)
+    val src = eventsRawStream(spark, dir, glob, maxFilesPerTrigger)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[MkEvent]
     val pairs = src.groupByKey(_.user_id)

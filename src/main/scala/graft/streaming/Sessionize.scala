@@ -34,13 +34,22 @@ object Sessionize {
   case class Session(user_id: Long, session_id: Long, n_events: Long,
       session_start: String, session_end: String)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos read raw
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // the stream schema comes from one batch footer probe so the reader
+  // adapts to the file's physical ts type: TIMESTAMP(NANOS) surfaces as
+  // a raw long under the legacy conf and passes through; micros
+  // timestamps normalize to epoch nanos (value-preserving, UTC session)
+  private def rawStream(spark: SparkSession, dir: String) = {
+    val batch = spark.read.parquet(dir)
+    val src = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    batch.schema("ts").dataType match {
+      case LongType => src
+      case _ => src.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
 
   private def fmt(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
@@ -59,10 +68,7 @@ object Sessionize {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMs = gapMinutes * 60000L
-    val src = spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val src = rawStream(spark, dir)
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ets", watermarkDelay)
       .as[RawEvent]

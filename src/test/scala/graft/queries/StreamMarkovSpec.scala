@@ -23,9 +23,9 @@ class StreamMarkovSpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getLong(2)) }
 
   test("two time-ordered micro-batches == one batch == batch query counts") {
-    // raw read keeps ts as nanos LONG — the stream schema's layout
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet").persist()
+    // normalized raw read keeps ts as epoch-nanos LONG — the stream
+    // code's layout — whatever the testdata's physical ts type
+    val events = graft.Tables.eventsNanos(spark, sf).persist()
     val midNanos = events.selectExpr("percentile_approx(ts, 0.5)")
       .collect()(0).getLong(0)
     val dir = Files.createTempDirectory("stream-markov").toString

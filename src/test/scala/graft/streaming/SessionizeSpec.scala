@@ -30,8 +30,7 @@ class SessionizeSpec extends SparkSpec {
     // batch form with millisecond-exact session end times (the string
     // output truncates to seconds, too coarse to compare against the
     // watermark), same lag+cumsum arithmetic as qSessionize
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.eventsNanos(spark, sf)
       .withColumn("ms", expr("ts div 1000000"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     val sessions = ev

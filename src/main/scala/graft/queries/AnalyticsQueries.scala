@@ -779,8 +779,200 @@ object AnalyticsQueries {
       |SELECT day, cnt, cusum, cusum > target // 4 AS alarm
       |FROM s ORDER BY day""".stripMargin
 
+  // --- multi-touch attribution (first / last / linear) ---
+  // Each purchase is credited to the view/click touches that precede it
+  // in the user's (ts, event_id)-ordered stream, up to the PREVIOUS
+  // purchase — the "since last conversion" attribution window every
+  // marketing warehouse computes. The conversion key needs no pair
+  // join: purchases_after = count of purchases at-or-after the row in
+  // the per-user order (one window, frame CURRENT..FOLLOWING), so a
+  // touch and its converting purchase share (user_id, purchases_after)
+  // and everything downstream is equi-keyed aggregation on that pair.
+  // At scale: ONE shuffle on user_id for the windows (the later
+  // group-bys reuse the hash-partitioning), map-side-combinable aggs,
+  // and the linear credit is integer ppm (1e6 * n_ch div n_t per
+  // channel per conversion — operands non-negative, so truncating and
+  // flooring division agree).
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val wAfter = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = e.withColumn("k",
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wAfter))
+    val touches = tagged
+      .filter(col("event_type") =!= "purchase" && col("k") >= 1)
+    val wAsc = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = touches
+      .withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
+    val convTouch = ranked.groupBy(col("user_id"), col("k"))
+      .agg(count(lit(1)).as("n_t"),
+        max(when(col("rn_first") === 1, col("event_type"))).as("first_ch"),
+        max(when(col("rn_last") === 1, col("event_type"))).as("last_ch"))
+    val chanCounts = ranked.groupBy(col("user_id"), col("k"), col("event_type"))
+      .agg(count(lit(1)).as("n_ch"))
+    val convs = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("k"))
+    val firstC = convs.join(convTouch, Seq("user_id", "k"))
+      .groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lastC = convs.join(convTouch, Seq("user_id", "k"))
+      .groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    val linC = convs
+      .join(chanCounts, Seq("user_id", "k"))
+      .join(convTouch.select(col("user_id"), col("k"), col("n_t")),
+        Seq("user_id", "k"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(sum(expr("1000000 * n_ch div n_t")).as("linear_ppm"))
+    val direct = convs.join(convTouch, Seq("user_id", "k"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("(direct)").as("channel"), col("n").as("first_touch"),
+        col("n").as("last_touch"), (col("n") * 1000000L).as("linear_ppm"))
+    firstC.join(lastC, Seq("channel"), "full_outer")
+      .join(linC, Seq("channel"), "full_outer")
+      .unionByName(direct)
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_ppm"), lit(0L)).as("linear_ppm"))
+      .orderBy(col("channel"))
+  }
+
+  val qAttributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |tagged AS (
+      |  SELECT *, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS k
+      |  FROM e),
+      |touches AS (
+      |  SELECT user_id, k, event_type,
+      |         row_number() OVER (PARTITION BY user_id, k ORDER BY ts, event_id) AS rn_first,
+      |         row_number() OVER (PARTITION BY user_id, k ORDER BY ts DESC, event_id DESC) AS rn_last
+      |  FROM tagged WHERE event_type <> 'purchase' AND k >= 1),
+      |conv_touch AS (
+      |  SELECT user_id, k, CAST(count(*) AS BIGINT) AS n_t,
+      |         max(CASE WHEN rn_first = 1 THEN event_type END) AS first_ch,
+      |         max(CASE WHEN rn_last = 1 THEN event_type END) AS last_ch
+      |  FROM touches GROUP BY 1, 2),
+      |chan AS (
+      |  SELECT user_id, k, event_type, CAST(count(*) AS BIGINT) AS n_ch
+      |  FROM touches GROUP BY 1, 2, 3),
+      |convs AS (SELECT user_id, k FROM tagged WHERE event_type = 'purchase'),
+      |firstc AS (
+      |  SELECT ct.first_ch AS channel, CAST(count(*) AS BIGINT) AS first_touch
+      |  FROM convs c JOIN conv_touch ct USING (user_id, k) GROUP BY 1),
+      |lastc AS (
+      |  SELECT ct.last_ch AS channel, CAST(count(*) AS BIGINT) AS last_touch
+      |  FROM convs c JOIN conv_touch ct USING (user_id, k) GROUP BY 1),
+      |linc AS (
+      |  SELECT ch.event_type AS channel,
+      |         CAST(sum(1000000 * ch.n_ch // ct.n_t) AS BIGINT) AS linear_ppm
+      |  FROM convs c JOIN chan ch USING (user_id, k)
+      |  JOIN conv_touch ct USING (user_id, k) GROUP BY 1),
+      |direct AS (
+      |  SELECT '(direct)' AS channel, CAST(count(*) AS BIGINT) AS n
+      |  FROM convs c LEFT JOIN conv_touch ct USING (user_id, k)
+      |  WHERE ct.n_t IS NULL)
+      |SELECT channel,
+      |       coalesce(first_touch, 0) AS first_touch,
+      |       coalesce(last_touch, 0) AS last_touch,
+      |       coalesce(linear_ppm, 0) AS linear_ppm
+      |FROM firstc FULL JOIN lastc USING (channel) FULL JOIN linc USING (channel)
+      |UNION ALL
+      |SELECT channel, n, n, n * 1000000 FROM direct
+      |ORDER BY channel""".stripMargin
+
+  // --- bounded-contribution aggregation (DP-prep clipping) ---
+  // The differential-privacy preprocessing primitive: before any
+  // noised release, each user's contribution to a day's count must be
+  // CAPPED so one user's sensitivity is bounded (here 3 events/day).
+  // Because only the per-(user, day) count matters, no window or
+  // per-event rank is needed: capped = sum(least(n_ud, 3)) — two
+  // map-side-combinable aggregations, no sort anywhere. clipped_ppm
+  // reports how much signal the cap destroyed (the quantity used to
+  // tune the cap against the privacy budget).
+  def qContribCap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_ud"))
+      .groupBy(col("day"))
+      .agg(sum(col("n_ud")).as("raw_events"),
+        sum(least(col("n_ud"), lit(3L))).as("capped_events"),
+        count(lit(1)).as("users"))
+      .withColumn("clipped_ppm",
+        expr("1000000 * (raw_events - capped_events) div raw_events"))
+      .orderBy(col("day"))
+
+  val qContribCapOracle: String =
+    """WITH ud AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, CAST(count(*) AS BIGINT) AS n_ud
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, CAST(sum(n_ud) AS BIGINT) AS raw_events,
+      |       CAST(sum(least(n_ud, 3)) AS BIGINT) AS capped_events,
+      |       CAST(count(*) AS BIGINT) AS users,
+      |       CAST(1000000 * (sum(n_ud) - sum(least(n_ud, 3))) // sum(n_ud) AS BIGINT) AS clipped_ppm
+      |FROM ud GROUP BY 1 ORDER BY day""".stripMargin
+
+  // --- seasonal-naive forecast evaluation (MASE) ---
+  // The forecasting BASELINE every monitoring pipeline needs before it
+  // trusts a model: predict each day by the same weekday last week
+  // (seasonal naive, lag 7) and score it against the one-step naive
+  // (lag 1) via MASE — the scale-free error ratio from Hyndman &
+  // Koehler (2006). Evaluation runs over the last 14 days that have
+  // both lags. Everything is BIGINT (daily counts, absolute errors,
+  // ppm ratio with truncating div over non-negative sums); the plan is
+  // one map-side-combinable daily aggregate (365 rows at any corpus
+  // scale) and then metadata-scale windows.
+  def qForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily
+      .withColumn("f_snaive", lag(col("cnt"), 7).over(w))
+      .withColumn("f_naive", lag(col("cnt"), 1).over(w))
+      .withColumn("rn_desc", row_number().over(Window.orderBy(col("day").desc)))
+    lagged.filter(col("rn_desc") <= 14 &&
+        col("f_snaive").isNotNull && col("f_naive").isNotNull)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("cnt") - col("f_snaive"))).as("sum_abs_err_snaive"),
+        sum(abs(col("cnt") - col("f_naive"))).as("sum_abs_err_naive"))
+      .withColumn("mase_ppm",
+        expr("1000000 * sum_abs_err_snaive div greatest(sum_abs_err_naive, 1)"))
+  }
+
+  val qForecastEvalOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT day, cnt,
+      |         lag(cnt, 7) OVER (ORDER BY day) AS f_snaive,
+      |         lag(cnt, 1) OVER (ORDER BY day) AS f_naive,
+      |         row_number() OVER (ORDER BY day DESC) AS rn_desc
+      |  FROM d)
+      |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+      |       CAST(sum(abs(cnt - f_snaive)) AS BIGINT) AS sum_abs_err_snaive,
+      |       CAST(sum(abs(cnt - f_naive)) AS BIGINT) AS sum_abs_err_naive,
+      |       CAST(1000000 * sum(abs(cnt - f_snaive))
+      |            // greatest(sum(abs(cnt - f_naive)), 1) AS BIGINT) AS mase_ppm
+      |FROM l WHERE rn_desc <= 14 AND f_snaive IS NOT NULL AND f_naive IS NOT NULL""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_forecast_eval" -> (qForecastEval _),
+    "q_contrib_cap" -> (qContribCap _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_scd2_intervals" -> (qScd2Intervals _),
@@ -801,6 +993,9 @@ object AnalyticsQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_attribution" -> qAttributionOracle,
+    "q_contrib_cap" -> qContribCapOracle,
+    "q_forecast_eval" -> qForecastEvalOracle,
     "q_funnel" -> qFunnelOracle,
     "q_retention_cohorts" -> qRetentionCohortsOracle,
     "q_scd2_intervals" -> qScd2IntervalsOracle,

@@ -923,7 +923,54 @@ object TextQueries {
       |SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bottom)
       |ORDER BY side, z DESC, tok""".stripMargin
 
+  // --- readability scoring (Flesch reading ease, integer micro-units) ---
+  // The classic document-difficulty signal curation pipelines bucket on
+  // (alongside perplexity and the stopword/length heuristics): FRE =
+  // 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), with
+  // syllables approximated by vowel runs — the standard
+  // dictionary-free estimate. The whole formula is evaluated in integer
+  // MICRO-units with truncating division over non-negative operands
+  // (206835000 - 1015000*w div s - 84600000*y div w), so no double ever
+  // crosses an engine boundary and half-up rounding can't diverge. All
+  // three counts come from regexp_count in the Java/RE2 common subset
+  // ([aeiouy]+ vowel runs, \S+ words, [.!?]+ sentence enders); the scan
+  // is one codegen'd map over documents, zero shuffles before the sort.
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        expr("regexp_count(text, '\\\\S+')").cast("long").as("words"),
+        expr("greatest(regexp_count(text, '[.!?]+'), 1)").cast("long")
+          .as("sentences"),
+        expr("regexp_count(lower(text), '[aeiouy]+')").cast("long")
+          .as("syllables"))
+      .withColumn("fre_micro",
+        expr("""206835000L - 1015000L * words div sentences
+               | - 84600000L * syllables div greatest(words, 1)""".stripMargin))
+      .withColumn("band",
+        when(col("fre_micro") >= 60000000L, "easy")
+          .when(col("fre_micro") >= 30000000L, "medium")
+          .otherwise("hard"))
+      .orderBy(col("doc_id"))
+
+  val qReadabilityOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+      |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, CAST(206835000 - 1015000 * words // sentences
+      |                 - 84600000 * syllables // greatest(words, 1) AS BIGINT) AS fre_micro
+      |  FROM c)
+      |SELECT doc_id, words, sentences, syllables, fre_micro,
+      |       CASE WHEN fre_micro >= 60000000 THEN 'easy'
+      |            WHEN fre_micro >= 30000000 THEN 'medium'
+      |            ELSE 'hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (qReadability _),
     "q_log_odds_terms" -> (qLogOddsTerms _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_normalized_dedup" -> (qNormalizedDedup _),
@@ -942,6 +989,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_readability" -> qReadabilityOracle,
     "q_log_odds_terms" -> qLogOddsTermsOracle,
     "q_token_entropy" -> qTokenEntropyOracle,
     "q_normalized_dedup" -> qNormalizedDedupOracle,

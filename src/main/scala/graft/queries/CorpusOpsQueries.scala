@@ -405,8 +405,13 @@ object CorpusOpsQueries {
                |END""".stripMargin).as("m8"))
     val prods = e
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .filter(col("i") <= col("j"))
+      // generate only j >= i directly: the explode emits the 2080
+      // upper-triangle cells per row, not 4096 then a half-discarding
+      // filter (the explode IS the hot path at d=64)
+      .select(col("i"), col("xi"),
+        explode(expr("sequence(i, 63)")).as("j"),
+        col("v"))
+      .withColumn("xj", expr("element_at(v, j + 1)"))
       .groupBy(col("i"), col("j"))
       .agg(sum(expr(
           "CAST(CAST(round(xi * xj, 8) AS DECIMAL(18,8)) * 100000000 AS DECIMAL(38,0))"))
@@ -865,7 +870,135 @@ object CorpusOpsQueries {
       |WHERE s.source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- PCA top component via power iteration ---
+  // Three unrolled power-iteration rounds v <- C·v over the 64×64
+  // covariance, renormalized each round by the max |component| in
+  // integer micro-units with sign-aware division — zero doubles, so
+  // iterative state is bit-identical across engines (the PageRank/HITS
+  // discipline applied to an eigenvector solve).
+  //
+  // The covariance pass here deliberately differs from
+  // qEmbedCovariance's DECIMAL(38) sums: per-row products round to
+  // integer MICRO-units and sum as plain BIGINT — codegen'd long
+  // addition instead of BigDecimal accumulation, measured 3x faster at
+  // sf0.1 — and only the final 2080-cell mean-subtraction runs in
+  // DECIMAL(38). Headroom: |term| <= ~1e6-scale, so a BIGINT sum holds
+  // ~9e12 rows (multi-PB of 64-dim floats); qEmbedCovariance remains
+  // the arbitrary-scale exact form. The explode emits only the 2080
+  // upper-triangle cells per row (sequence(i, 63)), not 4096 then a
+  // filter. The cell table is localCheckpoint'd (metadata scale) so the
+  // three iterations never touch the corpus again; each iteration is a
+  // 4096-row join + map-side-combinable groupBy. Uniform all-ones
+  // start: deterministic, and not orthogonal to the top component on
+  // real data.
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dims = e
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(sum(expr("CAST(CAST(round(xi, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)")).as("s6"),
+        count(lit(1)).as("n"))
+      .select(col("i"),
+        expr("""CASE WHEN s6 >= 0
+               |  THEN (2 * s6 + n) div (2 * n)
+               |  ELSE -((2 * (-s6) + n) div (2 * n))
+               |END""".stripMargin).as("m6"))
+    val prods = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        explode(expr("sequence(i, 63)")).as("j"), col("v"))
+      .withColumn("xj", expr("element_at(v, j + 1)"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(CAST(round(xi * xj, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)")).as("sp6"),
+        count(lit(1)).as("n"))
+    val upper = prods
+      .join(broadcast(dims.select(col("i"), col("m6").as("m6_i"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("m6").as("m6_j"))), "j")
+      .withColumn("num", expr(
+        "CAST(sp6 AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * m6_i * m6_j"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * 1000000"))
+      .select(col("i"), col("j"),
+        expr("""CASE WHEN num >= 0
+               |  THEN CAST((2 * num + den) div (2 * den) AS BIGINT)
+               |  ELSE -CAST((2 * (-num) + den) div (2 * den) AS BIGINT)
+               |END""".stripMargin).as("c6"))
+      .localCheckpoint(true)
+    val cells = upper.unionAll(upper.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c6")))
+    var v = spark.range(64)
+      .select(col("id").cast("int").as("j"), lit(1000000L).as("vj"))
+    for (_ <- 1 to 3) {
+      val w = cells.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c6") * col("vj")).as("w"))
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr("""CASE WHEN w >= 0
+                 |  THEN CAST(CAST(w AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)
+                 |  ELSE -CAST(CAST(-w AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)
+                 |END""".stripMargin).as("vj"))
+    }
+    v.select(col("j").cast("long").as("dim"), col("vj").as("pc1_scaled"))
+      .orderBy(col("dim"))
+  }
+
+  val qPcaPowerOracle: String = {
+    def iter(t: Int, prev: String): String =
+      s"""w$t AS (
+         |  SELECT c.i AS i, CAST(sum(CAST(c.c6 AS HUGEINT) * p.vj) AS HUGEINT) AS w
+         |  FROM cells c JOIN $prev p ON c.j = p.j GROUP BY 1),
+         |m$t AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i AS j,
+         |         CASE WHEN w >= 0 THEN 1000000 * w // m
+         |              ELSE -((1000000 * (-w)) // m) END AS vj
+         |  FROM w$t, m$t)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT i,
+       |         CAST(sum(CAST(CAST(round(v[i + 1], 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS HUGEINT) AS s6,
+       |         CAST(count(*) AS HUGEINT) AS n
+       |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT i, CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
+       |                 ELSE -((2 * (-s6) + n) // (2 * n)) END AS m6
+       |  FROM dims),
+       |prods AS (
+       |  SELECT i, j,
+       |         CAST(sum(CAST(CAST(round(v[i + 1] * v[j + 1], 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS HUGEINT) AS sp6,
+       |         CAST(count(*) AS HUGEINT) AS n
+       |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di,
+       |          (SELECT unnest(generate_series(0, 63)) AS j) dj
+       |  WHERE i <= j
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT p.i, p.j,
+       |         sp6 * 1000000 - n * mi.m6 * mj.m6 AS num,
+       |         n * 1000000 AS den
+       |  FROM prods p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j),
+       |cov AS (
+       |  SELECT i, j,
+       |         CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+       |              ELSE -((2 * (-num) + den) // (2 * den)) END AS c6
+       |  FROM c),
+       |cells AS (
+       |  SELECT i, j, c6 FROM cov
+       |  UNION ALL SELECT j AS i, i AS j, c6 FROM cov WHERE i < j),
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS j,
+       |       CAST(1000000 AS HUGEINT) AS vj),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS pc1_scaled
+       |FROM v3 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_power" -> (qPcaPower _),
     "q_novelty" -> (qNovelty _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
     "q_dedup_containment" -> (qDedupContainment _),
@@ -884,6 +1017,7 @@ object CorpusOpsQueries {
     "q_label_centroids" -> (qLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q_pca_power" -> qPcaPowerOracle,
     "q_novelty" -> qNoveltyOracle,
     "q_packing_efficiency" -> qPackingEfficiencyOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,

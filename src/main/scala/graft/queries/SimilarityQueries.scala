@@ -598,7 +598,89 @@ object SimilarityQueries {
        |ORDER BY sel_round""".stripMargin
   }
 
+  // --- kNN label-noise detection (neighbor disagreement) ---
+  // The confident-learning-style curation pass: a labeled example whose
+  // nearest neighbors mostly carry a DIFFERENT label is a likely
+  // annotation error (Northcutt et al. 2021 use model confidence; the
+  // embedding-space kNN vote is the model-free variant every dataset
+  // audit starts with). Candidates come from the same 8-bit sign-LSH
+  // bucket as qSimLshBucketed (the quadratic term shrinks by ~2^8 and
+  // the join shuffles on bucket); per-vector top-5 goes through the
+  // typed partial top-k Aggregator, so the shuffle carries 5 rows per
+  // vector, never the bucket's full pair frame. A row is flagged when
+  // it has >= 3 voting neighbors and a STRICT majority disagrees.
+  // Majority = min_by over (-cnt, label): the total order both engines
+  // replay (DuckDB via row_number QUALIFY).
+  def qKnnLabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      """aggregate(transform(sequence(1, 8),
+        |  i -> CASE WHEN element_at(v, i) >= CAST(0.0 AS DOUBLE) THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    val e = withNorm(embeddings(spark, dir))
+      .withColumn("bucket", bucketExpr)
+      .select("vec_id", "label", "bucket", "v", "norm")
+    val cand = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        cosineExpr.as("cosine"))
+    val top = graft.ops.TopK.topKPerGroup(cand, "vec_id", "cosine", "neighbor_id", 5)
+      .select(col("vec_id").cast("long").as("vec_id"), col("neighbor_id"))
+    val votes = top
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("vec_id"), col("nlabel")).agg(count(lit(1)).as("cnt"))
+    val tally = votes.groupBy(col("vec_id"))
+      .agg(sum(col("cnt")).as("n_nb"),
+        min_by(col("nlabel"), struct((-col("cnt")).as("nc"), col("nlabel")))
+          .as("majority_label"))
+    val own = votes
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("nlabel") === col("label"))
+      .select(col("vec_id"), col("cnt").as("own_cnt"))
+    tally.join(e.select(col("vec_id"), col("label")), "vec_id")
+      .join(own, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("majority_label"), col("n_nb"),
+        (col("n_nb") - coalesce(col("own_cnt"), lit(0L))).as("n_disagree"))
+      .filter(col("n_nb") >= 3 && col("n_disagree") * 2 > col("n_nb"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qKnnLabelNoiseOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           i -> CASE WHEN embedding[i] >= 0 THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |sims AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, b.label AS nlabel,
+      |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |top AS (
+      |  SELECT vec_id, neighbor_id, nlabel FROM sims
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id) <= 5),
+      |votes AS (
+      |  SELECT vec_id, nlabel, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM top GROUP BY 1, 2),
+      |maj AS (
+      |  SELECT vec_id, nlabel AS majority_label FROM votes
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cnt DESC, nlabel) = 1),
+      |tally AS (
+      |  SELECT v.vec_id, CAST(sum(v.cnt) AS BIGINT) AS n_nb,
+      |         any_value(m.majority_label) AS majority_label
+      |  FROM votes v JOIN maj m USING (vec_id) GROUP BY 1)
+      |SELECT t.vec_id, e.label, t.majority_label, t.n_nb,
+      |       CAST(t.n_nb - coalesce(o.cnt, 0) AS BIGINT) AS n_disagree
+      |FROM tally t
+      |JOIN e ON e.vec_id = t.vec_id
+      |LEFT JOIN votes o ON o.vec_id = t.vec_id AND o.nlabel = e.label
+      |WHERE t.n_nb >= 3 AND (t.n_nb - coalesce(o.cnt, 0)) * 2 > t.n_nb
+      |ORDER BY t.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_label_noise" -> (qKnnLabelNoise _),
     "q_kcenter" -> (qKCenter _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -609,6 +691,7 @@ object SimilarityQueries {
     "q_hard_negatives" -> (qHardNegatives _))
 
   def oracles: Map[String, String] = Map(
+    "q_knn_label_noise" -> qKnnLabelNoiseOracle,
     "q_kcenter" -> qKCenterOracle,
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,
     "q_dedup_embedding" -> qDedupEmbeddingOracle,

@@ -80,11 +80,121 @@ object MultimodalQueries {
       |       ((w + 15) // 16) * ((h + 15) // 16) AS n_patches
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- perceptual-hash near-duplicate detection (aHash over payload) ---
+  // The media-dedup path: a 64-bit average-hash signature per document —
+  // split the payload's sample stream into 64 equal segments, bit s = 1
+  // iff segment s's mean sample exceeds the global mean — then
+  // Hamming-distance pairs via 4×16-bit SimHash-style band buckets
+  // (Manku et al. 2007), so candidate generation is a pure equi-join on
+  // (band, band_value) and the verify is bit_count(xor) over the four
+  // band words of the candidate pair only. With a real codec the sample
+  // stream is decoded luma; here it is the payload's character codes
+  // (the same stand-in discipline as the stub decoder — the plan,
+  // banding, and Hamming verify are the real thing). Means compare in
+  // half-up integer micro-units, so no double ever crosses a bit
+  // decision. Docs under 64 samples are skipped (no full segment grid).
+  // In-query fixture (the corpus has no duplicate payloads): every 25th
+  // doc re-enters under an offset id with an IDENTICAL payload (Hamming
+  // 0 by construction — the planted true positives the gate must find),
+  // and every 40th with one leading sample overwritten (a same-length
+  // near-variant; whether borderline bits flip is computed identically
+  // by both engines).
+  def qPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        expr("concat('Z', substring(text, 2, length(text)))").as("text"))
+    val d = base.unionByName(twins).unionByName(near)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+    val px = d
+      .select(col("doc_id"), col("n"), col("text"),
+        explode(expr("sequence(1, CAST(n AS INT))")).as("pos"))
+      .select(col("doc_id"), col("n"),
+        expr("CAST((CAST(pos AS BIGINT) - 1) * 64 div n AS INT)").as("seg"),
+        expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("code"))
+    val segMean = px.groupBy(col("doc_id"), col("seg"))
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("c"))
+      .select(col("doc_id"), col("seg"),
+        expr("(2 * 1000000 * s + c) div (2 * c)").as("m6"))
+    val docMean = px.groupBy(col("doc_id"))
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("c"))
+      .select(col("doc_id"), expr("(2 * 1000000 * s + c) div (2 * c)").as("g6"))
+    val bands = segMean.join(docMean, "doc_id")
+      .select(col("doc_id"), (col("seg") / 16).cast("int").as("band"),
+        when(col("m6") > col("g6"),
+          expr("CAST(pow(2, seg % 16) AS BIGINT)")).otherwise(lit(0L)).as("bw"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("bw")).as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv").as("bva"))
+    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bv").as("bvb"))
+    cand.join(ba, "doc_a").join(bb, Seq("doc_b", "band"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(expr("bit_count(bva ^ bvb)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qPhashNeardupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      |d AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM (
+      |    SELECT doc_id, text FROM base
+      |    UNION ALL
+      |    SELECT doc_id + 10000000, text FROM base WHERE doc_id % 25 = 0
+      |    UNION ALL
+      |    SELECT doc_id + 20000000, 'Z' || substr(text, 2, length(text))
+      |    FROM base WHERE doc_id % 40 = 0)),
+      |px AS (
+      |  SELECT doc_id, n, text, unnest(generate_series(1, CAST(n AS INT))) AS pos
+      |  FROM d),
+      |codes AS (
+      |  SELECT doc_id, CAST((CAST(pos AS BIGINT) - 1) * 64 // n AS INT) AS seg,
+      |         CAST(ord(substr(text, pos, 1)) AS BIGINT) AS code
+      |  FROM px),
+      |segmean AS (
+      |  SELECT doc_id, seg,
+      |         CAST((2 * 1000000 * sum(code) + count(*)) // (2 * count(*)) AS BIGINT) AS m6
+      |  FROM codes GROUP BY 1, 2),
+      |docmean AS (
+      |  SELECT doc_id,
+      |         CAST((2 * 1000000 * sum(code) + count(*)) // (2 * count(*)) AS BIGINT) AS g6
+      |  FROM codes GROUP BY 1),
+      |bands AS (
+      |  SELECT s.doc_id, CAST(s.seg // 16 AS INT) AS band,
+      |         CAST(sum(CASE WHEN s.m6 > m.g6 THEN 2 ** (s.seg % 16) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM segmean s JOIN docmean m USING (doc_id) GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ham AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         CAST(sum(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN bands ba ON ba.doc_id = c.doc_a
+      |  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham
+      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phash_neardup" -> (qPhashNeardup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
   def oracles: Map[String, String] = Map(
+    "q_phash_neardup" -> qPhashNeardupOracle,
     "q_multimodal_meta" -> qMultimodalMetaOracle,
     "q_frame_sample" -> qFrameSampleOracle)
 }

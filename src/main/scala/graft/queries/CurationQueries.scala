@@ -567,7 +567,70 @@ object CurationQueries {
       |GROUP BY 1, 2, 3 HAVING count(*) < 5
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // --- embedding drift (centroid shift between snapshots) ---
+  // The vector-space counterpart of q_dist_drift: per label, how far
+  // the even-block centroid moved from the odd-block centroid —
+  // detects representation drift between two ingestion snapshots (an
+  // encoder change, a source-mix shift) that token-distribution KL
+  // can't see. Per-(label, parity, dim) means use the BIGINT
+  // micro-unit half-up recipe (order-free sums, exact in both
+  // engines); the drift is the exact squared L2 distance between the
+  // two centroids in e12 units. One map-side-combinable aggregation
+  // whose shuffle carries 64·|labels|·2 cells regardless of corpus
+  // size, then metadata-scale arithmetic.
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("parity"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("label"), col("parity"), col("dim"))
+      .agg(sum(expr(
+          "CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+          .as("s6"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("parity"), col("dim"), col("n"),
+        expr("""CASE WHEN s6 >= 0
+               |  THEN (2 * s6 + n) div (2 * n)
+               |  ELSE -((2 * (-s6) + n) div (2 * n))
+               |END""".stripMargin).as("m6"))
+    val even = m.filter(col("parity") === 0)
+      .select(col("label"), col("dim"), col("m6").as("me"), col("n").as("n_even"))
+    val odd = m.filter(col("parity") === 1)
+      .select(col("label"), col("dim"), col("m6").as("mo"), col("n").as("n_odd"))
+    even.join(odd, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_even")).as("n_even"), max(col("n_odd")).as("n_odd"),
+        sum((col("me") - col("mo")) * (col("me") - col("mo"))).as("drift2_e12"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbedDriftOracle: String =
+    """WITH e AS (
+      |  SELECT label, vec_id % 2 AS parity,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT label, parity, i AS dim,
+      |         CAST(sum(CAST(CAST(round(v[i + 1], 6) AS DECIMAL(18,6))
+      |              * 1000000 AS BIGINT)) AS HUGEINT) AS s6,
+      |         CAST(count(*) AS HUGEINT) AS n
+      |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT label, parity, dim, n,
+      |         CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
+      |              ELSE -((2 * (-s6) + n) // (2 * n)) END AS m6
+      |  FROM cells)
+      |SELECT a.label,
+      |       CAST(max(a.n) AS BIGINT) AS n_even,
+      |       CAST(max(b.n) AS BIGINT) AS n_odd,
+      |       CAST(sum((a.m6 - b.m6) * (a.m6 - b.m6)) AS BIGINT) AS drift2_e12
+      |FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+      |WHERE a.parity = 0 AND b.parity = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_kanonymity" -> (qKAnonymity _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_perplexity" -> (qPerplexity _),
@@ -578,6 +641,7 @@ object CurationQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_embed_drift" -> qEmbedDriftOracle,
     "q_kanonymity" -> qKAnonymityOracle,
     "q_golden_record" -> qGoldenRecordOracle,
     "q_perplexity" -> qPerplexityOracle,

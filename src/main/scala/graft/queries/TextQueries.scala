@@ -969,7 +969,71 @@ object TextQueries {
       |            ELSE 'hard' END AS band
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --- RAKE keyword extraction ---
+  // Rapid Automatic Keyword Extraction (Rose et al. 2010): phrases are
+  // maximal runs of content tokens between stopword/punctuation
+  // boundaries; a word's score is degree/frequency where degree sums
+  // the lengths of the phrases each occurrence sits in — co-occurring
+  // inside long phrases is evidence of termhood. Corpus-level top-20
+  // with the score in integer ppm (1e6 * degree div freq, non-negative
+  // operands). One doc-keyed window assigns phrase ids (single shuffle
+  // on doc_id), then two map-side-combinable aggregations; the result
+  // is a TakeOrdered over the vocabulary, never a global sort.
+  def qRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val t = documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(lower(col("text")))).as(Seq("pos", "tok0")))
+      .withColumn("tok", regexp_replace(col("tok0"), "[^a-z0-9]", ""))
+      .withColumn("boundary",
+        col("tok") === "" || col("tok").isin(stop: _*))
+    val ph = t
+      .withColumn("phrase_id",
+        sum(when(col("boundary"), 1L).otherwise(0L)).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(!col("boundary"))
+    val plen = ph.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"))
+    ph.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("word"), col("freq"), col("degree"),
+        expr("1000000 * degree div freq").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("word"))
+      .limit(20)
+  }
+
+  val qRakeKeywordsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, pos,
+      |         regexp_replace(toks[pos], '[^a-z0-9]', '', 'g') AS tok
+      |  FROM tk, unnest(generate_series(1, len(toks))) AS u(pos)),
+      |b AS (
+      |  SELECT doc_id, pos, tok,
+      |         tok = '' OR tok IN ('the', 'a', 'of', 'and', 'to') AS boundary
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, pos, tok,
+      |         sum(CASE WHEN boundary THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+      |         boundary
+      |  FROM b),
+      |ph AS (SELECT doc_id, pos, tok, phrase_id FROM p WHERE NOT boundary),
+      |plen AS (
+      |  SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+      |  FROM ph GROUP BY 1, 2),
+      |w AS (
+      |  SELECT ph.tok AS word, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(sum(plen.plen) AS BIGINT) AS degree
+      |  FROM ph JOIN plen USING (doc_id, phrase_id) GROUP BY 1)
+      |SELECT word, freq, degree,
+      |       CAST(1000000 * degree // freq AS BIGINT) AS score_ppm
+      |FROM w ORDER BY score_ppm DESC, word LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rake_keywords" -> (qRakeKeywords _),
     "q_readability" -> (qReadability _),
     "q_log_odds_terms" -> (qLogOddsTerms _),
     "q_token_entropy" -> (qTokenEntropy _),
@@ -989,6 +1053,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_rake_keywords" -> qRakeKeywordsOracle,
     "q_readability" -> qReadabilityOracle,
     "q_log_odds_terms" -> qLogOddsTermsOracle,
     "q_token_entropy" -> qTokenEntropyOracle,

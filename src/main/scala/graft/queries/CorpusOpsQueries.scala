@@ -871,7 +871,7 @@ object CorpusOpsQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- PCA top component via power iteration ---
-  // Three unrolled power-iteration rounds v <- C·v over the 64×64
+  // Five unrolled power-iteration rounds v <- C·v over the 64×64
   // covariance, renormalized each round by the max |component| in
   // integer micro-units with sign-aware division — zero doubles, so
   // iterative state is bit-identical across engines (the PageRank/HITS
@@ -928,7 +928,7 @@ object CorpusOpsQueries {
       .select(col("j").as("i"), col("i").as("j"), col("c6")))
     var v = spark.range(64)
       .select(col("id").cast("int").as("j"), lit(1000000L).as("vj"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 5) {
       val w = cells.join(v, Seq("j"))
         .groupBy(col("i")).agg(sum(col("c6") * col("vj")).as("w"))
       val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
@@ -992,9 +992,11 @@ object CorpusOpsQueries {
        |       CAST(1000000 AS HUGEINT) AS vj),
        |${iter(1, "v0")},
        |${iter(2, "v1")},
-       |${iter(3, "v2")}
+       |${iter(3, "v2")},
+       |${iter(4, "v3")},
+       |${iter(5, "v4")}
        |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS pc1_scaled
-       |FROM v3 ORDER BY 1""".stripMargin
+       |FROM v5 ORDER BY 1""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -203,7 +203,112 @@ object FeatureQueries {
       |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** name -> query builder, for SparkEntry. */
+  // --- weight-of-evidence binning ---
+  // The credit-scoring / tabular-ML feature transform: decile-bin a
+  // numeric feature, score each bin by WOE = ln(good-share / bad-share)
+  // with half-count smoothing, and report each bin's information-value
+  // term. Counts are exact integers; the smoothed odds ratio is formed
+  // as ONE exact rational ((2g+1)·B) / ((2b+1)·G) so the single ln()
+  // evaluates the same double in both engines (the autocorr/ab_lift
+  // double-once discipline), rounded to 5. Bin boundaries come from one
+  // percentile aggregate broadcast to a codegen'd array filter — no
+  // range join, same plan family as q_histogram_stats.
+  def qWoeBinning(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("t"))
+    val bounds = e.agg(expr(
+      "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+      .as("bs"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("size(filter(bs, b -> value > b)) + 1"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("good"))
+      .withColumn("bad", col("n") - col("good"))
+    val tot = binned.agg(sum(col("good")).as("g_tot"), sum(col("bad")).as("b_tot"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("woe_e5", expr(
+        "round(ln(((2 * good + 1) * CAST(b_tot AS DOUBLE)) / ((2 * bad + 1) * CAST(g_tot AS DOUBLE))), 5)"))
+      .withColumn("iv_e5", expr(
+        "round((good * CAST(b_tot AS DOUBLE) - bad * CAST(g_tot AS DOUBLE)) / (CAST(g_tot AS DOUBLE) * b_tot) * woe_e5, 5)"))
+      .select(col("bin").cast("int").as("bin"), col("n"), col("good"),
+        col("bad"), col("woe_e5"), col("iv_e5"))
+      .orderBy(col("bin"))
+  }
+
+  val qWoeBinningOracle: String =
+    """WITH e AS (
+      |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+      |  FROM events),
+      |b AS (
+      |  SELECT quantile_cont(value,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM e),
+      |r AS (
+      |  SELECT t, len(list_filter(bs, x -> value > x)) + 1 AS bin
+      |  FROM e CROSS JOIN b),
+      |g AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS good,
+      |         CAST(count(*) - sum(t) AS BIGINT) AS bad
+      |  FROM r GROUP BY 1),
+      |tot AS (SELECT CAST(sum(good) AS BIGINT) AS g_tot,
+      |               CAST(sum(bad) AS BIGINT) AS b_tot FROM g),
+      |w AS (
+      |  SELECT bin, n, good, bad,
+      |         round(ln(((2 * good + 1) * CAST(b_tot AS DOUBLE))
+      |               / ((2 * bad + 1) * CAST(g_tot AS DOUBLE))), 5) AS woe_e5,
+      |         g_tot, b_tot
+      |  FROM g CROSS JOIN tot)
+      |SELECT CAST(bin AS INTEGER) AS bin, n, good, bad, woe_e5,
+      |       round((good * CAST(b_tot AS DOUBLE) - bad * CAST(g_tot AS DOUBLE))
+      |             / (CAST(g_tot AS DOUBLE) * b_tot) * woe_e5, 5) AS iv_e5
+      |FROM w ORDER BY bin""".stripMargin
+
+  // --- leave-one-out target encoding ---
+  // Mean-target encoding with the standard leakage guard: each row's
+  // encoding excludes its OWN target ((S - t) / (n - 1)), so the
+  // feature never contains the row's label. Cohorts with one member
+  // fall back to the global prior. Everything is integer ppm with
+  // truncating division over non-negative operands; the per-cohort
+  // stats are one map-side-combinable aggregation broadcast back (50
+  // cohorts — at higher cardinality the join is a plain shuffle
+  // equi-join, same plan). Output bounded to a deterministic 5% row
+  // sample for the gate.
+  def qTargetEncodeLoo(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 50).as("cat"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("t"))
+    val stats = e.groupBy(col("cat"))
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+    val prior = e.agg(sum(col("t")).as("gs"), count(lit(1)).as("gn"))
+    e.join(broadcast(stats), "cat")
+      .crossJoin(broadcast(prior))
+      .withColumn("loo_ppm",
+        expr("""CASE WHEN n > 1 THEN 1000000 * (s - t) div (n - 1)
+               |     ELSE 1000000 * gs div gn END""".stripMargin))
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("cat"), col("t"), col("loo_ppm"))
+      .orderBy(col("event_id"))
+  }
+
+  val qTargetEncodeLooOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id % 50 AS cat,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+      |  FROM events),
+      |s AS (
+      |  SELECT cat, CAST(sum(t) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1),
+      |p AS (SELECT CAST(sum(t) AS BIGINT) AS gs, CAST(count(*) AS BIGINT) AS gn FROM e)
+      |SELECT e.event_id, e.cat, CAST(e.t AS BIGINT) AS t,
+      |       CAST(CASE WHEN s.n > 1 THEN 1000000 * (s.s - e.t) // (s.n - 1)
+      |                 ELSE 1000000 * p.gs // p.gn END AS BIGINT) AS loo_ppm
+      |FROM e JOIN s USING (cat) CROSS JOIN p
+      |WHERE e.event_id % 20 = 0 ORDER BY e.event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_binning" -> (qWoeBinning _),
+    "q_target_encode_loo" -> (qTargetEncodeLoo _),
     "q_pit_join" -> (qPitJoin _),
     "q_trailing_features" -> (qTrailingFeatures _),
     "q_negative_sample" -> (qNegativeSample _),
@@ -211,6 +316,8 @@ object FeatureQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_woe_binning" -> qWoeBinningOracle,
+    "q_target_encode_loo" -> qTargetEncodeLooOracle,
     "q_pit_join" -> qPitJoinOracle,
     "q_trailing_features" -> qTrailingFeaturesOracle,
     "q_negative_sample" -> qNegativeSampleOracle,

@@ -767,7 +767,45 @@ object PipelineQueries {
       |       round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6) AS w_temp
       |FROM c ORDER BY source""".stripMargin
 
+  // --- k-fold cross-validation assignment ---
+  // Deterministic, engine-portable fold assignment (salted md5 mod k —
+  // the q_train_test_split recipe) with the balance report a CV
+  // harness checks before training: per-fold doc/token counts and the
+  // fold share in ppm. Pure per-row hashing plus one
+  // map-side-combinable aggregation; a fold is reproducible from the
+  // doc id alone, so workers assign folds independently with no join
+  // against an assignment table.
+  def qKfold(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .withColumn("fold", expr(
+        "cast(conv(substring(md5(concat('fold42:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 5"))
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+    val tot = d.agg(count(lit(1)).as("total"))
+    d.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("1000000 * n_docs div total"))
+      .select(col("fold"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("share_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  val qKfoldOracle: String =
+    """WITH d AS (
+      |  SELECT CAST('0x' || substr(md5('fold42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |         lang
+      |  FROM documents),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+      |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(1000000 * count(*) // total AS BIGINT) AS share_ppm
+      |FROM d CROSS JOIN t GROUP BY fold, total ORDER BY fold""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kfold" -> (qKfold _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_temperature" -> (qMixTemperature _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -788,6 +826,7 @@ object PipelineQueries {
     "q_zorder_layout" -> (qZorderLayout _))
 
   def oracles: Map[String, String] = Map(
+    "q_kfold" -> qKfoldOracle,
     "q_mix_weights" -> qMixWeightsOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,
     "q_decontaminate" -> qDecontaminateOracle,

@@ -1032,7 +1032,57 @@ object TextQueries {
       |       CAST(1000000 * degree // freq AS BIGINT) AS score_ppm
       |FROM w ORDER BY score_ppm DESC, word LIMIT 20""".stripMargin
 
+  // --- tokenizer fertility per language ---
+  // The tokenizer-budget report a multilingual pipeline consults: per
+  // language, how many BPE-ish subwords a whitespace token splits into
+  // (fertility) and how many characters/bytes each costs. High-fertility
+  // languages burn context window; the ratios (integer micro-units,
+  // truncating div over non-negative counts) drive per-language
+  // sampling weights and vocabulary sizing. One codegen'd projection,
+  // one map-side-combinable aggregation.
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("tk"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("long").as("sw"),
+        col("n_chars"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("sw")).as("n_subwords"), sum(col("n_chars")).as("n_chars"),
+        sum(col("nb")).as("n_bytes"))
+      .withColumn("fertility_micro",
+        expr("1000000 * n_subwords div greatest(n_tokens, 1)"))
+      .withColumn("chars_per_token_micro",
+        expr("1000000 * n_chars div greatest(n_tokens, 1)"))
+      .withColumn("bytes_per_subword_micro",
+        expr("1000000 * n_bytes div greatest(n_subwords, 1)"))
+      .orderBy(col("lang"))
+
+  val qTokenFertilityOracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tk,
+      |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS sw,
+      |         n_chars,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(tk) AS BIGINT) AS n_tokens,
+      |         CAST(sum(sw) AS BIGINT) AS n_subwords,
+      |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |         CAST(sum(nb) AS BIGINT) AS n_bytes
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs, n_tokens, n_subwords, n_chars, n_bytes,
+      |       CAST(1000000 * n_subwords // greatest(n_tokens, 1) AS BIGINT) AS fertility_micro,
+      |       CAST(1000000 * n_chars // greatest(n_tokens, 1) AS BIGINT) AS chars_per_token_micro,
+      |       CAST(1000000 * n_bytes // greatest(n_subwords, 1) AS BIGINT) AS bytes_per_subword_micro
+      |FROM g ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_fertility" -> (qTokenFertility _),
     "q_rake_keywords" -> (qRakeKeywords _),
     "q_readability" -> (qReadability _),
     "q_log_odds_terms" -> (qLogOddsTerms _),
@@ -1053,6 +1103,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_token_fertility" -> qTokenFertilityOracle,
     "q_rake_keywords" -> qRakeKeywordsOracle,
     "q_readability" -> qReadabilityOracle,
     "q_log_odds_terms" -> qLogOddsTermsOracle,

@@ -655,7 +655,59 @@ object LakeOpsQueries {
       |GROUP BY 1, 2, a.f_min, a.f_max
       |ORDER BY a.layout, file_id""".stripMargin
 
+  // --- Benford first-digit audit ---
+  // The classic synthetic-data / fraud screen: natural multi-scale
+  // amounts follow log10(1 + 1/d) first-digit frequencies; fabricated
+  // or truncated columns don't. Amounts convert to integer cents first
+  // (round half-up on a positive double agrees across engines) so the
+  // leading digit comes from INTEGER-to-string formatting — identical
+  // everywhere — never from double formatting. Expected shares are 9
+  // constants inlined in ppm at plan build (same numbers in the oracle);
+  // deviation is observed_ppm - expected_ppm, all integer. One
+  // map-side-combinable aggregation over the scan.
+  private val BenfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val expSql = BenfordPpm.map { case (d, p) => s"($d, ${p}L)" }.mkString(", ")
+    val expected = spark.sql(s"SELECT * FROM VALUES $expSql AS t(digit, exp_ppm)")
+    val obs = lineitem(spark, dir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("total"))
+    obs.join(broadcast(expected), Seq("digit"), "right")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("1000000 * coalesce(n_obs, 0) div total").as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordOracle: String = {
+    val expSql = BenfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |o AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM c WHERE cents > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM o),
+       |e AS (SELECT * FROM (VALUES $expSql) v(digit, exp_ppm))
+       |SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+       |       CAST(1000000 * coalesce(o.n_obs, 0) // total AS BIGINT) AS obs_ppm,
+       |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       |       CAST(1000000 * coalesce(o.n_obs, 0) // total - e.exp_ppm AS BIGINT) AS dev_ppm
+       |FROM e LEFT JOIN o USING (digit) CROSS JOIN t
+       |ORDER BY e.digit""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (qBenford _),
     "q_gap_fill" -> (qGapFill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_compaction_plan" -> (qCompactionPlan _),
@@ -672,6 +724,7 @@ object LakeOpsQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_benford" -> qBenfordOracle,
     "q_gap_fill" -> qGapFillOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,

@@ -314,7 +314,11 @@ object PipelineQueries {
   // per-ranking scores are BIGINT micro-units). A doc absent from a
   // ranking contributes nothing — the real RRF convention for
   // heterogeneous retrievers. Top-10 fused, ties by doc_id.
-  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared lexical-ranking core for q_rank_fusion and q_ndcg_eval:
+    * BM25 and TF-IDF document ranks for the fixed 3-term query, both
+    * derived from one (doc, term) tf scan.
+    */
+  private def lexicalRankings(spark: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("spark", "window", "merge")
     val toksDf = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
@@ -337,18 +341,106 @@ object PipelineQueries {
         "CAST(round(1000000 * tf * ln(CAST(nd AS DOUBLE) / dfq)) AS BIGINT)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("bm25_micro")).as("s1"), sum(col("tfidf_micro")).as("s2"))
-    val ranked = scored
+    scored
       .withColumn("rank_bm25", row_number().over(
         Window.orderBy(col("s1").desc, col("doc_id"))))
       .withColumn("rank_tfidf", row_number().over(
         Window.orderBy(col("s2").desc, col("doc_id"))))
-    ranked
+  }
+
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame =
+    lexicalRankings(spark, dir)
       .withColumn("rrf_micro",
         expr("1000000 div (60 + rank_bm25) + 1000000 div (60 + rank_tfidf)"))
       .select(col("doc_id"), col("rank_bm25").cast("long").as("rank_bm25"),
         col("rank_tfidf").cast("long").as("rank_tfidf"), col("rrf_micro"))
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(10)
+
+  // --- nDCG@10 retrieval evaluation ---
+  // The ranking-quality gate a hybrid-retrieval pipeline runs: score
+  // the BM25 ranking against graded relevance derived from the TF-IDF
+  // ideal (rel = 11 - tfidf_rank for the truth's top-10, else 0).
+  // The log2 discounts exist only at ranks 1..10, so they are inlined
+  // as a 10-row INTEGER ppm literal table computed once at plan build —
+  // the same constants in the Spark plan and the oracle SQL — and the
+  // whole metric is integer arithmetic: dcg_u = sum(rel * disc_ppm),
+  // ndcg_ppm = 1e6 * dcg div idcg. No runtime transcendental ever
+  // crosses an engine boundary.
+  private val NdcgDisc: Seq[(Int, Long)] = (1 to 10).map(i =>
+    i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  def qNdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = lexicalRankings(spark, dir)
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"))
+    val discSql = NdcgDisc.map { case (i, d) => s"($i, ${d}L)" }.mkString(", ")
+    val disc = spark.sql(
+      s"SELECT * FROM VALUES $discSql AS t(rank, disc_ppm)")
+    val rel = ranked
+      .withColumn("rel", greatest(lit(0L), lit(11L) - col("rank_tfidf")))
+    val dcg = rel.filter(col("rank_bm25") <= 10)
+      .join(broadcast(disc), col("rank_bm25") === col("rank"))
+      .agg(sum(col("rel") * col("disc_ppm")).as("dcg_u"))
+    val idcg = rel.filter(col("rank_tfidf") <= 10)
+      .join(broadcast(disc), col("rank_tfidf") === col("rank"))
+      .agg(sum(col("rel") * col("disc_ppm")).as("idcg_u"))
+    val overlap = rel
+      .filter(col("rank_bm25") <= 10 && col("rank_tfidf") <= 10)
+      .agg(count(lit(1)).as("n_overlap"))
+    dcg.crossJoin(idcg).crossJoin(overlap)
+      .select(col("dcg_u"), col("idcg_u"), col("n_overlap"),
+        expr("1000000 * dcg_u div idcg_u").as("ndcg_ppm"))
+  }
+
+  val qNdcgEvalOracle: String = {
+    val discSql = NdcgDisc.map { case (i, d) => s"($i, $d)" }.mkString(", ")
+    // the scored/ranked prefix mirrors qRankFusionOracle's CTE chain
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents
+       |), tnz AS (SELECT * FROM t WHERE tok <> ''
+       |), stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM (SELECT DISTINCT doc_id, dl FROM tnz)
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+       |  FROM tnz WHERE tok IN ('spark', 'window', 'merge') GROUP BY 1, 2
+       |), df AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS dfq FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |         CAST(sum(CAST(round(1000000 * ln(1.0 + (nd - dfq + 0.5) / (dfq + 0.5)) *
+       |           (tf * (1.2 + 1.0)) /
+       |           (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / nd)))
+       |         ) AS BIGINT)) AS BIGINT) AS s1,
+       |         CAST(sum(CAST(round(1000000 * tf * ln(CAST(nd AS DOUBLE) / dfq)) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM tf JOIN df USING (tok) CROSS JOIN stats
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY s1 DESC, doc_id) AS rank_bm25,
+       |         row_number() OVER (ORDER BY s2 DESC, doc_id) AS rank_tfidf
+       |  FROM scored
+       |), disc AS (SELECT * FROM (VALUES $discSql) d(rank, disc_ppm)
+       |), rel AS (
+       |  SELECT doc_id, rank_bm25, rank_tfidf,
+       |         greatest(0, 11 - rank_tfidf) AS rel
+       |  FROM ranked
+       |), dcg AS (
+       |  SELECT CAST(sum(rel * disc_ppm) AS BIGINT) AS dcg_u
+       |  FROM rel JOIN disc ON rel.rank_bm25 = disc.rank
+       |  WHERE rank_bm25 <= 10
+       |), idcg AS (
+       |  SELECT CAST(sum(rel * disc_ppm) AS BIGINT) AS idcg_u
+       |  FROM rel JOIN disc ON rel.rank_tfidf = disc.rank
+       |  WHERE rank_tfidf <= 10
+       |), ov AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM rel
+       |  WHERE rank_bm25 <= 10 AND rank_tfidf <= 10)
+       |SELECT dcg_u, idcg_u, n_overlap,
+       |       CAST(1000000 * dcg_u // idcg_u AS BIGINT) AS ndcg_ppm
+       |FROM dcg CROSS JOIN idcg CROSS JOIN ov""".stripMargin
   }
 
   val qRankFusionOracle: String =
@@ -805,6 +897,7 @@ object PipelineQueries {
       |FROM d CROSS JOIN t GROUP BY fold, total ORDER BY fold""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg_eval" -> (qNdcgEval _),
     "q_kfold" -> (qKfold _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -826,6 +919,7 @@ object PipelineQueries {
     "q_zorder_layout" -> (qZorderLayout _))
 
   def oracles: Map[String, String] = Map(
+    "q_ndcg_eval" -> qNdcgEvalOracle,
     "q_kfold" -> qKfoldOracle,
     "q_mix_weights" -> qMixWeightsOracle,
     "q_mix_temperature" -> qMixTemperatureOracle,

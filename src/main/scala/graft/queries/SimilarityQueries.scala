@@ -679,7 +679,70 @@ object SimilarityQueries {
       |WHERE t.n_nb >= 3 AND (t.n_nb - coalesce(o.cnt, 0)) * 2 > t.n_nb
       |ORDER BY t.vec_id""".stripMargin
 
+  // --- contrastive pair mining (anchor, positive, negative) ---
+  // The training-triplet generator for contrastive/metric learning:
+  // per anchor, the nearest SAME-label vector (positive) and the
+  // nearest CROSS-label vector (negative — the hard negative), plus
+  // the margin the loss will see. Both argmaxes are map-side
+  // max_by(struct(cosine, -neighbor_id)) aggregates over the
+  // broadcast-anchor crossed scan — one row per (anchor, side) reaches
+  // the shuffle, the qHardNegatives discipline without even a top-k
+  // buffer. Ties break toward the smaller neighbor id, the total order
+  // the oracle replays via row_number.
+  def qContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(embeddings(spark, dir)).select("vec_id", "label", "v", "norm")
+    val anchors = e.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val crossed = e.as("b").join(broadcast(anchors).as("a"),
+        col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.qlabel").as("qlabel"),
+        (col("a.qlabel") === col("b.label")).as("same"),
+        col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.qv"), col("b.v")) / (col("a.qnorm") * col("b.norm")), 5)
+          .as("cosine"))
+    val best = crossed.groupBy(col("query_id"), col("qlabel"), col("same"))
+      .agg(
+        max_by(col("neighbor_id"), struct(col("cosine"), (-col("neighbor_id")).as("nid")))
+          .as("nid"),
+        max(struct(col("cosine"), (-col("neighbor_id")).as("nid")))
+          .getField("cosine").as("cos"))
+    val pos = best.filter(col("same"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("nid").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = best.filter(!col("same"))
+      .select(col("query_id"), col("nid").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "query_id")
+      .withColumn("margin_e5", round(col("pos_cos") - col("neg_cos"), 5))
+      .orderBy(col("query_id"))
+  }
+
+  val qContrastivePairsOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |crossed AS (
+      |  SELECT a.vec_id AS query_id, a.label AS qlabel,
+      |         a.label = b.label AS same, b.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 400 = 0),
+      |best AS (
+      |  SELECT query_id, qlabel, same, neighbor_id AS nid, cosine AS cos
+      |  FROM crossed
+      |  QUALIFY row_number() OVER (PARTITION BY query_id, same
+      |    ORDER BY cosine DESC, neighbor_id) = 1)
+      |SELECT p.query_id, p.qlabel AS label,
+      |       p.nid AS pos_id, p.cos AS pos_cos,
+      |       n.nid AS neg_id, n.cos AS neg_cos,
+      |       round(p.cos - n.cos, 5) AS margin_e5
+      |FROM best p JOIN best n ON p.query_id = n.query_id
+      |WHERE p.same AND NOT n.same
+      |ORDER BY p.query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_knn_label_noise" -> (qKnnLabelNoise _),
     "q_kcenter" -> (qKCenter _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
@@ -691,6 +754,7 @@ object SimilarityQueries {
     "q_hard_negatives" -> (qHardNegatives _))
 
   def oracles: Map[String, String] = Map(
+    "q_contrastive_pairs" -> qContrastivePairsOracle,
     "q_knn_label_noise" -> qKnnLabelNoiseOracle,
     "q_kcenter" -> qKCenterOracle,
     "q_sim_cosine_topk" -> qSimCosineTopkOracle,

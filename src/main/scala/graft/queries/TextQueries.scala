@@ -1081,7 +1081,69 @@ object TextQueries {
       |       CAST(1000000 * n_bytes // greatest(n_subwords, 1) AS BIGINT) AS bytes_per_subword_micro
       |FROM g ORDER BY lang""".stripMargin
 
+  // --- quality-signal ensemble gating ---
+  // Production corpus filters don't gate on one signal; they combine
+  // several into a score and keep a quantile band (C4/Gopher/FineWeb
+  // all do a weighted-rule composite). Four integer-ppm signals from
+  // ONE scan — capped length, stopword presence, alphabetic share,
+  // type/token ratio — combine under fixed weights, and the keep
+  // decision is quintile-based (ntile over a (score, doc_id) total
+  // order: integer-exact in both engines, no percentile interpolation
+  // on the gate path). Bottom quintile drops.
+  def qQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val sig = documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => t.isin(stop.map(lit(_)): _*)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("long").as("n_alpha"))
+      .select(col("doc_id"),
+        expr("1000000 * least(n_tokens, 200) div 200").as("s_len"),
+        expr("1000000 * n_stop div greatest(n_tokens, 1)").as("s_stop"),
+        expr("1000000 * n_alpha div greatest(n_chars, 1)").as("s_alpha"),
+        expr("1000000 * n_distinct div greatest(n_tokens, 1)").as("s_ttr"))
+      .withColumn("score_ppm",
+        expr("(2 * s_len + 2 * s_stop + 3 * s_alpha + 3 * s_ttr) div 10"))
+    sig
+      .withColumn("quintile",
+        ntile(5).over(Window.orderBy(col("score_ppm"), col("doc_id"))))
+      .select(col("doc_id"), col("score_ppm"),
+        col("quintile").cast("int").as("quintile"),
+        (col("quintile") >= 2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityEnsembleOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+      |         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+      |         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |         1000000 * least(n_tokens, 200) // 200 AS s_len,
+      |         1000000 * n_stop // greatest(n_tokens, 1) AS s_stop,
+      |         1000000 * n_alpha // greatest(n_chars, 1) AS s_alpha,
+      |         1000000 * n_distinct // greatest(n_tokens, 1) AS s_ttr
+      |  FROM s),
+      |sc AS (
+      |  SELECT doc_id,
+      |         CAST((2 * s_len + 2 * s_stop + 3 * s_alpha + 3 * s_ttr) // 10 AS BIGINT) AS score_ppm
+      |  FROM p)
+      |SELECT doc_id, score_ppm,
+      |       CAST(ntile(5) OVER (ORDER BY score_ppm, doc_id) AS INT) AS quintile,
+      |       ntile(5) OVER (ORDER BY score_ppm, doc_id) >= 2 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_ensemble" -> (qQualityEnsemble _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_rake_keywords" -> (qRakeKeywords _),
     "q_readability" -> (qReadability _),
@@ -1103,6 +1165,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_quality_ensemble" -> qQualityEnsembleOracle,
     "q_token_fertility" -> qTokenFertilityOracle,
     "q_rake_keywords" -> qRakeKeywordsOracle,
     "q_readability" -> qReadabilityOracle,

@@ -314,11 +314,11 @@ object PipelineQueries {
   // per-ranking scores are BIGINT micro-units). A doc absent from a
   // ranking contributes nothing — the real RRF convention for
   // heterogeneous retrievers. Top-10 fused, ties by doc_id.
-  /** Shared lexical-ranking core for q_rank_fusion and q_ndcg_eval:
-    * BM25 and TF-IDF document ranks for the fixed 3-term query, both
-    * derived from one (doc, term) tf scan.
+  /** Shared lexical-scoring core for q_rank_fusion and q_ndcg_eval:
+    * per-doc BM25 and TF-IDF micro-unit scores (s1, s2) for the fixed
+    * 3-term query, both derived from one (doc, term) tf scan.
     */
-  private def lexicalRankings(spark: SparkSession, dir: String): DataFrame = {
+  private def lexicalScores(spark: SparkSession, dir: String): DataFrame = {
     val qterms = Seq("spark", "window", "merge")
     val toksDf = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
@@ -342,14 +342,14 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("bm25_micro")).as("s1"), sum(col("tfidf_micro")).as("s2"))
     scored
+  }
+
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame =
+    lexicalScores(spark, dir)
       .withColumn("rank_bm25", row_number().over(
         Window.orderBy(col("s1").desc, col("doc_id"))))
       .withColumn("rank_tfidf", row_number().over(
         Window.orderBy(col("s2").desc, col("doc_id"))))
-  }
-
-  def qRankFusion(spark: SparkSession, dir: String): DataFrame =
-    lexicalRankings(spark, dir)
       .withColumn("rrf_micro",
         expr("1000000 div (60 + rank_bm25) + 1000000 div (60 + rank_tfidf)"))
       .select(col("doc_id"), col("rank_bm25").cast("long").as("rank_bm25"),
@@ -371,21 +371,34 @@ object PipelineQueries {
     i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
 
   def qNdcgEval(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = lexicalRankings(spark, dir)
-      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"))
+    // only the two top-10s matter, so ranks come from orderBy + limit
+    // (TakeOrderedAndProject: per-partition top-10 + driver merge) and
+    // the row_number windows run over 10-row frames — never a global
+    // rank of every matched document (at web scale the matched set is
+    // huge; the 10x probe caught the full-rank window at 6.7x cost)
+    val scored = lexicalScores(spark, dir).localCheckpoint(true)
+    def top10(scoreCol: String, rankName: String): DataFrame =
+      scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(10)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col(scoreCol).desc, col("doc_id"))))
+        .select(col("doc_id"), col(rankName))
+    val sys10 = top10("s1", "rank_bm25")
+    val truth10 = top10("s2", "rank_tfidf")
     val discSql = NdcgDisc.map { case (i, d) => s"($i, ${d}L)" }.mkString(", ")
     val disc = spark.sql(
       s"SELECT * FROM VALUES $discSql AS t(rank, disc_ppm)")
-    val rel = ranked
-      .withColumn("rel", greatest(lit(0L), lit(11L) - col("rank_tfidf")))
-    val dcg = rel.filter(col("rank_bm25") <= 10)
+    // rel(doc) = 11 - truth rank for the truth's top-10, else 0
+    val dcg = sys10
+      .join(truth10, Seq("doc_id"), "left")
+      .withColumn("rel",
+        greatest(lit(0L), lit(11L) - coalesce(col("rank_tfidf"), lit(11L))))
       .join(broadcast(disc), col("rank_bm25") === col("rank"))
       .agg(sum(col("rel") * col("disc_ppm")).as("dcg_u"))
-    val idcg = rel.filter(col("rank_tfidf") <= 10)
+    val idcg = truth10
+      .withColumn("rel", lit(11L) - col("rank_tfidf"))
       .join(broadcast(disc), col("rank_tfidf") === col("rank"))
       .agg(sum(col("rel") * col("disc_ppm")).as("idcg_u"))
-    val overlap = rel
-      .filter(col("rank_bm25") <= 10 && col("rank_tfidf") <= 10)
+    val overlap = sys10.join(truth10, "doc_id")
       .agg(count(lit(1)).as("n_overlap"))
     dcg.crossJoin(idcg).crossJoin(overlap)
       .select(col("dcg_u"), col("idcg_u"), col("n_overlap"),

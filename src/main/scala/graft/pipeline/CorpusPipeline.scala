@@ -142,6 +142,22 @@ final class CorpusPipeline private (
       .drop("_tk", "dup2", "top_ratio"))
   }
 
+  /** Quality-ensemble gate: drop the bottom quintile by the weighted
+    * 4-signal composite score (same row-wise scoring core as the gated
+    * q_quality_ensemble; quintile boundary from one percentile
+    * aggregate broadcast back — never a global rank window). The one
+    * extra job is the boundary aggregate; scoring itself composes into
+    * the pipeline plan.
+    */
+  def filterQualityEnsemble(textCol: String = "text"): CorpusPipeline = {
+    val scored = graft.queries.TextQueries.withEnsembleScore(df, textCol)
+    val bound = scored.agg(
+      expr("percentile(score_ppm, 0.2)").as("_b0"))
+    next(scored.crossJoin(broadcast(bound))
+      .filter(col("score_ppm") > col("_b0"))
+      .drop("score_ppm", "_b0"))
+  }
+
   /** PII scrubbing: replace emails, phone numbers, and IPv4 addresses in
     * `textCol` with typed placeholder tokens — the privacy pass before
     * training. A pure narrow regexp transform (same expression as the

@@ -706,7 +706,61 @@ object LakeOpsQueries {
        |ORDER BY e.digit""".stripMargin
   }
 
+  // --- right-to-be-forgotten cascade audit ---
+  // The planning read a lakehouse runs BEFORE a GDPR erasure merge: for
+  // a deletion list of subjects, how many rows each downstream table
+  // must rewrite, following the FK chain customer -> orders -> lineitem.
+  // Every hop is a semi-join against the (broadcast) deletion list or
+  // the previous hop's keys — the cascade never materializes row data,
+  // only keys and counts — and the per-table share is integer ppm. At
+  // scale this is exactly the file-pruning input: tables rewrite only
+  // the files these counts touch.
+  def qDeleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    val forget = customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val ords = orders(spark, dir)
+      .join(broadcast(forget), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val li = lineitem(spark, dir)
+      .join(ords.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"))
+    def row(name: String, hit: DataFrame, keyCol: String, total: DataFrame) =
+      hit.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(keyCol)).as("n_keys"))
+        .crossJoin(broadcast(total.agg(count(lit(1)).as("t"))))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+          expr("1000000 * n_rows div t").as("share_ppm"))
+    row("customer", forget, "c_custkey", customer(spark, dir))
+      .unionByName(row("orders", ords, "o_orderkey", orders(spark, dir)))
+      .unionByName(row("lineitem", li, "l_orderkey", lineitem(spark, dir)))
+      .orderBy(col("table_name"))
+  }
+
+  val qDeleteCascadeOracle: String =
+    """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |o AS (SELECT o_orderkey FROM orders JOIN f ON o_custkey = c_custkey),
+      |l AS (SELECT l_orderkey FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+      |rows AS (
+      |  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+      |         (SELECT count(*) FROM customer) AS t
+      |  FROM f
+      |  UNION ALL
+      |  SELECT 'orders', CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |         (SELECT count(*) FROM orders)
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+      |         (SELECT count(*) FROM lineitem)
+      |  FROM l)
+      |SELECT table_name, n_rows, n_keys,
+      |       CAST(1000000 * n_rows // t AS BIGINT) AS share_ppm
+      |FROM rows ORDER BY table_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete_cascade" -> (qDeleteCascade _),
     "q_benford" -> (qBenford _),
     "q_gap_fill" -> (qGapFill _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -725,6 +779,7 @@ object LakeOpsQueries {
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_benford" -> qBenfordOracle,
+    "q_delete_cascade" -> qDeleteCascadeOracle,
     "q_gap_fill" -> qGapFillOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,

@@ -1090,29 +1090,43 @@ object TextQueries {
   // decision is quintile-based (ntile over a (score, doc_id) total
   // order: integer-exact in both engines, no percentile interpolation
   // on the gate path). Bottom quintile drops.
-  def qQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds `score_ppm` — the weighted 4-signal composite — as a pure
+    * row-wise projection over `textCol`. Shared by q_quality_ensemble
+    * and CorpusPipeline.filterQualityEnsemble.
+    */
+  private[graft] def withEnsembleScore(
+      df: DataFrame, textCol: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
-    val sig = documents(spark, dir)
-      .withColumn("tk", toks(col("text")))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        size(filter(col("tk"), t => t.isin(stop.map(lit(_)): _*)))
-          .cast("long").as("n_stop"),
-        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-        length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-          .cast("long").as("n_alpha"))
-      .select(col("doc_id"),
-        expr("1000000 * least(n_tokens, 200) div 200").as("s_len"),
-        expr("1000000 * n_stop div greatest(n_tokens, 1)").as("s_stop"),
-        expr("1000000 * n_alpha div greatest(n_chars, 1)").as("s_alpha"),
-        expr("1000000 * n_distinct div greatest(n_tokens, 1)").as("s_ttr"))
-      .withColumn("score_ppm",
-        expr("(2 * s_len + 2 * s_stop + 3 * s_alpha + 3 * s_ttr) div 10"))
-    sig
+    df
+      .withColumn("_tk", toks(col(textCol)))
+      .withColumn("_nt", size(col("_tk")).cast("long"))
+      .withColumn("_ns",
+        size(filter(col("_tk"), t => t.isin(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("_ndt", size(array_distinct(col("_tk"))).cast("long"))
+      .withColumn("_na",
+        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("long"))
+      .withColumn("_nc", length(col(textCol)).cast("long"))
+      .withColumn("score_ppm", expr(
+        """(2 * (1000000 * least(_nt, 200) div 200)
+          | + 2 * (1000000 * _ns div greatest(_nt, 1))
+          | + 3 * (1000000 * _na div greatest(_nc, 1))
+          | + 3 * (1000000 * _ndt div greatest(_nt, 1))) div 10""".stripMargin))
+      .drop("_tk", "_nt", "_ns", "_ndt", "_na", "_nc")
+  }
+
+  def qQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val sig = withEnsembleScore(
+      documents(spark, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("score_ppm"))
+    // quintile assignment via broadcast percentile boundaries (the
+    // q_histogram_stats shape) — NOT a global ntile window, which would
+    // sort the whole corpus on one partition at scale
+    val bounds = sig.agg(
+      expr("percentile(score_ppm, array(0.2, 0.4, 0.6, 0.8))").as("bs"))
+    sig.crossJoin(broadcast(bounds))
       .withColumn("quintile",
-        ntile(5).over(Window.orderBy(col("score_ppm"), col("doc_id"))))
-      .select(col("doc_id"), col("score_ppm"),
-        col("quintile").cast("int").as("quintile"),
+        expr("size(filter(bs, b -> score_ppm > b)) + 1").cast("int"))
+      .select(col("doc_id"), col("score_ppm"), col("quintile"),
         (col("quintile") >= 2).as("keep"))
       .orderBy(col("doc_id"))
   }
@@ -1136,11 +1150,12 @@ object TextQueries {
       |sc AS (
       |  SELECT doc_id,
       |         CAST((2 * s_len + 2 * s_stop + 3 * s_alpha + 3 * s_ttr) // 10 AS BIGINT) AS score_ppm
-      |  FROM p)
+      |  FROM p),
+      |b AS (SELECT quantile_cont(score_ppm, [0.2, 0.4, 0.6, 0.8]) AS bs FROM sc)
       |SELECT doc_id, score_ppm,
-      |       CAST(ntile(5) OVER (ORDER BY score_ppm, doc_id) AS INT) AS quintile,
-      |       ntile(5) OVER (ORDER BY score_ppm, doc_id) >= 2 AS keep
-      |FROM sc ORDER BY doc_id""".stripMargin
+      |       CAST(len(list_filter(bs, x -> score_ppm > x)) + 1 AS INT) AS quintile,
+      |       len(list_filter(bs, x -> score_ppm > x)) + 1 >= 2 AS keep
+      |FROM sc CROSS JOIN b ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_ensemble" -> (qQualityEnsemble _),

@@ -96,6 +96,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < d01.count())
   }
 
+  test("filterQualityEnsemble keeps exactly q_quality_ensemble's keep set") {
+    val sf = "/root/testdata/sf0.01"
+    val kept = CorpusPipeline(Tables.documents(spark, sf))
+      .filterQualityEnsemble().df
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val expect = graft.queries.TextQueries.qQualityEnsemble(spark, sf)
+      .filter(col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < 500)
+  }
+
   test("dedupNearIncremental drops exactly dedupNear over the gated batch-vs-index pairs") {
     // sf0.01: its batch slice provably carries near-dup pairs (the
     // q_dedup_incremental gate returns rows there)

@@ -220,6 +220,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("contrastive pairs: map-side max_by argmaxes, no window exchange") {
+    val plan = simple(SimilarityQueries.qContrastivePairs(spark, sf))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_max"))
+  }
+
+  test("kNN label noise: bucket join stays equi, vote aggregates map-side") {
+    val plan = simple(SimilarityQueries.qKnnLabelNoise(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("nDCG: ranks come from TakeOrdered, never a global-rank window") {
+    val plan = simple(PipelineQueries.qNdcgEval(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("target encoding: cohort stats broadcast back, no window") {
+    val plan = simple(FeatureQueries.qTargetEncodeLoo(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("contribution cap: two combinable aggregations, no sort or window") {
+    val plan = simple(AnalyticsQueries.qContribCap(spark, sf))
+    assert(!plan.contains("Window"))
+    assert(formatted(AnalyticsQueries.qContribCap(spark, sf)).contains("partial_"))
+  }
+
   test("covariance: map-side partial aggregation bounds the shuffle at d^2 cells") {
     val plan = formatted(CorpusOpsQueries.qEmbedCovariance(spark, sf))
     assert(plan.contains("partial_"))

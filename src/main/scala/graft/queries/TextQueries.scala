@@ -1157,7 +1157,112 @@ object TextQueries {
       |       len(list_filter(bs, x -> score_ppm > x)) + 1 >= 2 AS keep
       |FROM sc CROSS JOIN b ORDER BY doc_id""".stripMargin
 
+  // --- Unicode NFC normalization ---
+  // Runs the codegen'd [[graft.functions.NfcNormalize]] Catalyst
+  // expression over the corpus: composed vs decomposed graphemes ("é"
+  // as U+00E9 vs "e"+U+0301) silently defeat every exact-match
+  // operator (dedup hashing, shingles, vocabulary) unless text is
+  // NFC-normalized first. The corpus is ASCII, so the gate PLANTS
+  // decomposed text (every 30th doc gets " cafe" + chr(769) appended —
+  // chr(769) is the combining acute, produced the same way in both
+  // engines) and reports exactly the docs normalization changed, with
+  // before/after lengths and the normalized hash. Oracle: DuckDB's
+  // native nfc_normalize — an independent NFC implementation agreeing
+  // bit-for-bit is the strongest check a custom Expression can get.
+  def qUnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 30 === 0,
+          // U+0301 combining acute as a literal: Spark's chr() is
+          // byte-oriented (mod 256), unlike DuckDB's codepoint chr()
+          concat(col("text"), lit(" cafe"), lit("́")))
+          .otherwise(col("text")).as("text"))
+    planted
+      .withColumn("norm", graft.functions.UnicodeExprs.nfc(col("text")))
+      .filter(col("norm") =!= col("text"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(col("norm")).cast("long").as("n_after"),
+        md5(col("norm")).as("norm_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUnicodeNormalizeOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 30 = 0 THEN text || ' cafe' || chr(769)
+      |              ELSE text END AS text
+      |  FROM documents),
+      |n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM p)
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+      |       CAST(length(norm) AS BIGINT) AS n_after,
+      |       md5(norm) AS norm_hash
+      |FROM n WHERE norm <> text ORDER BY doc_id""".stripMargin
+
+  // --- collocation mining (bigram PMI) ---
+  // The word2phrase / tokenizer-merge signal: adjacent token pairs
+  // whose co-occurrence beats the independence assumption. PMI =
+  // ln(c_xy·N² / (M·c_x·c_y)) formed as ONE exact rational before the
+  // single ln (double-once discipline), min count 5, top 20 under a
+  // (score, bigram) total order. Counts are three map-side-combinable
+  // aggregations over one token scan; the c_x/c_y attachments are
+  // vocabulary-keyed equi-joins.
+  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .select(col("doc_id"), toks(lower(col("text"))).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val uni = t.select(explode(col("tk")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = t.agg(
+      sum(col("n")).cast("long").as("n_uni"),
+      sum(greatest(col("n") - 1, lit(0))).cast("long").as("n_bi"))
+    val bi = t.filter(col("n") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, n - 1), i -> struct(tk[i - 1] AS x, tk[i] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= "" && col("y") =!= "")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+    bi.join(uni.select(col("w").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_e5", expr(
+        "round(ln((CAST(cxy AS DOUBLE) * n_uni * n_uni) / (CAST(n_bi AS DOUBLE) * cx * cy)), 5)"))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy"), col("cx"), col("cy"), col("pmi_e5"))
+      .orderBy(col("pmi_e5").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val qCollocationsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk,
+      |         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      |  FROM documents),
+      |uni AS (
+      |  SELECT tok AS w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(tk) AS tok FROM t) WHERE tok <> '' GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_uni,
+      |         CAST(sum(greatest(n - 1, 0)) AS BIGINT) AS n_bi
+      |  FROM t),
+      |bi AS (
+      |  SELECT tk[i] AS x, tk[i + 1] AS y, CAST(count(*) AS BIGINT) AS cxy
+      |  FROM t, unnest(generate_series(1, n - 1)) AS u(i)
+      |  WHERE n >= 2 AND tk[i] <> '' AND tk[i + 1] <> ''
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bi.x || ' ' || bi.y AS bigram, bi.cxy, ux.c AS cx, uy.c AS cy,
+      |       round(ln((CAST(bi.cxy AS DOUBLE) * n_uni * n_uni)
+      |             / (CAST(n_bi AS DOUBLE) * ux.c * uy.c)), 5) AS pmi_e5
+      |FROM bi JOIN uni ux ON bi.x = ux.w JOIN uni uy ON bi.y = uy.w
+      |CROSS JOIN tot
+      |ORDER BY pmi_e5 DESC, bigram LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unicode_normalize" -> (qUnicodeNormalize _),
+    "q_collocations" -> (qCollocations _),
     "q_quality_ensemble" -> (qQualityEnsemble _),
     "q_token_fertility" -> (qTokenFertility _),
     "q_rake_keywords" -> (qRakeKeywords _),
@@ -1180,6 +1285,8 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_unicode_normalize" -> qUnicodeNormalizeOracle,
+    "q_collocations" -> qCollocationsOracle,
     "q_quality_ensemble" -> qQualityEnsembleOracle,
     "q_token_fertility" -> qTokenFertilityOracle,
     "q_rake_keywords" -> qRakeKeywordsOracle,

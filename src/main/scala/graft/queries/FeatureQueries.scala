@@ -306,7 +306,88 @@ object FeatureQueries {
       |FROM e JOIN s USING (cat) CROSS JOIN p
       |WHERE e.event_id % 20 = 0 ORDER BY e.event_id""".stripMargin
 
+  // --- population stability index (PSI) ---
+  // THE model-monitoring drift metric for scored features: bin the
+  // reference and current populations on the REFERENCE's deciles and
+  // sum (p - q)·ln(p/q). Halves come from event-id parity; Laplace
+  // half-counts keep empty bins finite. Counts are exact integers; the
+  // per-bin term is one double expression over those integers rounded
+  // to 8 and decimal-summed (the q_dist_drift discipline), so shuffle
+  // order can't move the total. PSI > 0.2 is the conventional
+  // "investigate" line — reported as the flag.
+  def qPsi(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("value"), (col("event_id") % 2).as("half"))
+    val bounds = e.filter(col("half") === 0).agg(expr(
+      "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))")
+      .as("bs"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("size(filter(bs, b -> value > b)) + 1"))
+    val cRef = binned.filter(col("half") === 0)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
+    val cCur = binned.filter(col("half") === 1)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c_cur"))
+    val tot = binned.agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val terms = spark.range(1, 11).select(col("id").cast("int").as("bin"))
+      .join(cRef, Seq("bin"), "left")
+      .join(cCur, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((coalesce(col("c_ref"), lit(0L)) * 2 + 1).cast("double") /
+          (col("n_ref") * 2 + 10)).as("p"),
+        ((coalesce(col("c_cur"), lit(0L)) * 2 + 1).cast("double") /
+          (col("n_cur") * 2 + 10)).as("q"))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 8)
+          .cast("decimal(28,8)"))
+    terms.groupBy(col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
+        max_by(col("bin"), struct(abs(col("term")), (-col("bin")).as("nb")))
+          .as("worst_bin"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .select(col("n_ref"), col("n_cur"), col("psi"), col("worst_bin"),
+        col("drifted"))
+  }
+
+  val qPsiOracle: String =
+    """WITH e AS (
+      |  SELECT value, event_id % 2 AS half FROM events),
+      |b AS (
+      |  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      |  FROM e WHERE half = 0),
+      |r AS (
+      |  SELECT half, len(list_filter(bs, x -> value > x)) + 1 AS bin
+      |  FROM e CROSS JOIN b),
+      |cr AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_ref FROM r WHERE half = 0 GROUP BY 1),
+      |cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_cur FROM r WHERE half = 1 GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM r),
+      |g AS (SELECT unnest(generate_series(1, 10)) AS bin),
+      |terms AS (
+      |  SELECT g.bin, n_ref, n_cur,
+      |         CAST((coalesce(c_ref, 0) * 2 + 1) AS DOUBLE) / (n_ref * 2 + 10) AS p,
+      |         CAST((coalesce(c_cur, 0) * 2 + 1) AS DOUBLE) / (n_cur * 2 + 10) AS q
+      |  FROM g LEFT JOIN cr ON g.bin = cr.bin LEFT JOIN cc ON g.bin = cc.bin
+      |  CROSS JOIN t),
+      |tt AS (
+      |  SELECT bin, n_ref, n_cur,
+      |         CAST(round((p - q) * ln(p / q), 8) AS DECIMAL(28,8)) AS term
+      |  FROM terms),
+      |w AS (
+      |  SELECT bin AS worst_bin FROM tt
+      |  QUALIFY row_number() OVER (ORDER BY abs(term) DESC, bin) = 1)
+      |SELECT n_ref, n_cur,
+      |       round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+      |       CAST(any_value(w.worst_bin) AS INT) AS worst_bin,
+      |       round(CAST(sum(term) AS DOUBLE), 6) > 0.2 AS drifted
+      |FROM tt CROSS JOIN w GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (qPsi _),
     "q_woe_binning" -> (qWoeBinning _),
     "q_target_encode_loo" -> (qTargetEncodeLoo _),
     "q_pit_join" -> (qPitJoin _),
@@ -316,6 +397,7 @@ object FeatureQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_psi" -> qPsiOracle,
     "q_woe_binning" -> qWoeBinningOracle,
     "q_target_encode_loo" -> qTargetEncodeLooOracle,
     "q_pit_join" -> qPitJoinOracle,

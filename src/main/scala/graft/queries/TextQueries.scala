@@ -1260,7 +1260,51 @@ object TextQueries {
       |CROSS JOIN tot
       |ORDER BY pmi_e5 DESC, bigram LIMIT 20""".stripMargin
 
+  // --- positional phrase search ---
+  // Exact-phrase retrieval over positional posting lists — the IR
+  // operator an inverted index exists for (and the retrieval leg next
+  // to BM25's bag-of-words scoring). The posting lists are filtered to
+  // the THREE query terms BEFORE any join (the BM25 discipline: three
+  // lists however wide the vocabulary), then the phrase is two
+  // equi-joins on (doc_id, adjacent position). Every 100th doc gets
+  // the phrase appended so the gate provably exercises both planted
+  // and organic hits at any scale factor.
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val phrase = Seq("slow", "hash", "batch")
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 100 === 0,
+          concat(col("text"), lit(" " + phrase.mkString(" "))))
+          .otherwise(col("text")).as("text"))
+    val post = d
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+    def p(i: Int) = post.filter(col("tok") === phrase(i))
+      .select(col("doc_id"), (col("pos") - i).as("base"))
+    p(0).join(p(1), Seq("doc_id", "base"))
+      .join(p(2), Seq("doc_id", "base"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPhraseSearchOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 100 = 0 THEN text || ' slow hash batch'
+      |              ELSE text END AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+      |         len(string_split_regex(trim(text), '\s+')) AS n
+      |  FROM d),
+      |hits AS (
+      |  SELECT doc_id FROM t, unnest(generate_series(1, n - 2)) AS u(i)
+      |  WHERE tk[i] = 'slow' AND tk[i + 1] = 'hash' AND tk[i + 2] = 'batch')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_unicode_normalize" -> (qUnicodeNormalize _),
     "q_collocations" -> (qCollocations _),
     "q_quality_ensemble" -> (qQualityEnsemble _),
@@ -1285,6 +1329,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_phrase_search" -> qPhraseSearchOracle,
     "q_unicode_normalize" -> qUnicodeNormalizeOracle,
     "q_collocations" -> qCollocationsOracle,
     "q_quality_ensemble" -> qQualityEnsembleOracle,

@@ -909,7 +909,67 @@ object PipelineQueries {
       |       CAST(1000000 * count(*) // total AS BIGINT) AS share_ppm
       |FROM d CROSS JOIN t GROUP BY fold, total ORDER BY fold""".stripMargin
 
+  // --- length-bucketed batching plan ---
+  // Inference/training batching wastes compute on padding when short
+  // and long sequences share a batch; bucketing by rounded length
+  // first is the standard fix. Buckets are token counts rounded up to
+  // 32 (capped at 512); batches of 8 form inside each bucket in
+  // salted-md5 order (deterministic, reproducible from ids); waste is
+  // the exact integer sum of (batch_max - len) over members, reported
+  // per bucket in ppm of the padded volume. The per-bucket rank window
+  // shuffles on a bounded key set (16 buckets) — at corpus scale the
+  // q_pack_sequences shard trick applies unchanged; the semantics
+  // (rank within bucket) stay as gated here.
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("bucket", least(expr("((n + 31) div 32) * 32"), lit(512L)))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(concat('batch7:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+    val ranked = d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+      .withColumn("batch_id", expr("(rk - 1) div 8"))
+    val batches = ranked.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("bn"), max(col("n")).as("bmax"), sum(col("n")).as("bsum"))
+    batches.groupBy(col("bucket"))
+      .agg(sum(col("bn")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("bmax") * col("bn") - col("bsum")).as("pad_tokens"),
+        sum(col("bmax") * col("bn")).as("padded_volume"))
+      .withColumn("pad_ppm",
+        expr("1000000 * pad_tokens div greatest(padded_volume, 1)"))
+      .select(col("bucket"), col("n_docs"), col("n_batches"),
+        col("pad_tokens"), col("pad_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val qLengthBucketsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+      |         least(((CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) + 31) // 32) * 32, 512) AS bucket,
+      |         CAST('0x' || substr(md5('batch7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n, bucket,
+      |         (row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1) // 8 AS batch_id
+      |  FROM d),
+      |b AS (
+      |  SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS bn,
+      |         CAST(max(n) AS BIGINT) AS bmax, CAST(sum(n) AS BIGINT) AS bsum
+      |  FROM r GROUP BY 1, 2),
+      |g AS (
+      |  SELECT bucket, CAST(sum(bn) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_batches,
+      |         CAST(sum(bmax * bn - bsum) AS BIGINT) AS pad_tokens,
+      |         CAST(sum(bmax * bn) AS BIGINT) AS padded_volume
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_docs, n_batches, pad_tokens,
+      |       CAST(1000000 * pad_tokens // greatest(padded_volume, 1) AS BIGINT) AS pad_ppm
+      |FROM g ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_kfold" -> (qKfold _),
     "q_mix_weights" -> (qMixWeights _),
@@ -932,6 +992,7 @@ object PipelineQueries {
     "q_zorder_layout" -> (qZorderLayout _))
 
   def oracles: Map[String, String] = Map(
+    "q_length_buckets" -> qLengthBucketsOracle,
     "q_ndcg_eval" -> qNdcgEvalOracle,
     "q_kfold" -> qKfoldOracle,
     "q_mix_weights" -> qMixWeightsOracle,

@@ -1303,7 +1303,45 @@ object TextQueries {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- deterministic token-dropout augmentation ---
+  // EDA-style data augmentation (random token deletion) made
+  // reproducible: a token drops iff the salted md5 of (doc_id, pos)
+  // lands in the 10% band, so the augmented corpus is a pure function
+  // of ids — re-runs, retries, and the oracle all regenerate the same
+  // text. Rebuild preserves order via the sorted-struct aggregation
+  // (the repeated-span-removal recipe); one shuffle on doc_id.
+  def qTokenDropout(spark: SparkSession, dir: String): DataFrame = {
+    val t = documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("drop", expr(
+        "cast(conv(substring(md5(concat('aug3:', cast(doc_id as string), ':', cast(pos as string))), 1, 15), 16, 10) as bigint) % 10 = 0"))
+    t.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("drop"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT drop THEN struct(pos, tok) END)), x -> x.tok)"),
+          " ")).as("aug_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTokenDropoutOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, pos, tk[pos] AS tok,
+      |         CAST('0x' || substr(md5('aug3:' || CAST(doc_id AS VARCHAR) || ':'
+      |           || CAST(pos - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0 AS drop
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+      |               len(string_split_regex(trim(text), '\s+')) AS n
+      |        FROM documents),
+      |       unnest(generate_series(1, n)) AS u(pos)
+      |  WHERE tk[pos] <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN NOT drop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       md5(coalesce(string_agg(CASE WHEN NOT drop THEN tok END, ' ' ORDER BY pos), '')) AS aug_hash
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_dropout" -> (qTokenDropout _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_unicode_normalize" -> (qUnicodeNormalize _),
     "q_collocations" -> (qCollocations _),
@@ -1329,6 +1367,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _))
 
   def oracles: Map[String, String] = Map(
+    "q_token_dropout" -> qTokenDropoutOracle,
     "q_phrase_search" -> qPhraseSearchOracle,
     "q_unicode_normalize" -> qUnicodeNormalizeOracle,
     "q_collocations" -> qCollocationsOracle,

@@ -916,21 +916,25 @@ object PipelineQueries {
   // 32 (capped at 512); batches of 8 form inside each bucket in
   // salted-md5 order (deterministic, reproducible from ids); waste is
   // the exact integer sum of (batch_max - len) over members, reported
-  // per bucket in ppm of the padded volume. The per-bucket rank window
-  // shuffles on a bounded key set (16 buckets) — at corpus scale the
-  // q_pack_sequences shard trick applies unchanged; the semantics
-  // (rank within bucket) stay as gated here.
+  // per bucket in ppm of the padded volume. Batches form within
+  // (bucket, shard) — the q_pack_sequences shard trick: a bare
+  // per-bucket window has only |buckets| partitions, and the 10x probe
+  // measured it 13x slower at 10x rows; with 8 id-derived shards the
+  // rank window parallelizes and batches simply never span shards
+  // (each shard is an independent batching stream, which is what a
+  // distributed batcher ships anyway).
   def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
     val d = documents(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
       .withColumn("bucket", least(expr("((n + 31) div 32) * 32"), lit(512L)))
       .withColumn("h", expr(
         "cast(conv(substring(md5(concat('batch7:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
     val ranked = d.withColumn("rk", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+        Window.partitionBy(col("bucket"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))))
       .withColumn("batch_id", expr("(rk - 1) div 8"))
-    val batches = ranked.groupBy(col("bucket"), col("batch_id"))
+    val batches = ranked.groupBy(col("bucket"), col("shard"), col("batch_id"))
       .agg(count(lit(1)).as("bn"), max(col("n")).as("bmax"), sum(col("n")).as("bsum"))
     batches.groupBy(col("bucket"))
       .agg(sum(col("bn")).as("n_docs"), count(lit(1)).as("n_batches"),
@@ -945,19 +949,19 @@ object PipelineQueries {
 
   val qLengthBucketsOracle: String =
     """WITH d AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, doc_id % 8 AS shard,
       |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
       |         least(((CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) + 31) // 32) * 32, 512) AS bucket,
       |         CAST('0x' || substr(md5('batch7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
       |  FROM documents),
       |r AS (
-      |  SELECT doc_id, n, bucket,
-      |         (row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1) // 8 AS batch_id
+      |  SELECT doc_id, n, bucket, shard,
+      |         (row_number() OVER (PARTITION BY bucket, shard ORDER BY h, doc_id) - 1) // 8 AS batch_id
       |  FROM d),
       |b AS (
-      |  SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS bn,
+      |  SELECT bucket, shard, batch_id, CAST(count(*) AS BIGINT) AS bn,
       |         CAST(max(n) AS BIGINT) AS bmax, CAST(sum(n) AS BIGINT) AS bsum
-      |  FROM r GROUP BY 1, 2),
+      |  FROM r GROUP BY 1, 2, 3),
       |g AS (
       |  SELECT bucket, CAST(sum(bn) AS BIGINT) AS n_docs,
       |         CAST(count(*) AS BIGINT) AS n_batches,

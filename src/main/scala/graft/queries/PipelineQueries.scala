@@ -972,7 +972,33 @@ object PipelineQueries {
       |       CAST(1000000 * pad_tokens // greatest(padded_volume, 1) AS BIGINT) AS pad_ppm
       |FROM g ORDER BY bucket""".stripMargin
 
+  // --- as-of join via the NATIVE custom operator ---
+  // Same semantics and same DuckDB ASOF JOIN oracle as qAsofJoin, but
+  // executed by graft.plans.AsOfJoinExec — the custom LogicalPlan +
+  // SparkStrategy + SparkPlan route (SURVEY §7.3's (c) tier): both
+  // sides co-partitioned on the key and sorted (key, time) by
+  // EnsureRequirements, then ONE streaming merge per partition with
+  // O(1) carried state. Three independent implementations of as-of
+  // (this exec, the union+window form, DuckDB's native ASOF) now gate
+  // against each other.
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ms").as("c_ms"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ms").as("p_ms"))
+    graft.plans.AsOfJoinNative
+      .asof(purchases, clicks, "p_user", "c_user", "p_ms", "c_ms")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), (col("p_ms") - col("c_ms")).as("lag_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_native" -> (qAsofNative _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_kfold" -> (qKfold _),
@@ -996,6 +1022,7 @@ object PipelineQueries {
     "q_zorder_layout" -> (qZorderLayout _))
 
   def oracles: Map[String, String] = Map(
+    "q_asof_native" -> qAsofJoinOracle,
     "q_length_buckets" -> qLengthBucketsOracle,
     "q_ndcg_eval" -> qNdcgEvalOracle,
     "q_kfold" -> qKfoldOracle,

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in COUNT(DISTINCT) → HyperLogLog++ rewrite, gated at optimize
     // time on spark.graft.approxDistinct (graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite(_))
+    // native as-of join planner strategy (graft.plans.AsOfJoinPlan);
+    // AsOfJoinNative.asof also registers it imperatively per session
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("field"),
       info("field", "field(str, v1, ...) - 1-based position of str, 0 if absent"),

@@ -609,6 +609,85 @@ object StreamingQueries {
   def qStreamMarkov(spark: SparkSession, dir: String): DataFrame =
     streamMarkov(spark, dir, "events.parquet", None)
 
+  // --- streaming as-of join (stateful last-click carry) ---
+  // The streaming twin of the as-of family (union+window qAsofJoin,
+  // native AsOfJoinExec, DuckDB ASOF — all four now share one oracle):
+  // per-user state carries the latest click, each purchase emits its
+  // attribution pair as it arrives. Within a micro-batch, events sort
+  // by (ms, clicks-first, event_id) so same-millisecond semantics match
+  // the batch form exactly (a click at the purchase's own ms counts,
+  // and the max event_id click wins the ms). State is O(1) per user
+  // however long the stream runs — the production shape for real-time
+  // attribution that the batch forms backfill.
+  case class AsofEvent(event_id: Long, ts: Long, user_id: Long, event_type: String)
+  case class AsofLastClick(ms: Long, clickId: Long)
+  case class AsofPair(purchase_id: Long, user_id: Long, click_id: Long, lag_ms: Long)
+
+  private[queries] def streamAsof(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = withStreamConfs(spark) {
+    import spark.implicits._
+    val src = eventsRawStream(spark, dir, glob, maxFilesPerTrigger)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[AsofEvent]
+    val pairs = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AsofEvent], state: GroupState[AsofLastClick]) =>
+          val evs = it.toVector.sortBy(e =>
+            (e.ts / 1000000L, if (e.event_type == "click") 0 else 1, e.event_id))
+          val out = Vector.newBuilder[AsofPair]
+          var last = state.getOption
+          evs.foreach { e =>
+            val ms = e.ts / 1000000L
+            if (e.event_type == "click") {
+              // same-ms clicks arrive in event_id order; the last one
+              // (max id) matches the batch form's per-(user, ms) dedup
+              last = Some(AsofLastClick(ms, e.event_id))
+            } else {
+              last match {
+                case Some(c) => out += AsofPair(e.event_id, user, c.clickId, ms - c.ms)
+                case None => ()
+              }
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+    val name = "stream_asof_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("lag_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def qStreamAsof(spark: SparkSession, dir: String): DataFrame =
+    streamAsof(spark, dir, "events.parquet", None)
+
+  /** Same oracle family as q_asof_join / q_asof_native, restricted to
+    * purchases that HAVE a matching click (append-mode streams emit
+    * pairs, not outer nulls).
+    */
+  val qStreamAsofOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), c AS (
+      |  SELECT user_id, ms, max(event_id) AS click_id
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT user_id, ms, event_id AS purchase_id
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, c.click_id, p.ms - c.ms AS lag_ms
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
+      |ORDER BY 1""".stripMargin
+
   val qStreamMarkovOracle: String =
     """WITH pairs AS (
       |  SELECT event_type AS prev_type,
@@ -621,6 +700,7 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_markov" -> (qStreamMarkov _),
+    "q_stream_asof" -> (qStreamAsof _),
     "q_stream_heavy" -> (qStreamHeavyHitters _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
@@ -633,6 +713,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "q_stream_markov" -> qStreamMarkovOracle,
+    "q_stream_asof" -> qStreamAsofOracle,
     "q_stream_heavy" -> qStreamHeavyHittersOracle,
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,

@@ -759,7 +759,82 @@ object LakeOpsQueries {
       |       CAST(1000000 * n_rows // t AS BIGINT) AS share_ppm
       |FROM rows ORDER BY table_name""".stripMargin
 
+  // --- column-correlation statistics (CBO input) ---
+  // The ANALYZE pass a cost-based optimizer wants before trusting
+  // multi-predicate selectivity estimates: pairwise Pearson r over
+  // lineitem's numeric columns. Never `corr()` (engine-internal
+  // accumulation order); instead ONE map-side-combinable aggregation
+  // collects BIGINT sufficient statistics over integer-unit projections
+  // (whole quantities, whole dollars, discount basis points — rounded
+  // per row, so every sum is order-free), and the closed form touches
+  // doubles exactly once per pair, rounded to 6. The q_autocorr recipe
+  // applied to the optimizer-stats surface.
+  def qColumnCorr(spark: SparkSession, dir: String): DataFrame = {
+    val u = lineitem(spark, dir).select(
+      expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+      expr("CAST(round(l_extendedprice) AS BIGINT)").as("p"),
+      expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"))
+    val s = u.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+      sum(col("q") * col("q")).as("sqq"),
+      sum(col("p") * col("p")).as("spp"),
+      sum(col("d") * col("d")).as("sdd"),
+      sum(col("q") * col("p")).as("sqp"),
+      sum(col("q") * col("d")).as("sqd"),
+      sum(col("p") * col("d")).as("spd"))
+    def corr(name: String, sxy: String, sx: String, sy: String,
+        sxx: String, syy: String) =
+      s.select(lit(name).as("pair"), col("n"),
+        round(expr(
+          s"""(CAST(n AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy) /
+             |sqrt((CAST(n AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx) *
+             |     (CAST(n AS DOUBLE) * $syy - CAST($sy AS DOUBLE) * $sy))""".stripMargin),
+          6).as("pearson_r"))
+    corr("quantity~price", "sqp", "sq", "sp", "sqq", "spp")
+      .unionByName(corr("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"))
+      .unionByName(corr("price~discount", "spd", "sp", "sd", "spp", "sdd"))
+      .orderBy(col("pair"))
+  }
+
+  val qColumnCorrOracle: String =
+    """WITH u AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice) AS BIGINT) AS p,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+      |         CAST(sum(d) AS BIGINT) AS sd,
+      |         CAST(sum(q * q) AS BIGINT) AS sqq,
+      |         CAST(sum(p * p) AS BIGINT) AS spp,
+      |         CAST(sum(d * d) AS BIGINT) AS sdd,
+      |         CAST(sum(q * p) AS BIGINT) AS sqp,
+      |         CAST(sum(q * d) AS BIGINT) AS sqd,
+      |         CAST(sum(p * d) AS BIGINT) AS spd
+      |  FROM u)
+      |SELECT 'price~discount' AS pair, n,
+      |       round((CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd) /
+      |             sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp) *
+      |                  (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)), 6) AS pearson_r
+      |FROM s
+      |UNION ALL
+      |SELECT 'quantity~discount', n,
+      |       round((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd) /
+      |             sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq) *
+      |                  (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)), 6)
+      |FROM s
+      |UNION ALL
+      |SELECT 'quantity~price', n,
+      |       round((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp) /
+      |             sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq) *
+      |                  (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)), 6)
+      |FROM s
+      |ORDER BY pair""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_corr" -> (qColumnCorr _),
     "q_delete_cascade" -> (qDeleteCascade _),
     "q_benford" -> (qBenford _),
     "q_gap_fill" -> (qGapFill _),
@@ -780,6 +855,7 @@ object LakeOpsQueries {
   def oracles: Map[String, String] = Map(
     "q_benford" -> qBenfordOracle,
     "q_delete_cascade" -> qDeleteCascadeOracle,
+    "q_column_corr" -> qColumnCorrOracle,
     "q_gap_fill" -> qGapFillOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,

@@ -999,7 +999,65 @@ object CorpusOpsQueries {
        |FROM v5 ORDER BY 1""".stripMargin
   }
 
+  // --- dataset card (datasheet summary row) ---
+  // The one-row "datasheet for datasets" (Gebru et al. 2021) a release
+  // ships with: volume, composition, duplication, contamination-risk
+  // and hygiene counters, all from cheap single-pass signals. Two
+  // map-side-combinable aggregations (one per-row scan + one exact-dup
+  // group count) cross-joined at metadata scale. Integer ppm
+  // everywhere; the email probe reuses the PII regex family in the
+  // Java/RE2 common subset.
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        expr("regexp_count(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}')")
+          .cast("long").as("emails"),
+        md5(col("text")).as("h"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_docs"),
+      sum(col("emails")).as("email_hits"))
+    val dups = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("dup_docs"))
+    base.crossJoin(dups)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        expr("1000000 * short_docs div n_docs").as("short_ppm"),
+        expr("1000000 * dup_docs div n_docs").as("exact_dup_ppm"),
+        col("email_hits"),
+        expr("1000000 * n_tokens div n_docs").as("mean_tokens_micro"))
+  }
+
+  val qDatasetCardOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+      |         md5(text) AS h
+      |  FROM documents),
+      |base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+      |         CAST(sum(emails) AS BIGINT) AS email_hits
+      |  FROM d),
+      |dups AS (
+      |  SELECT CAST(sum(c - 1) AS BIGINT) AS dup_docs
+      |  FROM (SELECT h, count(*) AS c FROM d GROUP BY 1))
+      |SELECT n_docs, n_tokens, n_langs, n_sources,
+      |       CAST(1000000 * short_docs // n_docs AS BIGINT) AS short_ppm,
+      |       CAST(1000000 * dup_docs // n_docs AS BIGINT) AS exact_dup_ppm,
+      |       email_hits,
+      |       CAST(1000000 * n_tokens // n_docs AS BIGINT) AS mean_tokens_micro
+      |FROM base CROSS JOIN dups""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> (qDatasetCard _),
     "q_pca_power" -> (qPcaPower _),
     "q_novelty" -> (qNovelty _),
     "q_packing_efficiency" -> (qPackingEfficiency _),
@@ -1020,6 +1078,7 @@ object CorpusOpsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pca_power" -> qPcaPowerOracle,
+    "q_dataset_card" -> qDatasetCardOracle,
     "q_novelty" -> qNoveltyOracle,
     "q_packing_efficiency" -> qPackingEfficiencyOracle,
     "q_dedup_containment" -> qDedupContainmentOracle,

@@ -188,12 +188,57 @@ object MultimodalQueries {
       |SELECT doc_a, doc_b, hamming FROM ham
       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- audio framing / spectrogram-shape accounting ---
+  // The audio leg of the modality surface, parallel to q_frame_sample's
+  // video leg: derive a fake-but-deterministic sample rate and PCM
+  // length from the payload (the stub-decode discipline — a real codec
+  // slots into the same columns), then compute the REAL
+  // feature-extraction arithmetic every ASR/audio pipeline runs: 25 ms
+  // windows with a 10 ms hop, frame count 1 + max(0, (samples - win)
+  // div hop), and the 80-mel spectrogram cell budget. Pure integer
+  // arithmetic, zero shuffles before the output sort.
+  def qAudioFrames(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        expr("8000 + (octet_length(payload) % 3) * 4000").as("sample_rate"),
+        expr("octet_length(payload) * 4").as("n_samples"))
+      .withColumn("duration_ms",
+        expr("1000 * CAST(n_samples AS BIGINT) div sample_rate"))
+      .withColumn("win", expr("sample_rate * 25 div 1000"))
+      .withColumn("hop", expr("sample_rate * 10 div 1000"))
+      .withColumn("n_frames",
+        expr("1 + greatest(0, (n_samples - win) div hop)"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("n_frames"),
+        (col("n_frames") * 80).as("spec_cells"))
+      .orderBy(col("doc_id"))
+
+  val qAudioFramesOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         8000 + (octet_length(encode(text)) % 3) * 4000 AS sample_rate,
+      |         octet_length(encode(text)) * 4 AS n_samples
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, sample_rate, n_samples,
+      |         1000 * CAST(n_samples AS BIGINT) // sample_rate AS duration_ms,
+      |         sample_rate * 25 // 1000 AS win,
+      |         sample_rate * 10 // 1000 AS hop
+      |  FROM m)
+      |SELECT doc_id, sample_rate, n_samples, duration_ms,
+      |       CAST(1 + greatest(0, (n_samples - win) // hop) AS BIGINT) AS n_frames,
+      |       CAST((1 + greatest(0, (n_samples - win) // hop)) * 80 AS BIGINT) AS spec_cells
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audio_frames" -> (qAudioFrames _),
     "q_phash_neardup" -> (qPhashNeardup _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_frame_sample" -> (qFrameSample _))
 
   def oracles: Map[String, String] = Map(
+    "q_audio_frames" -> qAudioFramesOracle,
     "q_phash_neardup" -> qPhashNeardupOracle,
     "q_multimodal_meta" -> qMultimodalMetaOracle,
     "q_frame_sample" -> qFrameSampleOracle)

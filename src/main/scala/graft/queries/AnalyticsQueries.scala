@@ -968,8 +968,55 @@ object AnalyticsQueries {
       |            // greatest(sum(abs(cnt - f_naive)), 1) AS BIGINT) AS mase_ppm
       |FROM l WHERE rn_desc <= 14 AND f_snaive IS NOT NULL AND f_naive IS NOT NULL""".stripMargin
 
+  // --- time-weighted average (IoT / finance TWA) ---
+  // A plain mean over irregular samples over-weights bursts; the
+  // time-weighted average holds each observation until the next one and
+  // weights it by that duration — the standard for sensor values,
+  // account balances, and position marks. Per user: value in integer
+  // cents (rounded per row), hold time from lead() in integer seconds,
+  // TWA = Σ cents·secs div Σ secs (truncating, non-negative). The last
+  // observation has no successor and drops (no hold duration) — users
+  // need >= 2 events. One shuffle on user_id; everything else map-side.
+  def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("tsec"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_tsec", lead(col("tsec"), 1).over(w))
+      .filter(col("next_tsec").isNotNull)
+      .withColumn("hold_s", col("next_tsec") - col("tsec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("hold_s")).as("span_s"),
+        sum(col("cents") * col("hold_s")).as("weighted"))
+      .filter(col("span_s") > 0)
+      .withColumn("twa_cents", expr("weighted div span_s"))
+      .select(col("user_id"), col("n_holds"), col("span_s"), col("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val qTimeWeightedAvgOracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, cents,
+      |         lead(tsec, 1) OVER (PARTITION BY user_id ORDER BY tsec, event_id) - tsec AS hold_s
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+      |         CAST(sum(hold_s) AS BIGINT) AS span_s,
+      |         CAST(sum(cents * hold_s) AS BIGINT) AS weighted
+      |  FROM l WHERE hold_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_holds, span_s,
+      |       CAST(weighted // span_s AS BIGINT) AS twa_cents
+      |FROM g WHERE span_s > 0 ORDER BY user_id""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_twa" -> (qTimeWeightedAvg _),
     "q_attribution" -> (qAttribution _),
     "q_forecast_eval" -> (qForecastEval _),
     "q_contrib_cap" -> (qContribCap _),
@@ -993,6 +1040,7 @@ object AnalyticsQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_twa" -> qTimeWeightedAvgOracle,
     "q_attribution" -> qAttributionOracle,
     "q_contrib_cap" -> qContribCapOracle,
     "q_forecast_eval" -> qForecastEvalOracle,

@@ -67,6 +67,45 @@ object StreamingQueries {
     }
   }
 
+  // --- sliding-window streaming aggregation ---
+  // The remaining window shape next to tumbling (q_stream_hourly) and
+  // session (q_session_window): one-hour windows sliding every 15
+  // minutes, so each event lands in exactly four overlapping windows.
+  // Spark's window(ts, len, slide) enumerates the containing windows at
+  // ingest; the oracle reproduces the same enumeration arithmetically
+  // (time_bucket to the 15-minute grid minus k*15m, k = 0..3).
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame =
+      withStreamConfs(spark) {
+    val src = eventsRawStream(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "stream_sliding_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val qStreamSlidingOracle: String =
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES AS win_start,
+      |         event_type
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       event_type, count(*) AS n_events
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def qStreamHourly(spark: SparkSession, dir: String): DataFrame =
       withStreamConfs(spark) {
     // the file source requires a directory; pathGlobFilter narrows the
@@ -701,6 +740,7 @@ object StreamingQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_markov" -> (qStreamMarkov _),
     "q_stream_asof" -> (qStreamAsof _),
+    "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_heavy" -> (qStreamHeavyHitters _),
     "q_stream_hourly" -> (qStreamHourly _),
     "q_stream_user_counts" -> (qStreamUserCounts _),
@@ -714,6 +754,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "q_stream_markov" -> qStreamMarkovOracle,
     "q_stream_asof" -> qStreamAsofOracle,
+    "q_stream_sliding" -> qStreamSlidingOracle,
     "q_stream_heavy" -> qStreamHeavyHittersOracle,
     "q_stream_hourly" -> qStreamHourlyOracle,
     "q_stream_user_counts" -> qStreamUserCountsOracle,

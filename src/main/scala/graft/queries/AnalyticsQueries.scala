@@ -1014,8 +1014,121 @@ object AnalyticsQueries {
       |       CAST(weighted // span_s AS BIGINT) AS twa_cents
       |FROM g WHERE span_s > 0 ORDER BY user_id""".stripMargin
 
+  // --- Markov stationary distribution ---
+  // Where does the behavior chain settle? Three unrolled power-iteration
+  // rounds of v <- v·P over the event-type transition matrix, entirely
+  // in integers: v starts uniform in ppm, each round computes
+  // v'_j = sum_i v_i * c_ij div rowsum_i (counts and row sums straight
+  // from the lead()-pair aggregation, truncating div over non-negative
+  // operands). The q_pca_power discipline applied to the |types|x|types|
+  // chain — the corpus is touched once for the pair counts; iterations
+  // are metadata-scale.
+  def qMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("i"), col("next_type").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val rows = pairs.groupBy(col("i")).agg(sum(col("c")).as("rs"))
+    val p = pairs.join(rows, "i").localCheckpoint(true)
+    var v = p.select(col("i").as("t")).distinct()
+      .withColumn("v", lit(200000L))
+    for (_ <- 1 to 3) {
+      v = p.join(v, col("i") === col("t"))
+        .groupBy(col("j"))
+        .agg(sum(expr("v * c div rs")).as("v"))
+        .select(col("j").as("t"), col("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("t").as("event_type"), col("v").as("stationary_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMarkovStationaryOracle: String = {
+    def round(t: Int, prev: String): String =
+      s"""v$t AS (
+         |  SELECT p.j AS t, CAST(sum(v.v * p.c // p.rs) AS BIGINT) AS v
+         |  FROM p JOIN $prev v ON p.i = v.t GROUP BY 1)""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type, 1) OVER (
+       |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type AS i, next_type AS j, CAST(count(*) AS BIGINT) AS c
+       |  FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |rs AS (SELECT i, CAST(sum(c) AS BIGINT) AS rs FROM c GROUP BY 1),
+       |p AS (SELECT c.i, c.j, c.c, rs.rs FROM c JOIN rs USING (i)),
+       |v0 AS (SELECT DISTINCT i AS t, CAST(200000 AS BIGINT) AS v FROM p),
+       |${round(1, "v0")},
+       |${round(2, "v1")},
+       |${round(3, "v2")}
+       |SELECT t AS event_type, v AS stationary_ppm FROM v3 ORDER BY 1""".stripMargin
+  }
+
+  // --- Poisson-bootstrap confidence interval ---
+  // Uncertainty for a corpus-scale statistic without resampling passes:
+  // the Poisson bootstrap (Chamandy et al. 2012 — the standard at
+  // map-reduce scale) gives each row an independent pseudo-Poisson(1)
+  // multiplicity per replica. Multiplicities here are DETERMINISTIC:
+  // a salted md5 per (row, replica) lands in fixed per-mille bands of
+  // the Poisson(1) pmf (368/368/184/61/15/4 for m = 0..5), so the
+  // whole interval is reproducible bit-for-bit in both engines. 32
+  // replica means of the event value (integer cents, ppm-exact means),
+  // then the exact interpolated 2.5/50/97.5 percentiles over the 32
+  // replica statistics. The explode is a bounded x32 fan-out — the
+  // declarative form of the one-pass update a streaming implementation
+  // would fuse.
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val reps = events(spark, dir)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("cents"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat('boot9:', cast(event_id as string), ':', cast(b as string))), 1, 15), 16, 10) as bigint) % 1000"))
+      .withColumn("m", expr(
+        """CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+          |     WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END""".stripMargin))
+      .groupBy(col("b"))
+      .agg(sum(col("m") * col("cents")).as("s"), sum(col("m")).as("n"))
+      .select(expr("1000000 * s div n").as("mean_micro_cents"))
+    reps.agg(
+      count(lit(1)).as("n_replicas"),
+      round(expr("percentile(mean_micro_cents, 0.025)"), 4).as("ci_lo"),
+      round(expr("percentile(mean_micro_cents, 0.5)"), 4).as("ci_mid"),
+      round(expr("percentile(mean_micro_cents, 0.975)"), 4).as("ci_hi"))
+  }
+
+  val qBootstrapCiOracle: String =
+    """WITH r AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         unnest(generate_series(0, 31)) AS b
+      |  FROM events),
+      |u AS (
+      |  SELECT b, cents,
+      |         CAST('0x' || substr(md5('boot9:' || CAST(event_id AS VARCHAR) || ':'
+      |           || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS u
+      |  FROM r),
+      |m AS (
+      |  SELECT b, cents,
+      |         CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+      |              WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END AS m
+      |  FROM u),
+      |reps AS (
+      |  SELECT CAST(1000000 * sum(m * cents) // sum(m) AS BIGINT) AS mean_micro_cents
+      |  FROM m GROUP BY b)
+      |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+      |       round(quantile_cont(mean_micro_cents, 0.025), 4) AS ci_lo,
+      |       round(quantile_cont(mean_micro_cents, 0.5), 4) AS ci_mid,
+      |       round(quantile_cont(mean_micro_cents, 0.975), 4) AS ci_hi
+      |FROM reps""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_stationary" -> (qMarkovStationary _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_twa" -> (qTimeWeightedAvg _),
     "q_attribution" -> (qAttribution _),
     "q_forecast_eval" -> (qForecastEval _),
@@ -1041,6 +1154,8 @@ object AnalyticsQueries {
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_twa" -> qTimeWeightedAvgOracle,
+    "q_markov_stationary" -> qMarkovStationaryOracle,
+    "q_bootstrap_ci" -> qBootstrapCiOracle,
     "q_attribution" -> qAttributionOracle,
     "q_contrib_cap" -> qContribCapOracle,
     "q_forecast_eval" -> qForecastEvalOracle,

@@ -1125,8 +1125,73 @@ object AnalyticsQueries {
       |       round(quantile_cont(mean_micro_cents, 0.975), 4) AS ci_hi
       |FROM reps""".stripMargin
 
+  // --- cohort LTV curves ---
+  // Retention tells you who comes back; LTV tells you what that's
+  // worth: cumulative purchase revenue per signup cohort divided by
+  // cohort size at each week offset. Revenue is integer cents (rounded
+  // per row), cohort arithmetic is the q_retention_cohorts recipe, and
+  // the cumulative sum runs over offsets within a cohort — a window
+  // over the tiny post-aggregation (cohort x offset) table, never the
+  // event log. Offsets with no revenue don't emit rows (q_gap_fill is
+  // the densifier when a chart needs the full spine).
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).select(col("user_id"), col("ts"),
+      col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(CAST(date_trunc('week', ts) AS DATE), cohort_week) div 7")
+          .as("week_offset"),
+        col("cents"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    rev
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_week")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"), col("cum_rev_cents"),
+        expr("cum_rev_cents div n_users").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qCohortLtvOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM e GROUP BY 1),
+      |sz AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM cohort GROUP BY 1),
+      |rev AS (
+      |  SELECT c.cohort_week,
+      |         date_diff('day', c.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset,
+      |         CAST(sum(e.cents) AS BIGINT) AS rev_cents
+      |  FROM e JOIN cohort c USING (user_id)
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_week, week_offset,
+      |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+      |           ORDER BY week_offset
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+      |  FROM rev)
+      |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |       c.week_offset, s.n_users, c.cum_rev_cents,
+      |       CAST(c.cum_rev_cents // s.n_users AS BIGINT) AS ltv_cents_per_user
+      |FROM cum c JOIN sz s USING (cohort_week)
+      |ORDER BY 1, 2""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_twa" -> (qTimeWeightedAvg _),
@@ -1155,6 +1220,7 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     "q_twa" -> qTimeWeightedAvgOracle,
     "q_markov_stationary" -> qMarkovStationaryOracle,
+    "q_cohort_ltv" -> qCohortLtvOracle,
     "q_bootstrap_ci" -> qBootstrapCiOracle,
     "q_attribution" -> qAttributionOracle,
     "q_contrib_cap" -> qContribCapOracle,

@@ -1340,7 +1340,95 @@ object TextQueries {
       |       md5(coalesce(string_agg(CASE WHEN NOT drop THEN tok END, ' ' ORDER BY pos), '')) AS aug_hash
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- dedup threshold sweep (tuning curve) ---
+  // Before committing a near-dedup threshold, a pipeline measures how
+  // many pairs each candidate threshold would merge — the knob that
+  // trades recall against false merges. ONE candidate generation at
+  // the lowest threshold of interest (t = 0.5 prefix filter — lossless
+  // for every t >= 0.5 by the AllPairs bound) feeds all five counts;
+  // verification is in-row array_intersect on the collapsed
+  // representatives, and group multiplicities expand the counts
+  // exactly (within-group pairs have Jaccard 1, cross-group rep
+  // Jaccard holds for every member pair). Integer-exact predicate
+  // 100·inter >= t·union; no floating threshold ever compared.
+  def qDedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sarr", array_distinct(expr(
+        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n"),
+        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
+      .persist()
+    val groups = docs.groupBy(col("set_hash")).agg(count(lit(1)).as("g"))
+    val within = groups.agg(
+      coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("w"))
+    val reps = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(groups, "set_hash")
+      .select(col("doc_id"), col("sarr"), col("n"), col("g"))
+    val shingles = reps
+      .select(col("doc_id"), col("n"), explode(col("sarr")).as("shingle"))
+    val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefixes = shingles
+      .join(docFreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val ra = reps.select(col("doc_id").as("da"), col("sarr").as("sa"),
+      col("n").as("na"), col("g").as("ga"))
+    val rb = reps.select(col("doc_id").as("db"), col("sarr").as("sb"),
+      col("n").as("nb"), col("g").as("gb"))
+    val verified = cand.join(ra, "da").join(rb, "db")
+      .withColumn("inter", size(expr("array_intersect(sa, sb)")).cast("long"))
+      .select(col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("ga") * col("gb")).as("weight"))
+    val ts = spark.range(5).select((lit(50) + col("id") * 10).cast("int").as("threshold"))
+    ts.crossJoin(verified)
+      .filter(col("inter") * 100 >= col("threshold") * col("uni"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("weight")).as("cross_pairs"))
+      .join(ts, Seq("threshold"), "right")
+      .crossJoin(broadcast(within))
+      .select(col("threshold"),
+        (coalesce(col("cross_pairs"), lit(0L)) + col("w")).as("n_pairs"))
+      .orderBy(col("threshold"))
+  }
+
+  val qDedupThresholdSweepOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tk)-2),
+      |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      |  FROM d
+      |), n AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM s GROUP BY 1
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+      |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), j AS (
+      |  SELECT common, na.ns + nb.ns - common AS uni
+      |  FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+      |), t AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold)
+      |SELECT CAST(threshold AS INT) AS threshold,
+      |       CAST(count(*) FILTER (WHERE common * 100 >= threshold * uni) AS BIGINT) AS n_pairs
+      |FROM t CROSS JOIN j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_token_dropout" -> (qTokenDropout _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_unicode_normalize" -> (qUnicodeNormalize _),
@@ -1368,6 +1456,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_token_dropout" -> qTokenDropoutOracle,
+    "q_dedup_threshold_sweep" -> qDedupThresholdSweepOracle,
     "q_phrase_search" -> qPhraseSearchOracle,
     "q_unicode_normalize" -> qUnicodeNormalizeOracle,
     "q_collocations" -> qCollocationsOracle,

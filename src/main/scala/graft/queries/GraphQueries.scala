@@ -286,7 +286,69 @@ object GraphQueries {
        |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --- reciprocity + degree distribution (graph health report) ---
+  // The two summary statistics read before trusting any graph
+  // algorithm's output: what fraction of directed edges are
+  // reciprocated (one self-join on the reversed pair, integer ppm) and
+  // the out-degree distribution in power-of-two buckets (1 + floor
+  // log2 via bit_length of a BIGINT — the same integer in both
+  // engines, no floating log). Same deterministic edge fixture as
+  // qPagerank; both stats are metadata-scale after one degree
+  // aggregation.
+  def qGraphHealth(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = userNodes(spark, dir)
+    val stats = nodes.agg((max(col("node")) + 1).as("m"))
+    val edges = nodes.crossJoin(broadcast(stats))
+      .select(col("node").as("src"),
+        ((col("node") * col("node") + 7) % col("m")).as("dst"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val recip = edges.as("a")
+      .join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val tot = edges.agg(count(lit(1)).as("n_edges"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // exact integer floor(log2): binary-digit count minus one — no
+      // floating log near power-of-two boundaries
+      .withColumn("bucket", expr("CAST(length(bin(outdeg)) - 1 AS INT)"))
+    val degHist = deg.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+    degHist.crossJoin(broadcast(recip)).crossJoin(broadcast(tot))
+      .select(col("bucket").as("log2_outdeg"), col("n_nodes"),
+        col("n_edges"), expr("1000000 * n_recip div n_edges").as("recip_ppm"))
+      .orderBy(col("log2_outdeg"))
+  }
+
+  val qGraphHealthOracle: String =
+    """WITH n AS (SELECT DISTINCT user_id AS node FROM events),
+      |m AS (SELECT max(node) + 1 AS m FROM n),
+      |e AS (
+      |  SELECT DISTINCT node AS src, (node * node + 7) % m.m AS dst
+      |  FROM n CROSS JOIN m
+      |  WHERE (node * node + 7) % m.m IN (SELECT node FROM n)
+      |    AND node <> (node * node + 7) % m.m),
+      |r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e a
+      |  WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      |d AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+      |h AS (
+      |  SELECT CAST(length(bin(outdeg)) - 1 AS INT) AS log2_outdeg,
+      |         CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM d GROUP BY 1)
+      |SELECT h.log2_outdeg, h.n_nodes, t.n_edges,
+      |       CAST(1000000 * r.n_recip // t.n_edges AS BIGINT) AS recip_ppm
+      |FROM h CROSS JOIN r CROSS JOIN t
+      |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_health" -> (qGraphHealth _),
     "q_kcore" -> (qKCore _),
     "q_assortativity" -> (qAssortativity _),
     "q_pagerank" -> (qPagerank _),
@@ -295,6 +357,7 @@ object GraphQueries {
 
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
+    "q_graph_health" -> qGraphHealthOracle,
     "q_kcore" -> qKCoreOracle,
     "q_assortativity" -> qAssortativityOracle,
     "q_pagerank" -> qPagerankOracle,

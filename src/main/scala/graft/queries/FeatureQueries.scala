@@ -386,7 +386,62 @@ object FeatureQueries {
       |       round(CAST(sum(term) AS DOUBLE), 6) > 0.2 AS drifted
       |FROM tt CROSS JOIN w GROUP BY 1, 2""".stripMargin
 
+  // --- temporal train/test split with leakage audit ---
+  // Time-series models must split by TIME, not by hash — a random split
+  // leaks future rows into training. Cut at the exact interpolated 80th
+  // percentile of event time (integer epoch seconds; percentile is the
+  // engines' shared interpolated definition, floored back to a second),
+  // then audit what a modeler must know: per-split row counts and time
+  // ranges, and the user-overlap count — users active on both sides of
+  // the cut, whose per-user features must be computed strictly
+  // before-the-cut to stay leak-free. One scan + two aggregations;
+  // the cut is a broadcast scalar.
+  def qTemporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("tsec"))
+    val cut = e.agg(expr("CAST(floor(percentile(tsec, 0.8)) AS BIGINT)").as("cut"))
+    val tagged = e.crossJoin(broadcast(cut))
+      .withColumn("split", when(col("tsec") <= col("cut"), "train").otherwise("test"))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("tsec")).as("min_tsec"), max(col("tsec")).as("max_tsec"))
+    val overlap = tagged.select(col("split"), col("user_id")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") === 2)
+      .agg(count(lit(1)).as("n"))
+    perSplit.crossJoin(broadcast(overlap))
+      .select(col("split"), col("n_rows"), col("n_users"),
+        col("min_tsec"), col("max_tsec"),
+        col("n").as("n_overlap_users"))
+      .orderBy(col("split"))
+  }
+
+  val qTemporalSplitOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |c AS (SELECT CAST(floor(quantile_cont(tsec, 0.8)) AS BIGINT) AS cut FROM e),
+      |t AS (
+      |  SELECT event_id, user_id, tsec,
+      |         CASE WHEN tsec <= cut THEN 'train' ELSE 'test' END AS split
+      |  FROM e CROSS JOIN c),
+      |ps AS (
+      |  SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |         CAST(min(tsec) AS BIGINT) AS min_tsec,
+      |         CAST(max(tsec) AS BIGINT) AS max_tsec
+      |  FROM t GROUP BY 1),
+      |ov AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT user_id FROM (SELECT DISTINCT split, user_id FROM t)
+      |    GROUP BY 1 HAVING count(*) = 2))
+      |SELECT split, n_rows, n_users, min_tsec, max_tsec,
+      |       ov.n AS n_overlap_users
+      |FROM ps CROSS JOIN ov ORDER BY split""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temporal_split" -> (qTemporalSplit _),
     "q_psi" -> (qPsi _),
     "q_woe_binning" -> (qWoeBinning _),
     "q_target_encode_loo" -> (qTargetEncodeLoo _),
@@ -398,6 +453,7 @@ object FeatureQueries {
   /** name -> DuckDB oracle SQL, for the driver gate. */
   def oracles: Map[String, String] = Map(
     "q_psi" -> qPsiOracle,
+    "q_temporal_split" -> qTemporalSplitOracle,
     "q_woe_binning" -> qWoeBinningOracle,
     "q_target_encode_loo" -> qTargetEncodeLooOracle,
     "q_pit_join" -> qPitJoinOracle,

@@ -1189,8 +1189,54 @@ object AnalyticsQueries {
       |FROM cum c JOIN sz s USING (cohort_week)
       |ORDER BY 1, 2""".stripMargin
 
+  // --- churn label construction ---
+  // Label engineering for a churn model: a user is churned iff their
+  // last activity is more than 30 days before the corpus horizon (the
+  // global max event time — the "as of" the label is valid for).
+  // Labels must be reproducible, so the cutoff is exact integer
+  // seconds off the horizon. Reported per signup cohort week with the
+  // base rate in ppm — the first sanity table a modeler reads (rates
+  // near 0 or 1e6 mean the horizon or window is wrong). Two
+  // aggregations on user_id (co-partitioned) + a broadcast scalar.
+  def qChurnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        expr("unix_micros(ts) div 1000000").as("tsec"))
+    val horizon = e.agg(max(col("tsec")).as("h"))
+    val users = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"),
+        max(col("tsec")).as("last_tsec"))
+    users.crossJoin(broadcast(horizon))
+      .withColumn("churned", col("last_tsec") < col("h") - lit(30L * 86400L))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("n_users"), col("n_churned"),
+        expr("1000000 * n_churned div n_users").as("churn_ppm"))
+      .orderBy(col("cohort_week"))
+  }
+
+  val qChurnLabelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, epoch_us(ts) // 1000000 AS tsec FROM events),
+      |h AS (SELECT CAST(max(tsec) AS BIGINT) AS h FROM e),
+      |u AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week,
+      |         CAST(max(tsec) AS BIGINT) AS last_tsec
+      |  FROM e GROUP BY 1),
+      |lab AS (
+      |  SELECT cohort_week, last_tsec < h.h - 2592000 AS churned
+      |  FROM u CROSS JOIN h)
+      |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |       CAST(1000000 * sum(CASE WHEN churned THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS churn_ppm
+      |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_churn_label" -> (qChurnLabel _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_markov_stationary" -> (qMarkovStationary _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -1221,6 +1267,7 @@ object AnalyticsQueries {
     "q_twa" -> qTimeWeightedAvgOracle,
     "q_markov_stationary" -> qMarkovStationaryOracle,
     "q_cohort_ltv" -> qCohortLtvOracle,
+    "q_churn_label" -> qChurnLabelOracle,
     "q_bootstrap_ci" -> qBootstrapCiOracle,
     "q_attribution" -> qAttributionOracle,
     "q_contrib_cap" -> qContribCapOracle,

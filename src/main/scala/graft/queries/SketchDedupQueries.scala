@@ -314,6 +314,51 @@ object SketchDedupQueries {
     * propagation ([[graft.ops.ConnectedComponents]], exact fixpoint);
     * component id = min doc_id = the kept canonical document.
     */
+  // --- dedup cluster-size statistics ---
+  // The report a dedup run ships with: how big are the duplicate
+  // groups? Cluster sizes come from the same log-round CC resolution as
+  // q_dedup_apply; the histogram (cluster size -> number of clusters,
+  // docs removed at one-survivor-per-cluster) is a two-level
+  // map-side-combinable aggregation over the component labels —
+  // metadata-scale after the resolution. Singleton docs never enter
+  // the pair graph and are reported from the corpus count delta.
+  def qDedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.ops.ConnectedComponents
+      .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("docs_removed",
+        (col("cluster_size") - 1) * col("n_clusters"))
+    val tot = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val inGraph = comp.agg(count(lit(1)).as("n_in_graph"))
+    hist.crossJoin(broadcast(tot)).crossJoin(broadcast(inGraph))
+      .select(col("cluster_size").cast("long").as("cluster_size"),
+        col("n_clusters"), col("docs_removed"),
+        (col("n_docs") - col("n_in_graph")).as("n_singletons"))
+      .orderBy(col("cluster_size"))
+  }
+
+  // lazy: references qDedupComponentsOracle, declared later in this object
+  lazy val qDedupClusterStatsOracle: String = {
+    // reuse the recursive-closure component oracle verbatim as a CTE
+    val compSql = qDedupComponentsOracle.replace("ORDER BY 1", "")
+    s"""WITH comp AS ($compSql),
+       |sizes AS (
+       |  SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+       |  FROM comp GROUP BY 1),
+       |hist AS (
+       |  SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |  FROM sizes GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_in_graph FROM comp)
+       |SELECT cluster_size, n_clusters,
+       |       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS docs_removed,
+       |       CAST(n_docs - n_in_graph AS BIGINT) AS n_singletons
+       |FROM hist CROSS JOIN t CROSS JOIN g
+       |ORDER BY cluster_size""".stripMargin
+  }
+
   def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
     graft.ops.ConnectedComponents
       .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
@@ -782,6 +827,7 @@ object SketchDedupQueries {
     "q_simhash_fingerprints" -> (qSimhashFingerprints _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_dedup_cluster_stats" -> (qDedupClusterStats _),
     "q_dedup_apply" -> (qDedupApply _))
 
   def oracles: Map[String, String] = Map(
@@ -794,5 +840,6 @@ object SketchDedupQueries {
     "q_simhash_fingerprints" -> qSimhashFingerprintsOracle,
     "q_dedup_simhash" -> qDedupSimhashOracle,
     "q_dedup_components" -> qDedupComponentsOracle,
+    "q_dedup_cluster_stats" -> qDedupClusterStatsOracle,
     "q_dedup_apply" -> qDedupApplyOracle)
 }

@@ -1234,8 +1234,42 @@ object AnalyticsQueries {
       |       CAST(1000000 * sum(CASE WHEN churned THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS churn_ppm
       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- semi-structured JSON property extraction ---
+  // Event payloads ship as JSON strings; the engine must lift typed
+  // values out of them relationally. get_json_object (Spark's codegen'd
+  // JSON path evaluator) extracts `$.k`, try-cast makes malformed rows
+  // NULL instead of poisoning the job (ANSI discipline), and the
+  // extracted value flows into ordinary integer-exact aggregation —
+  // per event type: coverage, distinct values, sum, and the exact
+  // interpolated median. DuckDB's independent JSON implementation is
+  // the oracle.
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"),
+        round(expr("percentile(k, 0.5)"), 4).as("median_k"))
+      .orderBy(col("event_type"))
+
+  val qJsonExtractOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(k) AS BIGINT) AS n_with_k,
+      |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       round(quantile_cont(k, 0.5), 4) AS median_k
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name -> query builder, for SparkEntry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_props_stats" -> (qJsonExtract _),
     "q_churn_label" -> (qChurnLabel _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_markov_stationary" -> (qMarkovStationary _),
@@ -1268,6 +1302,7 @@ object AnalyticsQueries {
     "q_markov_stationary" -> qMarkovStationaryOracle,
     "q_cohort_ltv" -> qCohortLtvOracle,
     "q_churn_label" -> qChurnLabelOracle,
+    "q_json_props_stats" -> qJsonExtractOracle,
     "q_bootstrap_ci" -> qBootstrapCiOracle,
     "q_attribution" -> qAttributionOracle,
     "q_contrib_cap" -> qContribCapOracle,

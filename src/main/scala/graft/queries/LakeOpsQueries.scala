@@ -833,7 +833,75 @@ object LakeOpsQueries {
       |FROM s
       |ORDER BY pair""".stripMargin
 
+  // --- data-quality assertion suite ---
+  // The data-contract gate an ingest runs before publishing (the
+  // Great-Expectations shape): each rule is one counting predicate,
+  // the report is (rule, n_violations, pass). Rules cover the contract
+  // classes that matter — nullability, uniqueness, referential
+  // integrity, value ranges, and freshness — and every rule is a
+  // map-side-combinable count or an anti-join, unioned at metadata
+  // scale. A deployment keys alerting off `pass`.
+  def qDqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val o = orders(spark, dir)
+    def rule(name: String, viol: DataFrame) =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    rule("events.user_id not null", e.filter(col("user_id").isNull))
+      .unionByName(rule("events.event_id unique",
+        e.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)))
+      .unionByName(rule("events.value in [0, 10000)",
+        e.filter(col("value") < 0 || col("value") >= 10000)))
+      .unionByName(rule("events.event_type in vocabulary",
+        e.filter(!col("event_type").isin("view", "click", "purchase",
+          "signup", "error"))))
+      .unionByName(rule("orders.o_custkey references customer",
+        o.join(customer(spark, dir).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(rule("events fresh within 370 days of max",
+        e.crossJoin(broadcast(e.agg(max(col("ts")).as("mx"))))
+          .filter(expr("ts < mx - INTERVAL 370 DAYS"))))
+      .orderBy(col("rule"))
+  }
+
+  val qDqChecksOracle: String =
+    """SELECT 'events.event_id unique' AS rule,
+      |       CAST((SELECT count(*) FROM (
+      |         SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_violations,
+      |       (SELECT count(*) FROM (
+      |         SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1)) = 0 AS pass
+      |UNION ALL
+      |SELECT 'events.event_type in vocabulary',
+      |       CAST((SELECT count(*) FROM events WHERE event_type NOT IN
+      |         ('view','click','purchase','signup','error')) AS BIGINT),
+      |       (SELECT count(*) FROM events WHERE event_type NOT IN
+      |         ('view','click','purchase','signup','error')) = 0
+      |UNION ALL
+      |SELECT 'events.user_id not null',
+      |       CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT),
+      |       (SELECT count(*) FROM events WHERE user_id IS NULL) = 0
+      |UNION ALL
+      |SELECT 'events.value in [0, 10000)',
+      |       CAST((SELECT count(*) FROM events WHERE value < 0 OR value >= 10000) AS BIGINT),
+      |       (SELECT count(*) FROM events WHERE value < 0 OR value >= 10000) = 0
+      |UNION ALL
+      |SELECT 'events fresh within 370 days of max',
+      |       CAST((SELECT count(*) FROM events
+      |         WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 370 DAYS) AS BIGINT),
+      |       (SELECT count(*) FROM events
+      |         WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 370 DAYS) = 0
+      |UNION ALL
+      |SELECT 'orders.o_custkey references customer',
+      |       CAST((SELECT count(*) FROM orders
+      |         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+      |       (SELECT count(*) FROM orders
+      |         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+      |ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (qDqChecks _),
     "q_column_corr" -> (qColumnCorr _),
     "q_delete_cascade" -> (qDeleteCascade _),
     "q_benford" -> (qBenford _),
@@ -856,6 +924,7 @@ object LakeOpsQueries {
     "q_benford" -> qBenfordOracle,
     "q_delete_cascade" -> qDeleteCascadeOracle,
     "q_column_corr" -> qColumnCorrOracle,
+    "q_dq_checks" -> qDqChecksOracle,
     "q_gap_fill" -> qGapFillOracle,
     "q_snapshot_diff" -> qSnapshotDiffOracle,
     "q_compaction_plan" -> qCompactionPlanOracle,

@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *  - unpartitioned upsert rewrites the table with a crash-safe swap:
   *    write tmp → rename current aside → rename tmp in → delete old.
   *    No window where the table is deleted before its replacement exists.
+  *    Because that rewrite is O(history) per batch, it is size-guarded:
+  *    past `maxFullRewriteBytes` (default 4 GiB) it throws and demands
+  *    either `partitionBy` (partition-scoped merge — the production path
+  *    for large tables) or an explicit ceiling raise.
   *  - batch-internal duplicates resolve before the merge (keep-last for
   *    upsert / keep-first for insert-ignore by a stable tiebreak), making
   *    both ops idempotent: same batch twice ≡ once (DEPLOYMENT.md:244-249).
@@ -41,12 +45,34 @@ object Sinks {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The sink's internal lake reads run with partition-column TYPE
+    * INFERENCE OFF: a numeric-looking string partition value ("09")
+    * would otherwise read back as int 9, and the next merge would write
+    * its rows under a NEW directory (month=9) beside the stale original
+    * (month=09) — a silent fork of the partition. With inference off the
+    * value round-trips verbatim; union-by-name coercion still accepts an
+    * int-typed batch (string result, same directory names), so
+    * consumer-facing reads (which may infer freely) are unaffected.
+    */
+  private def readRaw(spark: SparkSession, path: String, mergeSchema: Boolean): DataFrame = {
+    val k = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    // inference happens eagerly at relation resolution, so scoping the
+    // conf around the read call is sufficient
+    try spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   // mergeSchema: a lake written by batches whose schema evolved (new
   // columns appearing over time) reads as the union schema, older files
   // null-filling the columns they predate
   private def readLake(spark: SparkSession, path: String): Option[DataFrame] =
     if (LakeFs.nonEmptyDataDir(spark, path))
-      Some(spark.read.option("mergeSchema", "true").parquet(path))
+      Some(readRaw(spark, path, mergeSchema = true))
     else None
 
   private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
@@ -116,6 +142,15 @@ object Sinks {
     * column — leave it off when keys can't move (the reference's
     * month-from-id layout), turn it on when they can.
     */
+  /** Default ceiling for the O(history) whole-table rewrite: an
+    * unpartitioned upsert into a lake larger than this throws instead of
+    * silently rewriting everything per batch. The reference's weather
+    * table is ≤488 rows — nowhere near it; a 100 TB fact table must use
+    * `partitionBy` (partition-scoped merge) or explicitly raise the
+    * ceiling to state "yes, rewrite it all".
+    */
+  val DefaultMaxFullRewriteBytes: Long = 4L << 30 // 4 GiB
+
   def upsert(
       spark: SparkSession,
       batch: DataFrame,
@@ -125,12 +160,25 @@ object Sinks {
       tiebreak: Option[String] = None,
       globalKeys: Boolean = false,
       sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      maxFullRewriteBytes: Long = DefaultMaxFullRewriteBytes): Unit = {
     val fs = fsFor(spark, path)
     val tableRoot = new Path(path)
 
     if (partitionBy.isEmpty || !LakeFs.nonEmptyDataDir(spark, path)) {
-      // whole-table merge + crash-safe swap (or first write)
+      // whole-table merge + crash-safe swap (or first write).
+      // Scale guard: this branch rewrites the ENTIRE existing table —
+      // O(history) per batch. Fine for small dimension tables (the
+      // reference's weather history); catastrophic as an accident on a
+      // large fact table, so past the ceiling it fails fast with the fix.
+      if (partitionBy.isEmpty && fs.exists(tableRoot)) {
+        val size = fs.getContentSummary(tableRoot).getLength
+        if (size > maxFullRewriteBytes) throw new IllegalStateException(
+          s"unpartitioned upsert would rewrite the whole table at $path " +
+            s"($size bytes > ceiling $maxFullRewriteBytes). Pass partitionBy " +
+            "for a partition-scoped merge, or raise maxFullRewriteBytes to " +
+            "opt in to the full rewrite.")
+      }
       val newRows = batch.withColumn("_precedence", lit(1))
       val merged = readLake(spark, path) match {
         case None => newRows
@@ -148,60 +196,83 @@ object Sinks {
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
       swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
     } else {
-      // partition-scoped merge: touch only the partitions in the batch.
-      // The batch plan feeds both the affected-partition probe and the
-      // merge write — persist so an expensive upstream (API fetch +
-      // transform) evaluates once.
-      val pcol = partitionBy.head
-      require(partitionBy.size == 1,
-        "partition-scoped upsert supports a single partition column")
+      // partition-scoped merge: touch only the partitions in the batch
+      // (one or MORE partition columns — e.g. year/month). The batch plan
+      // feeds both the affected-partition probe and the merge write —
+      // persist so an expensive upstream (API fetch + transform)
+      // evaluates once.
       val b = batch.persist()
       try {
         val newRows = b.withColumn("_precedence", lit(1))
-        val batchParts = b.select(col(pcol)).distinct().collect().map(_.get(0))
-        val existing = spark.read.parquet(path)
+        val pcols = partitionBy.map(col)
+        // partition values normalize to their STRING form at collection
+        // time — the sink's internal reads keep partition columns as
+        // strings (see readRaw), so string-vs-string predicates stay
+        // partition-prunable whatever type the batch declared
+        def tupOf(r: org.apache.spark.sql.Row): Seq[String] =
+          partitionBy.indices.map(i =>
+            if (r.isNullAt(i)) null else r.get(i).toString)
+        val batchParts = b.select(pcols: _*).distinct().collect().map(tupOf)
+        val existing = readRaw(spark, path, mergeSchema = false)
         // with globalKeys, partitions holding a previous version of a
         // batch key are merged too — their stale copies lose keepLast
-        val staleParts: Array[Any] =
+        val staleParts: Array[Seq[String]] =
           if (!globalKeys) Array.empty
-          else existing.select((pcol +: keys).distinct.map(col): _*)
+          else existing.select((partitionBy ++ keys).distinct.map(col): _*)
             .join(broadcast(b.select(keys.map(col): _*).distinct()), keys, "left_semi")
-            .select(col(pcol)).distinct().collect().map(_.get(0))
-        val affected = (batchParts ++ staleParts).distinct
-        val nonNull = affected.filter(_ != null)
-        val hasNull = affected.exists(_ == null)
-        val partPred = {
-          val in = if (nonNull.nonEmpty) col(pcol).isin(nonNull: _*) else lit(false)
-          if (hasNull) in || col(pcol).isNull else in
-        }
+            .select(pcols: _*).distinct().collect().map(tupOf)
+        val affected: Seq[Seq[String]] = (batchParts ++ staleParts).distinct.toSeq
+        // disjunction of per-partition-tuple conjunctions: IsNull matches
+        // a __HIVE_DEFAULT_PARTITION__ dir, equality the rest — both
+        // participate in partition pruning, so the read below only
+        // lists/touches the affected directories
+        val partPred =
+          if (affected.isEmpty) lit(false)
+          else affected.map { tup =>
+            partitionBy.zip(tup).map {
+              case (c, null) => col(c).isNull
+              case (c, v) => col(c) === lit(v)
+            }.reduce(_ && _)
+          }.reduce(_ || _)
         val merged = keepLast(
           existing.filter(partPred).withColumn("_precedence", lit(0))
             .unionByName(newRows, allowMissingColumns = true),
           keys, tiebreak)
         val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
         capped(sorted(merged, sortBy).write.mode(SaveMode.Overwrite),
-          maxRecordsPerFile).partitionBy(pcol).parquet(tmp)
-        // swap exactly the partition dirs the merge produced (directory
-        // names carry Hive-escaped values — no re-encoding here); asides
-        // live OUTSIDE the table root so a crash never leaves a directory
-        // Spark would discover as a bogus partition
+          maxRecordsPerFile).partitionBy(partitionBy: _*).parquet(tmp)
+        // swap exactly the LEAF partition dirs the merge produced (nested
+        // one level per partition column; names carry Hive-escaped values
+        // — no re-encoding here); asides live OUTSIDE the table root so a
+        // crash never leaves a directory Spark would discover as a bogus
+        // partition
         val asideRoot = new Path(tableRoot.getParent,
           tableRoot.getName + "._aside_" + java.util.UUID.randomUUID.toString.take(8))
-        val producedDirs = fs.listStatus(new Path(tmp))
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pcol="))
-        val producedNames = producedDirs.map(_.getPath.getName).toSet
-        producedDirs.foreach { s =>
-          swapDirs(fs, new Path(path, s.getPath.getName), s.getPath, asideRoot)
+        def leafRels(base: Path, cols: Seq[String], prefix: String): Seq[String] =
+          if (cols.isEmpty) Seq(prefix)
+          else fs.listStatus(base)
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith(cols.head + "="))
+            .toSeq.flatMap { s =>
+              val rel = if (prefix.isEmpty) s.getPath.getName
+                        else prefix + "/" + s.getPath.getName
+              leafRels(s.getPath, cols.tail, rel)
+            }
+        val producedRels = leafRels(new Path(tmp), partitionBy, "")
+        producedRels.foreach { rel =>
+          swapDirs(fs, new Path(path, rel), new Path(tmp, rel), asideRoot)
         }
         // globalKeys: an affected partition whose rows ALL moved elsewhere
         // produces no output dir — its stale directory is deleted outright
         // (dir names via Spark's own Hive escaping, so values round-trip)
         if (globalKeys) {
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          affected.map {
-            case null => s"$pcol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
-            case v => s"$pcol=${ExternalCatalogUtils.escapePathName(v.toString)}"
-          }.filterNot(producedNames).foreach(n => fs.delete(new Path(path, n), true))
+          val producedSet = producedRels.toSet
+          affected.map { tup =>
+            partitionBy.zip(tup).map {
+              case (c, null) => s"$c=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+              case (c, v) => s"$c=${ExternalCatalogUtils.escapePathName(v.toString)}"
+            }.mkString("/")
+          }.filterNot(producedSet).foreach(n => fs.delete(new Path(path, n), true))
         }
         fs.delete(new Path(tmp), true)
         fs.delete(asideRoot, true)

@@ -136,7 +136,12 @@ object AsOfJoinNative {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+    // scan the FULL planner strategy list (extension-injected included),
+    // not just experimental.extraStrategies — a session built with
+    // GraftExtensions already carries the strategy via
+    // injectPlannerStrategy and must not plan every query twice
+    if (!org.apache.spark.sql.graftshim.Shims.plannerStrategies(spark)
+        .exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
     val lp = left.queryExecution.analyzed

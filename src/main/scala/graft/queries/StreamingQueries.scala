@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -337,11 +337,12 @@ object StreamingQueries {
     * monotonically (the daily-ingest invariant: new days get new ids),
     * which StreamNearDedupSpec pins with an explicit two-batch run.
     */
-  private[queries] def streamNearDedup(
+  /** The documents file-stream source (shared by the memory-sink query
+    * and the checkpointed-restart spec).
+    */
+  private[graft] def docsStream(
       spark: SparkSession, dir: String, glob: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-      withStreamConfs(spark) {
-    import spark.implicits._
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val docsSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -352,10 +353,20 @@ object StreamingQueries {
       .schema(docsSchema)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val src = reader.parquet(dir)
+    reader.parquet(dir)
+  }
+
+  /** Core of the streaming near-dedup: fingerprint in-flight, key by LSH
+    * band, flag against the per-bucket min-doc_id state. Exposed so a
+    * caller can bind its own sink + checkpoint (the recovery spec runs it
+    * across a forced restart).
+    */
+  private[graft] def nearDedupEmits(
+      spark: SparkSession, src: DataFrame): Dataset[BandEmit] = {
+    import spark.implicits._
     val bands = IncrementalDedupQueries.bandRows(
       IncrementalDedupQueries.signatures(src)).as[DocBand]
-    val emitted = bands
+    bands
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: (Int, String), rows: Iterator[DocBand], state: GroupState[Long]) =>
@@ -365,6 +376,14 @@ object StreamingQueries {
           state.update(floor)
           ids.iterator.map(id => BandEmit(id, key._1, floor < id))
       }
+  }
+
+  private[queries] def streamNearDedup(
+      spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+      withStreamConfs(spark) {
+    val emitted = nearDedupEmits(
+      spark, docsStream(spark, dir, glob, maxFilesPerTrigger))
     val name = "stream_neardedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = emitted.toDF().writeStream
       .outputMode(OutputMode.Append())
@@ -658,6 +677,19 @@ object StreamingQueries {
   // and the max event_id click wins the ms). State is O(1) per user
   // however long the stream runs — the production shape for real-time
   // attribution that the batch forms backfill.
+  //
+  // Split-invariance caveat: the clicks-first same-ms ordering only
+  // applies WITHIN one micro-batch. Append-mode emission is final, so
+  // if a file split lands a purchase in batch N and a same-ms
+  // (logically earlier, clicks-first) click in batch N+1, that
+  // purchase has already been emitted against the previous click and
+  // cannot be retracted — a divergence from the batch/DuckDB ASOF
+  // (<= inclusive) result. Equality with the batch forms therefore
+  // requires same-millisecond (user, ms) groups not to straddle
+  // micro-batch boundaries; the spec's percentile-based file split
+  // satisfies this, and a production deployment would either split
+  // input files on ms boundaries or accept at-arrival attribution
+  // (the usual real-time semantics) for the straddling edge.
   case class AsofEvent(event_id: Long, ts: Long, user_id: Long, event_type: String)
   case class AsofLastClick(ms: Long, clickId: Long)
   case class AsofPair(purchase_id: Long, user_id: Long, click_id: Long, lag_ms: Long)

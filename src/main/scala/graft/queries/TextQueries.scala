@@ -1087,9 +1087,13 @@ object TextQueries {
   // all do a weighted-rule composite). Four integer-ppm signals from
   // ONE scan — capped length, stopword presence, alphabetic share,
   // type/token ratio — combine under fixed weights, and the keep
-  // decision is quintile-based (ntile over a (score, doc_id) total
-  // order: integer-exact in both engines, no percentile interpolation
-  // on the gate path). Bottom quintile drops.
+  // decision is quintile-based: interpolated percentile boundaries
+  // (0.2/0.4/0.6/0.8) are computed once and broadcast back, and each
+  // row counts how many boundaries its score exceeds — no global ntile
+  // window (which would sort the whole corpus on one partition at
+  // scale). Both engines interpolate percentiles identically over the
+  // integer-ppm scores, so the boundary doubles agree bit-for-bit.
+  // Bottom quintile drops.
   /** Adds `score_ppm` — the weighted 4-signal composite — as a pure
     * row-wise projection over `textCol`. Shared by q_quality_ensemble
     * and CorpusPipeline.filterQualityEnsemble.
@@ -1423,9 +1427,13 @@ object TextQueries {
       |  SELECT common, na.ns + nb.ns - common AS uni
       |  FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
       |), t AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold)
+      |-- LEFT JOIN the threshold spine (not CROSS JOIN) so all 5 threshold
+      |-- rows are emitted even when the candidate pair set is empty — the
+      |-- Spark side right-joins the same spine, and the two must agree on
+      |-- degenerate/tiny corpora too
       |SELECT CAST(threshold AS INT) AS threshold,
       |       CAST(count(*) FILTER (WHERE common * 100 >= threshold * uni) AS BIGINT) AS n_pairs
-      |FROM t CROSS JOIN j GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM t LEFT JOIN j ON TRUE GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),

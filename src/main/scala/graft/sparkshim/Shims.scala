@@ -21,4 +21,16 @@ object Shims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's FULL planner strategy list — extension-injected
+    * strategies (spark.sql.extensions) AND experimental ones AND the
+    * built-ins (`sessionState` is private[sql]). Used for idempotent
+    * imperative strategy registration: a session built with
+    * GraftExtensions must not get a second copy appended to
+    * experimental.extraStrategies.
+    */
+  def plannerStrategies(
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies
 }

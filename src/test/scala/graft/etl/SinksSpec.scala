@@ -186,6 +186,85 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(path, "month=2024-08").exists())
   }
 
+  private def batch2(rows: (String, Double, Int, String, String)*): DataFrame =
+    rows.toDF("violation_id", "fine_amount", "seq", "year", "month")
+
+  test("multi-column partition upsert merges only the touched leaf partitions") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch2(("a", 1.0, 0, "2024", "09"), ("b", 2.0, 0, "2024", "10"),
+        ("c", 3.0, 0, "2025", "01")),
+      path, Seq("violation_id"), partitionBy = Seq("year", "month"),
+      tiebreak = Some("seq"))
+    val untouched = new java.io.File(path, "year=2025/month=01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // update one key in 2024/10 and create a brand-new 2025/02 leaf
+    Sinks.upsert(spark,
+      batch2(("b", 20.0, 1, "2024", "10"), ("z", 9.0, 1, "2025", "02")),
+      path, Seq("violation_id"), partitionBy = Seq("year", "month"),
+      tiebreak = Some("seq"))
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0, "z" -> 9.0))
+    assert(new java.io.File(path, "year=2025/month=02").isDirectory,
+      s"leaves: ${new java.io.File(path, "year=2025").list().mkString(",")}")
+    // the untouched leaf's files were not rewritten
+    val after = new java.io.File(path, "year=2025/month=01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouched)
+  }
+
+  test("multi-column global-key upsert deletes an emptied leaf partition") {
+    val path = tmpDir()
+    Sinks.upsert(spark,
+      batch2(("solo", 1.0, 0, "2024", "08"), ("x", 2.0, 0, "2024", "09")),
+      path, Seq("violation_id"), partitionBy = Seq("year", "month"),
+      tiebreak = Some("seq"))
+    Sinks.upsert(spark, batch2(("solo", 9.0, 1, "2024", "09")),
+      path, Seq("violation_id"), partitionBy = Seq("year", "month"),
+      tiebreak = Some("seq"), globalKeys = true)
+    // consumer-side read: numeric-looking partition values infer as ints
+    assert(read(path).collect().map(r =>
+      (r.getAs[String]("violation_id"), r.getAs[Int]("year"),
+        r.getAs[Int]("month"))).toSet
+      == Set(("solo", 2024, 9), ("x", 2024, 9)))
+    assert(!new java.io.File(path, "year=2024/month=08").exists())
+  }
+
+  test("numeric-looking string partition values never fork their directory") {
+    // "09" must round-trip as the month=09 directory across merges — if
+    // the sink's internal read inferred it as int 9, the second upsert
+    // would write month=9 BESIDE the stale month=09 (a silent partition
+    // fork; both dirs would read back as month 9)
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    Sinks.upsert(spark, batch(("a", 2.0, 1, "09"), ("b", 3.0, 1, "09")),
+      path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("month=09"), s"partition forked: $dirs")
+    assert(asMap(path) == Map("a" -> 2.0, "b" -> 3.0))
+  }
+
+  test("whole-table upsert refuses an O(history) rewrite past the size ceiling") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    // an existing lake larger than the ceiling must fail fast, not rewrite
+    val e = intercept[IllegalStateException] {
+      Sinks.upsert(spark, batch(("c", 3.0, 1, "2024-10")),
+        path, Seq("violation_id"), tiebreak = Some("seq"),
+        maxFullRewriteBytes = 1L)
+    }
+    assert(e.getMessage.contains("partitionBy"))
+    // nothing was changed by the refused write
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 2.0))
+    // raising the ceiling (explicit opt-in) performs the rewrite
+    Sinks.upsert(spark, batch(("c", 3.0, 1, "2024-10")),
+      path, Seq("violation_id"), tiebreak = Some("seq"),
+      maxFullRewriteBytes = Long.MaxValue)
+    assert(asMap(path) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+  }
+
   test("compaction merges small appended files; untouched dirs keep theirs") {
     val path = tmpDir()
     // 6 daily appends -> >= 6 files in month=2024-09; one append in 2024-10

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the adversarial replicated probe corpus ScaleProbe runs
+  * against: an sf dir's documents/embeddings/events replicated N× under
+  * offset ids, so every document gains N−1 IDENTICAL twins. Near-dup
+  * OUTPUT then grows ~quadratically in the copy count (C(N,2) pairs per
+  * group) while candidate GENERATION must stay bounded — the exact
+  * failure mode that kills naive all-pairs designs at scale.
+  *
+  * Previously built ad hoc (SURVEY §10.1); now checked in so any round
+  * can regenerate /tmp/docs10x (or a 100× corpus) reproducibly:
+  *
+  *   sbt "runMain graft.ProbeCorpus /root/testdata/sf0.1 /tmp/docs10x 10"
+  *   sbt "runMain graft.ProbeCorpus /root/testdata/sf0.1 /tmp/docs100x 100"
+  *
+  * Offsets are multiples of 10^7 (doc/vec/event ids in testdata are far
+  * smaller), matching the in-query fixture convention (e.g.
+  * qPhashNeardup's +1e7 twins).
+  */
+object ProbeCorpus {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/docs10x")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Tables.localSession(cores = 16)
+
+    def replicate(table: String, idCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val offsets = spark.range(copies).select((col("id") * 10000000L).as("_off"))
+      val rep = base.crossJoin(broadcast(offsets))
+      val bumped = idCols.foldLeft(rep) { case (df, c) =>
+        df.withColumn(c, col(c) + col("_off"))
+      }.drop("_off")
+      bumped.write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+      println(s"[corpus] $table x$copies -> ${bumped.count()} rows")
+    }
+
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    // events keep their user/item structure but get distinct event ids —
+    // time-series ops see N interleaved replicas of the same history
+    replicate("events", Seq("event_id"))
+    // dimension-shaped tables copy through unchanged (ops that join them
+    // from a probe dir expect the original keys)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val p = s"$src/$t.parquet"
+        if (new java.io.File(p).exists()) {
+          spark.read.parquet(p).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+        }
+      }
+    spark.stop()
+  }
+}

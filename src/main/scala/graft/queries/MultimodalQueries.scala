@@ -84,15 +84,20 @@ object MultimodalQueries {
   // The media-dedup path: a 64-bit average-hash signature per document —
   // split the payload's sample stream into 64 equal segments, bit s = 1
   // iff segment s's mean sample exceeds the global mean — then
-  // Hamming-distance pairs via 8×8-bit SimHash-style band buckets
-  // (Manku et al. 2007), so candidate generation is a pure equi-join on
-  // (band, band_value) and the verify is bit_count(xor) over the eight
-  // band words of the candidate pair only. Eight bands make the ≤6
-  // report threshold LOSSLESS by pigeonhole: 7 differing bits cannot
-  // touch all 8 bands, so every pair at Hamming ≤ 7 collides on at
-  // least one identical band — no best-effort blind spot between the
-  // banding recall bound and the verify threshold (4 bands only
-  // guaranteed ≤ 3). With a real codec the sample
+  // Hamming-distance pairs via 4×16-bit SimHash-style band buckets —
+  // Manku et al. 2007's canonical k=3 configuration for 64-bit
+  // fingerprints: candidate generation is a pure equi-join on
+  // (band, band_value) and the verify is bit_count(xor) over the four
+  // band words of the candidate pair only. The report threshold is
+  // Hamming ≤ 3, which the banding makes LOSSLESS by pigeonhole
+  // (3 differing bits cannot touch all 4 bands, so every such pair
+  // collides on an identical band) — threshold and recall bound agree
+  // exactly. Wider thresholds need either coarser bands (an 8×8-bit
+  // variant was measured: 256-value buckets collapse the equi-join's
+  // selectivity, ~2× slower at sf0.1 and O(N²/256) at scale — reverted)
+  // or Manku's multi-table permutation scheme; at this threshold the
+  // bucket space stays 2^16 per band and the join selective.
+  // With a real codec the sample
   // stream is decoded luma; here it is the payload's character codes
   // (the same stand-in discipline as the stub decoder — the plan,
   // banding, and Hamming verify are the real thing). Means compare in
@@ -130,9 +135,9 @@ object MultimodalQueries {
       .agg(sum(col("code")).as("s"), count(lit(1)).as("c"))
       .select(col("doc_id"), expr("(2 * 1000000 * s + c) div (2 * c)").as("g6"))
     val bands = segMean.join(docMean, "doc_id")
-      .select(col("doc_id"), (col("seg") / 8).cast("int").as("band"),
+      .select(col("doc_id"), (col("seg") / 16).cast("int").as("band"),
         when(col("m6") > col("g6"),
-          expr("CAST(pow(2, seg % 8) AS BIGINT)")).otherwise(lit(0L)).as("bw"))
+          expr("CAST(pow(2, seg % 16) AS BIGINT)")).otherwise(lit(0L)).as("bw"))
       .groupBy(col("doc_id"), col("band"))
       .agg(sum(col("bw")).as("bv"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -145,7 +150,7 @@ object MultimodalQueries {
     cand.join(ba, "doc_a").join(bb, Seq("doc_b", "band"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(expr("bit_count(bva ^ bvb)")).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -176,8 +181,8 @@ object MultimodalQueries {
       |         CAST((2 * 1000000 * sum(code) + count(*)) // (2 * count(*)) AS BIGINT) AS g6
       |  FROM codes GROUP BY 1),
       |bands AS (
-      |  SELECT s.doc_id, CAST(s.seg // 8 AS INT) AS band,
-      |         CAST(sum(CASE WHEN s.m6 > m.g6 THEN 2 ** (s.seg % 8) ELSE 0 END) AS BIGINT) AS bv
+      |  SELECT s.doc_id, CAST(s.seg // 16 AS INT) AS band,
+      |         CAST(sum(CASE WHEN s.m6 > m.g6 THEN 2 ** (s.seg % 16) ELSE 0 END) AS BIGINT) AS bv
       |  FROM segmean s JOIN docmean m USING (doc_id) GROUP BY 1, 2),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -191,7 +196,7 @@ object MultimodalQueries {
       |  JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, hamming FROM ham
-      |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   // --- audio framing / spectrogram-shape accounting ---
   // The audio leg of the modality surface, parallel to q_frame_sample's

@@ -111,7 +111,7 @@ class SessionSevenOpsSpec extends SparkSpec {
     assert(out.count(r => r.getLong(0) % 2 == 0 && r.getLong(0) != 6L) == 0)
   }
 
-  test("perceptual hash: identical payloads collide at Hamming 0, near at <= 6") {
+  test("perceptual hash: identical payloads collide at Hamming 0, near at <= 3") {
     val out = MultimodalQueries.qPhashNeardup(spark, sf).collect()
     assert(out.nonEmpty)
     val twins = out.filter(r =>
@@ -121,8 +121,8 @@ class SessionSevenOpsSpec extends SparkSpec {
       .filter(length(col("text")) >= 64 && col("doc_id") % 25 === 0).count()
     assert(twins.length == expected)
     assert(twins.forall(_.getLong(2) == 0L))
-    // everything reported respects the threshold
-    assert(out.forall(_.getLong(2) <= 6L))
+    // everything reported respects the (banding-lossless) threshold
+    assert(out.forall(_.getLong(2) <= 3L))
   }
 
   test("RAKE: multi-word-phrase members outscore isolated frequent words") {

@@ -43,9 +43,15 @@ object ProbeCorpus {
     // events keep their user/item structure but get distinct event ids —
     // time-series ops see N interleaved replicas of the same history
     replicate("events", Seq("event_id"))
+    // customers replicate too (offset keys, IDENTICAL names): the ER ops
+    // (fuzzy_match / er_clusters / golden_record) then face N-member
+    // identical-name groups — the adversarial case their identical-name
+    // collapse exists for. Offsets are ≡ 0 mod 20, so the every-20th
+    // dirty-probe selection keeps its density under replication.
+    replicate("customer", Seq("c_custkey"))
     // dimension-shaped tables copy through unchanged (ops that join them
     // from a probe dir expect the original keys)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    Seq("region", "nation", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
         val p = s"$src/$t.parquet"
         if (new java.io.File(p).exists()) {

@@ -684,25 +684,42 @@ object SketchDedupQueries {
   // (LSH banding vs hamming <= 3), so the numbers measure what the
   // approximations actually trade, not a rescaled toy. Counts and
   // micro-unit ratios only (1e6 div n) — integer-exact end to end.
-  // Each generator's plan is reused verbatim; the audit itself is two
-  // broadcast-joinable pair-set intersections over tiny pair tables.
+  // Each generator's plan appears EXACTLY ONCE in the DAG: the pair sets
+  // union under an origin tag, one groupBy recovers per-pair membership
+  // flags, and one global aggregate folds them into the four counts. (The
+  // earlier intersect-per-strategy form referenced the expensive lossless
+  // ground-truth plan four times — Spark recomputes uncached subplans per
+  // reference, so the audit cost ~3x the sum of its parts.) Distinct
+  // pairs per generator make max-over-tag exact set membership.
   def qDedupAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val truth = TextQueries.qDedupNgramJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val strategies = Seq(
-      "minhash_lsh" -> qDedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")),
-      "simhash" -> qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
-    strategies.map { case (name, pairs) =>
-      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
-      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      val nCommon = pairs.join(truth, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      nPairs.crossJoin(nTruth).crossJoin(nCommon)
-        .select(lit(name).as("strategy"), col("n_pairs"), col("n_truth"),
-          col("n_common"),
-          expr("1000000 * n_common div n_pairs").as("precision_micro"),
-          expr("1000000 * n_common div n_truth").as("recall_micro"))
-    }.reduce(_ unionByName _).orderBy(col("strategy"))
+    val tagged = Seq(
+      "truth" -> TextQueries.qDedupNgramJaccard(spark, dir),
+      "minhash_lsh" -> qDedupMinhashLsh(spark, dir),
+      "simhash" -> qDedupSimhash(spark, dir))
+      .map { case (src, df) =>
+        df.select(col("doc_a"), col("doc_b"), lit(src).as("src")) }
+      .reduce(_ unionByName _)
+    val flags = tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("src") === "truth", 1L).otherwise(0L)).as("t"),
+        max(when(col("src") === "minhash_lsh", 1L).otherwise(0L)).as("l"),
+        max(when(col("src") === "simhash", 1L).otherwise(0L)).as("s"))
+    flags
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("l") * col("t")), lit(0L)).as("c_lsh"),
+        coalesce(sum(col("s")), lit(0L)).as("n_sh"),
+        coalesce(sum(col("s") * col("t")), lit(0L)).as("c_sh"))
+      .selectExpr(
+        """stack(2,
+          |  'minhash_lsh', n_lsh, n_truth, c_lsh,
+          |  'simhash',    n_sh,  n_truth, c_sh)
+          |AS (strategy, n_pairs, n_truth, n_common)""".stripMargin)
+      .select(col("strategy"), col("n_pairs"), col("n_truth"), col("n_common"),
+        expr("1000000 * n_common div n_pairs").as("precision_micro"),
+        expr("1000000 * n_common div n_truth").as("recall_micro"))
+      .orderBy(col("strategy"))
   }
 
   val qDedupAgreementOracle: String =

@@ -209,35 +209,49 @@ object CurationQueries {
       .select(col("c_custkey").as("probe_key"),
         concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000))
           .as("dirty_name"))
+    // Identical-name collapse on BOTH sides (the er_clusters lesson,
+    // re-learned when the 100x rehearsal replicated customers): records
+    // sharing an exact name have identical match behavior, so blocking +
+    // verify run once per distinct name and probes rejoin by name at the
+    // end. Exact for the (dist, cand_key) tiebreak too — within a
+    // candidate name group distance is constant, so the winning key is
+    // that group's MIN key, which is what the group representative
+    // carries. Without this, k exact copies of a name multiply the
+    // variant posting lists by k on both sides and the candidate join
+    // by k² (measured 19.6x wall at 10x replicated data; ~2x after).
+    val pNames = probes.select(col("dirty_name")).distinct()
+    val cGroups = cust.groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("cand_key"))
     // join on the 64-bit hash of the variant, not the string: half the
     // shuffle bytes, and a hash collision can only ADD a candidate pair,
     // which the exact levenshtein verify then rejects — lossless
-    val candIdx = cust.select(col("c_custkey").as("cand_key"),
+    val candIdx = cGroups.select(col("cand_key"),
       explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
         .as("variant"))
-    val probeIdx = probes.select(col("probe_key"),
+    val probeIdx = pNames.select(col("dirty_name"),
       explode(expr(s"transform(${delNeighborhood("dirty_name")}, v -> xxhash64(v))"))
         .as("variant"))
     // a near pair shares MANY del-variants (every common deletion of the
     // edit positions), so the raw join multiplies each pair ~30x — dedup
-    // on the bare (long, long) key pair and re-join the names afterwards,
-    // keeping the wide strings out of the heavy shuffle
+    // on the bare (name, long) key pair and re-join the names afterwards,
+    // keeping the candidate strings out of the heavy shuffle
     // the dirty batch is the small side (a daily feed vs the full
     // reference table): broadcast ITS variant index so the reference
     // index never shuffles — explode hides stats from AQE, so the hint
     // is explicit
-    broadcast(probeIdx)
+    val bestPerName = broadcast(probeIdx)
       .join(candIdx, Seq("variant"))
-      .select(col("probe_key"), col("cand_key"))
+      .select(col("dirty_name"), col("cand_key"))
       .distinct()
-      .join(probes, Seq("probe_key"))
-      .join(cust.select(col("c_custkey").as("cand_key"), col("c_name").as("cand_name")),
+      .join(cGroups.select(col("cand_key"), col("c_name").as("cand_name")),
         Seq("cand_key"))
       .withColumn("dist", levenshtein(col("dirty_name"), col("cand_name")))
       .filter(col("dist") <= 2)
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("probe_key")).orderBy(col("dist"), col("cand_key"))))
+        Window.partitionBy(col("dirty_name")).orderBy(col("dist"), col("cand_key"))))
       .filter(col("rk") === 1)
+      .select(col("dirty_name"), col("cand_key"), col("dist"))
+    probes.join(bestPerName, Seq("dirty_name"))
       .select(col("probe_key"), col("dirty_name"),
         col("cand_key").as("matched_key"), col("dist").cast("long").as("dist"))
       .orderBy(col("probe_key"))

@@ -28,6 +28,11 @@ def main(bench_path: str, out_path: str) -> int:
         "generated": datetime.date.today().isoformat(),
         "sf": b.get("sf"),
         "samples": b.get("samples"),
+        # timed action: "fold" = xxhash64 over every output value (since
+        # 2026-08-14); earlier anchors used count(), which Catalyst can
+        # collapse to a scan for projection-shaped queries — the two
+        # metrics are not comparable per-query
+        "action": b.get("action", "count"),
         "total_min": round(b.get("total_min", -1), 1),
         "anchors": anchors,
     }

@@ -43,10 +43,33 @@ object Bench {
     // intermediates (sketch/similarity persists) are cleared after each
     // sample so cache occupancy doesn't grow across the run and every
     // sample pays the same cold-cache cost.
+    //
+    // The timed action FOLDS EVERY OUTPUT VALUE (xxhash64 over the
+    // output struct, bit_xor-aggregated — overflow-free under ANSI),
+    // not count(): under count() Catalyst legitimately prunes all
+    // columns and eliminates unique-key joins, so a projection-shaped
+    // query (pii_redact, token_dropout, exact_substr ...) was timed as
+    // a bare scan — the op's actual work never ran (measured up to 29x
+    // under-report). anchors.json carries the metric in its "action"
+    // field; "count"-action anchors are NOT comparable per-query.
+    import org.apache.spark.sql.functions.{col => fcol, struct => fstruct, xxhash64}
     def sampleOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          val df = fn(spark, sfDir)
+          // xxhash64 rejects a few types (e.g. maps); fall back to a
+          // per-column json fold rather than count() so materialization
+          // is still forced
+          try df.select(xxhash64(fstruct(df.columns.map(fcol): _*)).as("h"))
+            .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            df.select(xxhash64(org.apache.spark.sql.functions.to_json(
+              fstruct(df.columns.map(fcol): _*))).as("h"))
+              .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+          }
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
@@ -106,7 +129,7 @@ object Bench {
         """"anchors_file":null"""
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"total_min":$totalMin,$anchorBlock,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"action":"fold","total_min":$totalMin,$anchorBlock,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

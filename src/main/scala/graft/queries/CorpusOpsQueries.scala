@@ -380,14 +380,16 @@ object CorpusOpsQueries {
   // per vector but the groupBy(i,j) is map-side combinable, so the
   // shuffle carries at most d²/2 partial cells PER MAPPER — the classic
   // distributed outer-product accumulation, independent of corpus size.
-  // Per-dim means are a 64-row broadcast. Determinism: cross products
-  // and coordinates round before DECIMAL summation (exact,
-  // order-insensitive), one division + subtraction at the end.
-  // Like the centroids, all rounding is explicit half-up INTEGER
-  // division: cov_e8 = halfUp((SP8·1e8 − n·M8_i·M8_j) / (n·1e8)) where
-  // SP8 = Σround(x_i·x_j, 8)·1e8 and M8 = halfUp(Σround(x,6)·1e8 / n)
-  // are exact integers — `round(double, 8)` at the end was a
-  // cross-engine boundary bug (observed 1/2080 rows at sf0.1).
+  // Per-dim means are a 64-row broadcast. Determinism: coordinates
+  // quantize ONCE to integer micro-units (q6 = round(x,6)·1e6, BIGINT)
+  // and all cross products are exact integer q6_i·q6_j — DECIMAL
+  // summation is order-insensitive, one division + subtraction at the
+  // end. Like the centroids, all rounding is explicit half-up INTEGER
+  // division: cov_e8 = halfUp((SP12·1e4 − n·M8_i·M8_j) / (n·1e8)) where
+  // SP12 = Σ q6_i·q6_j and M8 = halfUp(Σq6·100 / n) are exact integers
+  // — `round(double, 8)` at the end was a cross-engine boundary bug
+  // (observed 1/2080 rows at sf0.1), and round-per-product was 4M
+  // interpreted BigDecimal ops per pass.
   def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -403,25 +405,38 @@ object CorpusOpsQueries {
                |  THEN CAST((2 * su + n) div (2 * n) AS BIGINT)
                |  ELSE -CAST((2 * (-su) + n) div (2 * n) AS BIGINT)
                |END""".stripMargin).as("m8"))
+    // Products in exact integer micro-units: each coordinate rounds ONCE
+    // to q6 = round(x, 6)·1e6 (BIGINT), and every cross product is the
+    // exact integer q6_i·q6_j (units 1e-12). The per-product round(·,8)
+    // form was 4.16M interpreted BigDecimal rounds — the dominant cost
+    // once the fold-metric bench timed real materialization (~8 s at
+    // sf0.1; this form ~2 s). Means are IDENTICAL (Σq6·100 =
+    // Σround(x,6)·1e8); covariance now quantizes INPUTS once instead of
+    // each product — the same integer-micro-unit determinism discipline
+    // the rest of the engine uses. The 2080 upper-triangle cells build
+    // ROW-LOCALLY (nested transform + flatten, no array carried through
+    // the explode), and cell sums accumulate in DECIMAL(38,0) (products
+    // are ≤ ~1e13 each; a BIGINT sum only overflows past ~10⁶ vectors,
+    // the decimal removes the cliff).
     val prods = e
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      // generate only j >= i directly: the explode emits the 2080
-      // upper-triangle cells per row, not 4096 then a half-discarding
-      // filter (the explode IS the hot path at d=64)
-      .select(col("i"), col("xi"),
-        explode(expr("sequence(i, 63)")).as("j"),
-        col("v"))
-      .withColumn("xj", expr("element_at(v, j + 1)"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(expr(
-          "CAST(CAST(round(xi * xj, 8) AS DECIMAL(18,8)) * 100000000 AS DECIMAL(38,0))"))
-          .as("sp8"),
-        count(lit(1)).as("n"))
+      .withColumn("v6", expr(
+        "transform(v, x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j -> named_struct(
+          |    'c', i * 64 + j,
+          |    's', CAST(element_at(v6, i + 1) * element_at(v6, j + 1)
+          |           AS DECIMAL(38,0))))))""".stripMargin))
+        .as("cell"))
+      .groupBy(col("cell.c").as("c"))
+      .agg(sum(col("cell.s")).as("sp12"), count(lit(1)).as("n"))
+      .select(expr("CAST(c div 64 AS INT)").as("i"), expr("CAST(c % 64 AS INT)").as("j"),
+        col("sp12"), col("n"))
     prods
       .join(broadcast(dims.select(col("i"), col("m8").as("m8_i"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("m8").as("m8_j"))), "j")
       .withColumn("num", expr(
-        "sp8 * 100000000 - CAST(n AS DECIMAL(38,0)) * m8_i * m8_j"))
+        "sp12 * 10000 - CAST(n AS DECIMAL(38,0)) * m8_i * m8_j"))
       .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * 100000000"))
       .select(col("i"), col("j"),
         expr("""CASE WHEN num >= 0
@@ -446,18 +461,21 @@ object CorpusOpsQueries {
       |  SELECT i, CASE WHEN su >= 0 THEN (2 * su + n) // (2 * n)
       |                 ELSE -((2 * (-su) + n) // (2 * n)) END AS m8
       |  FROM dims
+      |), q AS (
+      |  SELECT vec_id, list_transform(v, x ->
+      |    CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v6
+      |  FROM e
       |), prods AS (
       |  SELECT i, j,
-      |         CAST(sum(CAST(CAST(round(v[i + 1] * v[j + 1], 8) AS DECIMAL(18,8))
-      |              * 100000000 AS DECIMAL(38,0))) AS HUGEINT) AS sp8,
+      |         CAST(sum(CAST(v6[i + 1] AS HUGEINT) * v6[j + 1]) AS HUGEINT) AS sp12,
       |         count(*) AS n
-      |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di,
+      |  FROM q, (SELECT unnest(generate_series(0, 63)) AS i) di,
       |          (SELECT unnest(generate_series(0, 63)) AS j) dj
       |  WHERE i <= j
       |  GROUP BY 1, 2
       |), c AS (
       |  SELECT p.i, p.j,
-      |         sp8 * 100000000 - CAST(n AS HUGEINT) * mi.m8 * mj.m8 AS num,
+      |         sp12 * 10000 - CAST(n AS HUGEINT) * mi.m8 * mj.m8 AS num,
       |         CAST(n AS HUGEINT) * 100000000 AS den
       |  FROM prods p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
       |)

@@ -121,8 +121,11 @@ object GraphQueries {
       .select(col("src"), col("dst"))
       .persist()
     val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+    // hub1 feeds BOTH the auth2 round and the final report join —
+    // persist it (like edges) or the auth1→hub1 chain plans twice
     val hub1 = edges.join(auth1, "dst")
       .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
+      .persist()
     val auth2 = edges.join(hub1, "src")
       .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
     nodes

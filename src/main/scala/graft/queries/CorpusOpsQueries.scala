@@ -896,15 +896,16 @@ object CorpusOpsQueries {
   // discipline applied to an eigenvector solve).
   //
   // The covariance pass here deliberately differs from
-  // qEmbedCovariance's DECIMAL(38) sums: per-row products round to
-  // integer MICRO-units and sum as plain BIGINT — codegen'd long
-  // addition instead of BigDecimal accumulation, measured 3x faster at
-  // sf0.1 — and only the final 2080-cell mean-subtraction runs in
+  // qEmbedCovariance's DECIMAL(38) sums: coordinates quantize once to
+  // q6 = round(x,6)·1e6 (BIGINT), each cell is the exact product
+  // q6_i·q6_j halfUp-rescaled to micro-units by INTEGER division (pure
+  // long ops — no per-cell BigDecimal anywhere), and cell sums are
+  // plain BIGINT — only the final 2080-cell mean-subtraction runs in
   // DECIMAL(38). Headroom: |term| <= ~1e6-scale, so a BIGINT sum holds
   // ~9e12 rows (multi-PB of 64-dim floats); qEmbedCovariance remains
-  // the arbitrary-scale exact form. The explode emits only the 2080
-  // upper-triangle cells per row (sequence(i, 63)), not 4096 then a
-  // filter. The cell table is localCheckpoint'd (metadata scale) so the
+  // the arbitrary-scale exact form. The 2080 upper-triangle cells build
+  // row-locally (nested transform + flatten) so the explode carries no
+  // array. The cell table is localCheckpoint'd (metadata scale) so the
   // three iterations never touch the corpus again; each iteration is a
   // 4096-row join + map-side-combinable groupBy. Uniform all-ones
   // start: deterministic, and not orthogonal to the top component on
@@ -923,13 +924,21 @@ object CorpusOpsQueries {
                |  ELSE -((2 * (-s6) + n) div (2 * n))
                |END""".stripMargin).as("m6"))
     val prods = e
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        explode(expr("sequence(i, 63)")).as("j"), col("v"))
-      .withColumn("xj", expr("element_at(v, j + 1)"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(expr("CAST(CAST(round(xi * xj, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)")).as("sp6"),
-        count(lit(1)).as("n"))
+      .withColumn("v6", expr(
+        "transform(v, x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j -> named_struct(
+          |    'c', i * 64 + j,
+          |    'p', element_at(v6, i + 1) * element_at(v6, j + 1)))))""".stripMargin))
+        .as("cell"))
+      .select(col("cell.c").as("c"), expr(
+        """CASE WHEN cell.p >= 0 THEN (2 * cell.p + 1000000) div 2000000
+          |  ELSE -((2 * -cell.p + 1000000) div 2000000) END""".stripMargin).as("s"))
+      .groupBy(col("c"))
+      .agg(sum(col("s")).as("sp6"), count(lit(1)).as("n"))
+      .select(expr("CAST(c div 64 AS INT)").as("i"),
+        expr("CAST(c % 64 AS INT)").as("j"), col("sp6"), col("n"))
     val upper = prods
       .join(broadcast(dims.select(col("i"), col("m6").as("m6_i"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("m6").as("m6_j"))), "j")
@@ -985,11 +994,18 @@ object CorpusOpsQueries {
        |  SELECT i, CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
        |                 ELSE -((2 * (-s6) + n) // (2 * n)) END AS m6
        |  FROM dims),
+       |q AS (
+       |  SELECT list_transform(v, x ->
+       |    CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v6
+       |  FROM e),
        |prods AS (
        |  SELECT i, j,
-       |         CAST(sum(CAST(CAST(round(v[i + 1] * v[j + 1], 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS HUGEINT) AS sp6,
+       |         CAST(sum(CASE WHEN v6[i + 1] * v6[j + 1] >= 0
+       |                       THEN (2 * v6[i + 1] * v6[j + 1] + 1000000) // 2000000
+       |                       ELSE -((2 * -(v6[i + 1] * v6[j + 1]) + 1000000) // 2000000)
+       |                  END) AS HUGEINT) AS sp6,
        |         CAST(count(*) AS HUGEINT) AS n
-       |  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) di,
+       |  FROM q, (SELECT unnest(generate_series(0, 63)) AS i) di,
        |          (SELECT unnest(generate_series(0, 63)) AS j) dj
        |  WHERE i <= j
        |  GROUP BY 1, 2),

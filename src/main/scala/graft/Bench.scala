@@ -57,7 +57,11 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try {
-          val df = fn(spark, sfDir)
+          val raw = fn(spark, sfDir)
+          // Rename positionally before folding: a query output with
+          // duplicate or dotted column names would fail NAME resolution in
+          // the fold even though the query itself is fine.
+          val df = raw.toDF(raw.columns.indices.map("c" + _): _*)
           // xxhash64 rejects a few types (e.g. maps); fall back to a
           // per-column json fold rather than count() so materialization
           // is still forced
@@ -115,21 +119,36 @@ object Bench {
       if (!f.isFile) """"anchors_file":null"""
       else try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        val a = root.get("anchors")
-        val anchored = results.filter { case (n, v, _) => v >= 0 && a.has(n) }
-        val ratios = anchored.map { case (n, _, m) =>
-          "\"" + n + "\":" + f"${m / a.get(n).get("min").asDouble()}%.3f"
-        }.mkString("{", ",", "}")
-        val mySum = anchored.map(_._3).sum
-        val anchorSum = anchored.map { case (n, _, _) => a.get(n).get("min").asDouble() }.sum
-        val ratioSum = if (anchorSum > 0) f"${mySum / anchorSum}%.3f" else "-1"
-        s""""anchors_file":"$anchorsPath","anchored_count":${anchored.size},"ratio_sum":$ratioSum,"ratios":$ratios"""
+        // Anchors recorded under a different timed action (e.g. the old
+        // count() metric) are NOT comparable — refusing beats silently
+        // reporting cross-metric ratios (q_exact_substr would read ~29x).
+        val anchorAction =
+          if (root.has("action")) root.get("action").asText() else "count"
+        if (anchorAction != "fold") {
+          System.err.println(
+            s"[bench] anchors file $anchorsPath has action=$anchorAction, " +
+              "bench action=fold: ratios would be cross-metric, skipping")
+          """"anchors_file":null,"action_mismatch":true"""
+        } else {
+          val a = root.get("anchors")
+          val anchored = results.filter { case (n, v, _) => v >= 0 && a.has(n) }
+          val ratios = anchored.map { case (n, _, m) =>
+            "\"" + n + "\":" + f"${m / a.get(n).get("min").asDouble()}%.3f"
+          }.mkString("{", ",", "}")
+          val mySum = anchored.map(_._3).sum
+          val anchorSum = anchored.map { case (n, _, _) => a.get(n).get("min").asDouble() }.sum
+          val ratioSum = if (anchorSum > 0) f"${mySum / anchorSum}%.3f" else "-1"
+          s""""anchors_file":"$anchorsPath","anchored_count":${anchored.size},"ratios":$ratios,"ratio_sum":$ratioSum"""
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] anchors unreadable: ${e.getMessage}")
         """"anchors_file":null"""
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"action":"fold","total_min":$totalMin,$anchorBlock,"queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"sf":"$sfDir"}""")
+    // The driver stores only the TAIL of bench output, so the gate-relevant
+    // numbers (errors, totals, anchor ratios, ratio_sum) go LAST — the big
+    // per-query maps are what truncation may cut, never the gate block.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"action":"fold","sf":"$sfDir","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"total_min":$totalMin,$anchorBlock}""")
     spark.stop()
   }
 }

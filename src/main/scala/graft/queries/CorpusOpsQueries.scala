@@ -425,8 +425,8 @@ object CorpusOpsQueries {
         """flatten(transform(sequence(0, 63), i ->
           |  transform(sequence(i, 63), j -> named_struct(
           |    'c', i * 64 + j,
-          |    's', CAST(element_at(v6, i + 1) * element_at(v6, j + 1)
-          |           AS DECIMAL(38,0))))))""".stripMargin))
+          |    's', CAST(element_at(v6, i + 1) AS DECIMAL(38,0))
+          |           * element_at(v6, j + 1)))))""".stripMargin))
         .as("cell"))
       .groupBy(col("cell.c").as("c"))
       .agg(sum(col("cell.s")).as("sp12"), count(lit(1)).as("n"))

@@ -213,6 +213,22 @@ final class CorpusPipeline private (
       .withColumnRenamed("clean_text", textCol))
   }
 
+  /** Terminal: winnowing-fingerprint near-dup pairs (doc_a, doc_b,
+    * shared_fps) over THIS pipeline's documents — the MOSS-style
+    * sub-document overlap detector (same core as the gated
+    * q_minimizers). Winnowing's hot-fingerprint df cap silently zeroes
+    * the op on a duplicate-saturated feed (k exact copies push every
+    * fingerprint's document frequency past the cap — the SURVEY §10.7
+    * foot-gun), so this stage collapses to ONE representative per
+    * distinct text FIRST: the safe composition is built in, not
+    * remembered. Lossless for discovery — exact duplicates are
+    * [[dedupExact]]'s finding, and winnowing pairs report at
+    * representative (min-id) grain.
+    */
+  def minimizerPairs(textCol: String = "text"): DataFrame =
+    graft.queries.SketchDedupQueries.minimizerPairs(
+      dedupExact(textCol).df, idCol, textCol)
+
   /** Terminal transform: re-grain the corpus into overlapping retrieval
     * chunks — (id, chunk_id, start_tok, end_tok, n_chunk_tokens,
     * chunk_text). Terminal because the output granularity is chunks, not

@@ -482,19 +482,30 @@ object CurationQueries {
     val dIdx = dGroups.select(col("d_node"),
       explode(expr(s"transform(${delNeighborhood("name")}, v -> xxhash64(v))"))
         .as("variant"))
-    val mIdx = cust.select(col("c_custkey"),
+    // Identical-name collapse on the MASTER side too (the fuzzy_match /
+    // er_clusters recipe): distance to a probe name is constant within an
+    // identical-name master group, and the group's min key IS the key
+    // min_by((dist, key)) would pick from the expanded group — so the
+    // variant index and the levenshtein verify run once per DISTINCT
+    // master name. Lossless by the same argument as qFuzzyMatch; on a
+    // duplicate-heavy master (the 100x rehearsal replicates customers
+    // 100x) this removes a 100x posting-list and candidate-join factor.
+    val mGroups = cust.groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("m_node"))
+      .persist()
+    val mIdx = mGroups.select(col("m_node"),
       explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
         .as("variant"))
     val best = broadcast(dIdx)
       .join(mIdx, Seq("variant"))
-      .select(col("d_node"), col("c_custkey"))
+      .select(col("d_node"), col("m_node"))
       .distinct()
       .join(dGroups, Seq("d_node"))
-      .join(cust, Seq("c_custkey"))
+      .join(mGroups.select(col("m_node"), col("c_name")), Seq("m_node"))
       .withColumn("dist", levenshtein(col("name"), col("c_name")))
       .filter(col("dist") <= 2)
       .groupBy(col("d_node"))
-      .agg(min_by(col("c_custkey"), struct(col("dist"), col("c_custkey")))
+      .agg(min_by(col("m_node"), struct(col("dist"), col("m_node")))
         .as("entity_id"))
     val members = dirty.join(dGroups, Seq("name"))
       .join(best, Seq("d_node"))

@@ -639,9 +639,18 @@ object SketchDedupQueries {
   // the inverted index and embedding blocking. Pairs sharing >= 3
   // fingerprints are reported with their overlap count. The shingle hash
   // is the portable md5->int64, so DuckDB replays it bit-for-bit.
-  def qMinimizers(spark: SparkSession, dir: String): DataFrame = {
-    val fps = documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+  def qMinimizers(spark: SparkSession, dir: String): DataFrame =
+    minimizerPairs(documents(spark, dir), "doc_id", "text")
+
+  /** The reusable winnowing core of [[qMinimizers]] over an arbitrary
+    * document frame (also backs CorpusPipeline.minimizerPairs, which
+    * composes it post exact-dedup so a duplicate-saturated feed can't
+    * push every fingerprint past the df cap and zero the op).
+    */
+  def minimizerPairs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fps = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 6) // >= 4 shingles -> >= 1 window
       .withColumn("hs", expr(
         """transform(sequence(0, size(tk)-3),

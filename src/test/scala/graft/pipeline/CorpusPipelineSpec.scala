@@ -186,6 +186,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(metrics("after_dedup").getLong(0) == kept)
   }
 
+  test("minimizerPairs survives a duplicate-saturated feed (df-cap foot-gun)") {
+    // 60 identical copies of every document — past the winnowing df cap
+    // (50), so the RAW fingerprint op finds nothing...
+    val replicated = (0 until 60).map(k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("text")))
+      .reduce(_ unionByName _)
+    assert(SketchDedupQueries.minimizerPairs(replicated, "doc_id", "text")
+      .limit(1).count() == 0,
+      "expected the raw op to zero out on a duplicate-saturated feed " +
+        "(if this now finds pairs, the df cap changed — revisit the stage)")
+    // ...while the pipeline stage composes exact-dedup first and must
+    // report exactly the pairs winnowing finds among the representatives
+    val got = CorpusPipeline(replicated).minimizerPairs()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SketchDedupQueries.minimizerPairs(
+        CorpusPipeline(docs).dedupExact().df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "fixture produced no winnowing pairs at all")
+    assert(got == want)
+  }
+
   test("the composed chain runs as one plan with monotone row accounting") {
     val pairs = SketchDedupQueries.qDedupSimhash(spark, sf)
       .select(col("doc_a"), col("doc_b"))

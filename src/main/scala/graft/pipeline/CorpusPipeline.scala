@@ -119,8 +119,8 @@ final class CorpusPipeline private (
     val batch = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sigs = IncrementalDedupQueries.signatures(batch)
     IncrementalDedupQueries.updateIndex(spark, sigs, indexPath)
-    val pairs = IncrementalDedupQueries.pairsAgainstIndex(
-        spark.read.parquet(indexPath), sigs.select(col("doc_id")))
+    val pairs = IncrementalDedupQueries.pairsForBatchSigs(
+        spark.read.parquet(indexPath), sigs)
       .select(col("doc_a"), col("doc_b"))
     dedupNear(pairs)
   }

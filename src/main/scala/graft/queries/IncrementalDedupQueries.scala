@@ -108,7 +108,24 @@ object IncrementalDedupQueries {
     */
   def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
     val bands = bandRows(index)
-    val batchBands = bands.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    pairsFromBatchBands(index, bands,
+      bands.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+  }
+
+  /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band
+    * rows derive from its OWN signature rows — identical to the index's
+    * copy, since the last-writer-wins upsert just wrote them — so finding
+    * the batch never scans the index. The index appears only where it
+    * must: as the candidate-join build side and the per-doc verify
+    * lookups. Same output by construction (IncrementalDedupSpec pins the
+    * id-based form; the gated q_dedup_incremental runs THIS form).
+    */
+  def pairsForBatchSigs(index: DataFrame, batchSigs: DataFrame): DataFrame =
+    pairsFromBatchBands(index, bandRows(index),
+      bandRows(batchSigs.select(col("doc_id"), col("m"))))
+
+  private def pairsFromBatchBands(
+      index: DataFrame, bands: DataFrame, batchBands: DataFrame): DataFrame = {
     val cand = batchBands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -153,7 +170,7 @@ object IncrementalDedupQueries {
     val index = spark.read.parquet(lake)
     // materialize before deleting the scratch lake — the returned frame
     // must not dangle on a temp directory this query created
-    val out = pairsAgainstIndex(index, batchSigs.select(col("doc_id")))
+    val out = pairsForBatchSigs(index, batchSigs)
       .localCheckpoint(true)
     batchSigs.unpersist()
     graft.etl.LakeFs.deleteRecursively(spark,

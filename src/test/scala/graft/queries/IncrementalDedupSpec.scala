@@ -107,6 +107,27 @@ class IncrementalDedupSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(lake).getParent)
   }
 
+  test("pairsForBatchSigs (steady-state form) equals the id-based form") {
+    // the daily fast path derives batch bands from the batch's own
+    // signature rows instead of semi-joining the index — outputs must be
+    // identical on a freshly-upserted index
+    val docs = documents(spark, sf)
+    val lake = java.nio.file.Files.createTempDirectory("inc-dedup-fast")
+      .resolve("sig").toString
+    val batch = col("doc_id") % 5 === 4
+    IncrementalDedupQueries.updateIndex(
+      spark, IncrementalDedupQueries.signatures(docs.filter(!batch)), lake)
+    val sigs = IncrementalDedupQueries.signatures(docs.filter(batch))
+    IncrementalDedupQueries.updateIndex(spark, sigs, lake)
+    val index = spark.read.parquet(lake)
+    val viaIds = pairSet(
+      IncrementalDedupQueries.pairsAgainstIndex(index, sigs.select(col("doc_id"))))
+    val viaSigs = pairSet(IncrementalDedupQueries.pairsForBatchSigs(index, sigs))
+    assert(viaIds.nonEmpty && viaSigs == viaIds)
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
+  }
+
   test("batch signatures equal the whole-corpus signature arithmetic") {
     // the in-row (map-only) signature path must reproduce the exploded
     // aggregate path bit-for-bit — same permutations, same md5 prefix mod

@@ -43,6 +43,7 @@ object PipelineProbe {
       case "incremental" => runIncremental(spark, dir, baseDir)
       case "decontaminate" => runDecontaminate(spark, dir, baseDir)
       case "minimizers" => runMinimizers(spark, dir)
+      case "explain" => runExplain(spark, dir, baseDir)
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
@@ -57,15 +58,18 @@ object PipelineProbe {
       .collect().head.getLong(0)
   }
 
-  private def runPipeline(
-      spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String): Unit = {
+  /** The full composed chain, terminal chunks grain — shared by the
+    * timing and plan-audit modes.
+    */
+  private def composedChain(
+      spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String)
+      : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, dir)
     // the benchmark side is CONSTANT — an eval suite does not grow with
     // the corpus; replicating it alongside is the §10.7 artifact, not
     // the production shape
     val benchmark = Tables.documents(spark, baseDir)
       .filter(col("doc_id") % 97 === 0)
-    val t0 = System.nanoTime()
     // dedupNear's pair detector runs over the SAME corpus (SimHash); its
     // component resolution is the pipeline's one eager step and is
     // included in the wall time
@@ -91,7 +95,13 @@ object PipelineProbe {
       .sampleStratified(Map("en" -> 0.5), default = 0.2)
       .withSplit(trainPct = 90)
       .observeCount("s8_sampled_split")
-    val out = chain.chunks()
+    chain.chunks()
+  }
+
+  private def runPipeline(
+      spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String): Unit = {
+    val t0 = System.nanoTime()
+    val out = composedChain(spark, dir, baseDir)
     val safe = out.toDF(out.columns.indices.map("c" + _): _*)
     val folded = safe
       .select(xxhash64(struct(safe.columns.map(col): _*)).as("h"))
@@ -102,6 +112,36 @@ object PipelineProbe {
     folded.queryExecution.observedMetrics.toSeq.sortBy(_._1).foreach {
       case (name, row) => println(f"[pipeline]   $name%-22s rows=${row.getLong(0)}")
     }
+  }
+
+  /** Plan-audit mode: execute the composed chain once (AQE finalizes the
+    * physical plan at runtime), then report how many shuffle/broadcast
+    * exchanges the final plan plans fresh vs satisfies from reuse — the
+    * receipt behind "the multi-consumer anti-join stages do not
+    * recompute their upstream" (SURVEY §10.10). Full plan text goes to
+    * /tmp/pipeline_plan.txt for eyeballing.
+    */
+  private def runExplain(
+      spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String): Unit = {
+    val out = composedChain(spark, dir, baseDir)
+    // drive THIS QueryExecution to completion (collect, cheap at probe
+    // sf) so its adaptive plan is final — a separate count() would plan
+    // its own execution and leave this one pre-AQE
+    out.collect()
+    // formatted mode re-inlines shared subtrees; runtime stage reuse is
+    // only visible in the executed plan's QueryStage markers
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val executed = out.queryExecution.executedPlan.toString
+    def n(re: String, s: String) = re.r.findAllIn(s).size
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/pipeline_plan.txt"),
+      (plan + "\n\n== Executed (stage view) ==\n" + executed).getBytes("UTF-8"))
+    println(s"[explain] formatted: exchanges=${n("\\(\\d+\\) Exchange", plan)} " +
+      s"parquet_scans=${n("Scan parquet", plan)}; executed: " +
+      s"shuffle_stages=${n("ShuffleQueryStage", executed)} " +
+      s"broadcast_stages=${n("BroadcastQueryStage", executed)} " +
+      s"reused=${n("ReusedExchange|ReusedQueryStage", executed)} " +
+      "(full plan: /tmp/pipeline_plan.txt)")
   }
 
   private def runIncremental(

@@ -70,18 +70,19 @@ object PipelineProbe {
     // the production shape
     val benchmark = Tables.documents(spark, baseDir)
       .filter(col("doc_id") % 97 === 0)
-    // dedupNear's pair detector runs over the SAME corpus (SimHash); its
-    // component resolution is the pipeline's one eager step and is
+    // the near-dup detector runs INSIDE the chain on the exact-deduped
+    // representatives (dedupNearSimhash — the scale-correct composition:
+    // raw-corpus pair output grows C(k,2) per duplicate group, ~3×10⁹
+    // rows at 1000×, while the representative graph is scale-invariant);
+    // its component resolution is the pipeline's one eager step and is
     // included in the wall time
-    val pairs = queries.SketchDedupQueries.qDedupSimhash(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
     val chain = pipeline.CorpusPipeline(docs)
       .observeCount("s0_input")
       .dedupExact()
       .observeCount("s1_dedup_exact")
       .removeRepeatedSpans()
       .observeCount("s2_span_clean")
-      .dedupNear(pairs)
+      .dedupNearSimhash()
       .observeCount("s3_dedup_near")
       .decontaminate(benchmark)
       .observeCount("s4_decontaminate")

@@ -25,9 +25,14 @@ object ProbeCorpus {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/docs10x")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (e.g.
+    // "documents,customer" for a 1000x corpus that skips the 100M-row
+    // events write when the target ops never read events)
+    val onlyTables = args.lift(3).map(_.split(",").toSet)
+    def wanted(t: String) = onlyTables.forall(_(t))
     val spark = Tables.localSession(cores = 16)
 
-    def replicate(table: String, idCols: Seq[String]): Unit = {
+    def replicate(table: String, idCols: Seq[String]): Unit = if (wanted(table)) {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val offsets = spark.range(copies).select((col("id") * 10000000L).as("_off"))
       val rep = base.crossJoin(broadcast(offsets))
@@ -54,7 +59,7 @@ object ProbeCorpus {
     Seq("region", "nation", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
         val p = s"$src/$t.parquet"
-        if (new java.io.File(p).exists()) {
+        if (wanted(t) && new java.io.File(p).exists()) {
           spark.read.parquet(p).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
         }
       }

@@ -99,6 +99,24 @@ final class CorpusPipeline private (
     next(df.join(contaminated, Seq(idCol), "left_anti"))
   }
 
+  /** Self-contained SimHash near-dedup: detect band-blocked Hamming ≤ 3
+    * pairs over THIS pipeline's CURRENT documents and apply [[dedupNear]]
+    * to them. Placed after [[dedupExact]] (the intended composition),
+    * the detector sees one representative per distinct text — which is
+    * what makes the stage survive duplicate-saturated corpora: pair
+    * OUTPUT on k exact copies grows as C(k,2) per group (3×10⁹ rows at
+    * 1000× replication), while the representative graph is
+    * scale-invariant. Lossless for the final kept set: identical texts
+    * have identical fingerprints, so the raw-corpus pair graph connects
+    * every exact group completely and its component minimum IS the
+    * minimum representative — the id [[dedupExact]] already kept
+    * (CorpusPipelineSpec pins the equality).
+    */
+  def dedupNearSimhash(textCol: String = "text"): CorpusPipeline =
+    dedupNear(graft.queries.SketchDedupQueries
+      .simhashPairsOver(df, idCol, textCol)
+      .select(col("doc_a"), col("doc_b")))
+
   /** Incremental near-dedup: fingerprint THIS pipeline's documents (the
     * new batch) alone, merge their MinHash signatures into the persisted
     * index at `indexPath` ([[IncrementalDedupQueries]]), detect near-dup

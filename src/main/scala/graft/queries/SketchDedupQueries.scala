@@ -227,9 +227,20 @@ object SketchDedupQueries {
     * Arithmetic is unchanged (signed popcount, then bit j set iff sum > 0),
     * so the DuckDB oracle's column-wise form reproduces it exactly.
     */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    simhashSigOver(documents(spark, dir), "doc_id", "text")
+
+  /** 60-bit simhash signatures over an arbitrary document frame — the
+    * reusable core behind [[qDedupSimhash]] and
+    * CorpusPipeline.dedupNearSimhash (which detects on the pipeline's
+    * exact-deduped representatives, the composition that stays
+    * output-bounded on duplicate-saturated corpora).
+    */
+  private[graft] def simhashSigOver(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("hx",
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
@@ -271,8 +282,13 @@ object SketchDedupQueries {
     s"WITH $simhashSigSql SELECT doc_id, simhash FROM sig ORDER BY 1"
 
   /** Near-dup pairs: band-blocked candidates, Hamming distance <= 3 of 60. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(spark, dir)
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOver(documents(spark, dir), "doc_id", "text")
+
+  /** The band-blocked SimHash pair generator over an arbitrary frame. */
+  private[graft] def simhashPairsOver(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = simhashSigOver(docs, idCol, textCol)
     val bandStructs = (0 until SimBands).map(b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(simhash, ${BandBits * b}) % ${1 << BandBits}").as("bv")))

@@ -186,6 +186,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(metrics("after_dedup").getLong(0) == kept)
   }
 
+  test("dedupNearSimhash on representatives keeps exactly the raw-detector set") {
+    // the scale-correct composition (detect AFTER exact dedup) must keep
+    // the same final ids as detecting over the raw replicated corpus —
+    // identical texts share fingerprints, so the raw pair graph connects
+    // exact groups completely and its component minimum is a representative
+    val replicated = (0 until 5).map(k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("text"), col("lang")))
+      .reduce(_ unionByName _)
+    val composed = CorpusPipeline(replicated).dedupExact().dedupNearSimhash().df
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rawPairs = SketchDedupQueries
+      .simhashPairsOver(replicated, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val reference = CorpusPipeline(replicated).dedupExact().dedupNear(rawPairs).df
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(composed.nonEmpty && composed == reference,
+      s"kept sets differ: only-composed=${(composed -- reference).take(5)}, " +
+        s"only-raw=${(reference -- composed).take(5)}")
+  }
+
   test("minimizerPairs survives a duplicate-saturated feed (df-cap foot-gun)") {
     // 60 identical copies of every document — past the winnowing df cap
     // (50), so the RAW fingerprint op finds nothing...

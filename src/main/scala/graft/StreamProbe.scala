@@ -41,6 +41,13 @@ object StreamProbe {
         runDrain(spark, dir, only)
       case "state" =>
         val wmHours = args.lift(2).map(_.toInt).getOrElse(2)
+        // optional: "rocksdb" switches the state backend from the
+        // default in-heap HDFSBackedStateStore to the disk-backed
+        // RocksDB provider — the bounded-heap choice when keyed state
+        // outgrows executor memory (same semantics, state off-heap)
+        if (args.lift(3).contains("rocksdb"))
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         runState(spark, dir, wmHours)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -118,8 +125,13 @@ object StreamProbe {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      val backend = q.recentProgress.reverseIterator
+        .flatMap(_.stateOperators.headOption).take(1)
+        .map(so => if (so.customMetrics.keySet.stream.anyMatch(_.startsWith("rocksdb")))
+          "rocksdb" else "hdfs-backed")
+        .toSeq.headOption.getOrElse("stateless")
       println(s"== $label (watermark ${wmHours}h, one micro-batch per day, " +
-        s"output rows ${spark.table(name).count()}) ==")
+        s"state backend $backend, output rows ${spark.table(name).count()}) ==")
       println(f"${"batch"}%5s ${"in_rows"}%9s ${"watermark"}%-20s " +
         "per-operator state_rows/updated/evicted")
       for (p <- q.recentProgress if p.numInputRows > 0 || p.batchId == 0) {

@@ -62,7 +62,9 @@ object StreamProbe {
     // stable order, warmup op first so JVM/codegen startup doesn't land
     // on the first measured op (ScaleProbe lesson, SURVEY §10.9)
     val names = queries.StreamingQueries.queries.keys.toSeq.sorted
-    spark.read.parquet(s"$flat/events.parquet").limit(1000).count()
+    val warm = Seq("events", "documents").map(t => s"$flat/$t.parquet")
+      .find(p => new java.io.File(p).exists).get
+    spark.read.parquet(warm).limit(1000).count()
     for (n <- names if only.forall(_(n))) {
       val t0 = System.nanoTime()
       val out = queries.StreamingQueries.queries(n)(spark, flat)
@@ -80,13 +82,16 @@ object StreamProbe {
     * ops read.
     */
   private def flatLayout(spark: SparkSession, dir: String): String = {
-    if (!new java.io.File(s"$dir/events.parquet").isDirectory) return dir
+    val tables = Seq("events", "documents", "customer")
+    if (!tables.exists(t => new java.io.File(s"$dir/$t.parquet").isDirectory))
+      return dir
     val out = java.nio.file.Paths.get("/tmp/stream_flat",
       new java.io.File(dir).getName)
     val done = out.resolve("_done")
     if (!java.nio.file.Files.exists(done)) {
       java.nio.file.Files.createDirectories(out)
-      for (t <- Seq("events", "documents", "customer")) {
+      for (t <- tables
+           if new java.io.File(s"$dir/$t.parquet").isDirectory) {
         val src = new java.io.File(s"$dir/$t.parquet")
         val dst = out.resolve(s"$t.parquet")
         val parts = src.listFiles().filter(_.getName.endsWith(".parquet"))

@@ -212,18 +212,10 @@ object StreamingQueries {
       col("purchase_user") === col("click_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-    val name = "stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("purchase_id"), col("click_id"),
+    drainAppendToParquet(spark, joined, "join")(
+      _.select(col("purchase_id"), col("click_id"),
         (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts"))).as("lag_ms"))
-      .orderBy(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id")))
   }
 
   val qStreamJoinOracle: String =
@@ -337,6 +329,39 @@ object StreamingQueries {
     * monotonically (the daily-ingest invariant: new days get new ids),
     * which StreamNearDedupSpec pins with an explicit two-batch run.
     */
+  /** Drain an append-mode emit stream through a DISTRIBUTED parquet file
+    * sink instead of the driver-materializing memory sink: executors
+    * write their own output partitions and the driver never holds the
+    * rows. The memory sink serializes every emitted row to the driver —
+    * fine for aggregate-shaped outputs, but the pair/flag emitters
+    * (as-of attribution, interval join, near-dedup bands) scale their
+    * OUTPUT with input, and at 1000× (100M events → 18.6M as-of pairs)
+    * the memory-sink drain exceeds spark.driver.maxResultSize. `finish`
+    * runs the terminal batch step (rollup/projection) against the sink
+    * files — distributed — and the result is localCheckpoint-
+    * materialized so the scratch dir can be deleted before returning
+    * (same lifecycle as qStreamUpsert's lake).
+    */
+  private def drainAppendToParquet(
+      spark: SparkSession, emitted: DataFrame, label: String)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(s"stream-$label")
+    val out = base.resolve("out").toString
+    val q = emitted.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = finish(spark.read.schema(emitted.schema).parquet(out))
+      .localCheckpoint(true)
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(base.toString))
+    res
+  }
+
   /** The documents file-stream source (shared by the memory-sink query
     * and the checkpointed-restart spec).
     */
@@ -384,21 +409,13 @@ object StreamingQueries {
       withStreamConfs(spark) {
     val emitted = nearDedupEmits(
       spark, docsStream(spark, dir, glob, maxFilesPerTrigger))
-    val name = "stream_neardedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = emitted.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // terminal rollup over the sink (batch): how many of a doc's bands
-    // collided with an earlier document
-    spark.table(name)
-      .filter(col("hit"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_bands"))
-      .orderBy(col("doc_id"))
+    // terminal rollup over the sink files (batch, distributed): how many
+    // of a doc's bands collided with an earlier document
+    drainAppendToParquet(spark, emitted.toDF(), "neardedup")(
+      _.filter(col("hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_bands"))
+        .orderBy(col("doc_id")))
   }
 
   def qStreamNearDedup(spark: SparkSession, dir: String): DataFrame =
@@ -730,17 +747,9 @@ object StreamingQueries {
           last.foreach(state.update)
           out.result().iterator
       }
-    val name = "stream_asof_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = pairs.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-      .select(col("purchase_id"), col("user_id"), col("click_id"), col("lag_ms"))
-      .orderBy(col("purchase_id"))
+    drainAppendToParquet(spark, pairs.toDF(), "asof")(
+      _.select(col("purchase_id"), col("user_id"), col("click_id"), col("lag_ms"))
+        .orderBy(col("purchase_id")))
   }
 
   def qStreamAsof(spark: SparkSession, dir: String): DataFrame =

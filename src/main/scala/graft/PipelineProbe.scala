@@ -179,10 +179,19 @@ object PipelineProbe {
     val docs = Tables.documents(spark, dir)
     val benchmark = Tables.documents(spark, baseDir)
       .filter(col("doc_id") % 97 === 0)
-    val t0 = System.nanoTime()
-    val kept = pipeline.CorpusPipeline(docs).decontaminate(benchmark).df.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[decontaminate] constant benchmark $secs%8.2f s   kept=$kept")
+    // all three join strategies against the SAME constant benchmark —
+    // the design table for "how do I anti-join a 100 TB corpus against
+    // an eval suite": Broadcast while the suite fits in memory, Bloom /
+    // Salted when it doesn't. kept must be identical across strategies.
+    for (strat <- Seq(pipeline.CorpusPipeline.Broadcast,
+                      pipeline.CorpusPipeline.Salted,
+                      pipeline.CorpusPipeline.Bloom)) {
+      val t0 = System.nanoTime()
+      val kept = pipeline.CorpusPipeline(docs)
+        .decontaminate(benchmark, strategy = strat).df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[decontaminate] $strat%-9s constant benchmark $secs%8.2f s   kept=$kept")
+    }
   }
 
   private def runMinimizers(

@@ -71,8 +71,7 @@ final class CorpusPipeline private (
     def shingled(d: DataFrame, idc: String): DataFrame = d
       .select(col(idc), split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col(idc), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col(idc), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("_shingle"))
     val corpus = shingled(df, idCol)
     val bench = shingled(benchmark.withColumnRenamed(idCol, "_bench_id"), "_bench_id")

@@ -259,8 +259,7 @@ object CorpusOpsQueries {
     val shingled = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val benchSet = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()
@@ -699,8 +698,7 @@ object CorpusOpsQueries {
     val base = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .persist()
@@ -872,8 +870,7 @@ object CorpusOpsQueries {
       .select(col("doc_id"), col("source"),
         split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), col("source"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), col("source"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val isRef = col("source").isin("src0", "src1", "src2", "src3", "src4")
     val refSet = shingled.filter(isRef)

@@ -54,8 +54,7 @@ object IncrementalDedupQueries {
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .withColumn("xmarr", expr(
         s"transform(sarr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)"))
       .select(col("doc_id"), array(minCols: _*).as("m"),

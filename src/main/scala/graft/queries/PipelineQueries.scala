@@ -723,8 +723,7 @@ object PipelineQueries {
     val shingled = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val bench = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))
@@ -769,8 +768,7 @@ object PipelineQueries {
     val shingled = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val bench = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))
@@ -798,8 +796,7 @@ object PipelineQueries {
     val shingled = documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val bench = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("benchmark_doc_id"), col("shingle"))

@@ -51,8 +51,7 @@ object SketchDedupQueries {
     val base = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"),
         // newline-delimited sorted set: collision-free (tokens are \s+ split)
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
@@ -476,8 +475,7 @@ object SketchDedupQueries {
     val sh = documents(spark, dir)
       .select(col("source"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("source"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("source"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
       .distinct()
       .persist()
@@ -576,8 +574,7 @@ object SketchDedupQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("sarr"), size(col("sarr")).as("n"))
       .withColumn("rn", row_number().over(
@@ -804,9 +801,24 @@ object SketchDedupQueries {
       .orderBy(col("fp"))
 
   /** (doc_id, text) -> (doc_id, chunk) under the rolling-hash boundary
-    * rule; exposed for the shift-robustness spec.
+    * rule; exposed for the shift-robustness spec. The derivation runs in
+    * [[graft.functions.CdcChunksExpr]] — one compiled codegen-friendly
+    * pass per doc; CdcExprSpec pins it equal to the declarative HOF
+    * chain below on real corpus text, and the oracle gate pins it
+    * against DuckDB.
     */
-  private[queries] def cdcChunks(docs: DataFrame): DataFrame = {
+  private[queries] def cdcChunks(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    .filter(size(col("tk")) >= 4)
+    .select(col("doc_id"),
+      explode(graft.functions.CdcChunksExpr.chunks(col("tk"))).as("chunk"))
+
+  /** The original five-stage higher-order-function form — kept as the
+    * independently-derived witness CdcExprSpec checks the native
+    * expression against (each md5/window/slice step is a separate
+    * Catalyst builtin here, so agreement is meaningful).
+    */
+  private[queries] def cdcChunksHof(docs: DataFrame): DataFrame = {
     val P = 1000000007L
     def th(e: String) =
       s"(cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint) % $P)"

@@ -458,8 +458,7 @@ object StreamingQueries {
     def shingled(d: DataFrame): DataFrame = d
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     // static side: the FIXED benchmark set, batch-read once at query start
     val benchSet = shingled(

@@ -349,8 +349,7 @@ object TextQueries {
     val docs = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .persist()
@@ -570,8 +569,7 @@ object TextQueries {
     val shingled = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
     val nDocs = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val hot = shingled.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -841,8 +839,7 @@ object TextQueries {
     documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .select(col("doc_id"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"),
@@ -1359,8 +1356,7 @@ object TextQueries {
     val docs = documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", array_distinct(expr(
-        "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .persist()

@@ -196,8 +196,7 @@ final class CorpusPipeline private (
     val shingled = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_tk"))
       .filter(size(col("_tk")) >= 3)
-      .select(col(idCol), explode(array_distinct(expr(
-        "transform(sequence(0, size(_tk)-3), i -> concat_ws(' ', _tk[i], _tk[i+1], _tk[i+2]))")))
+      .select(col(idCol), explode(graft.functions.ShinglesExpr.shingles(col("_tk")))
         .as("_shingle"))
     val nDocs = df.agg(count(lit(1)).as("_n_docs"))
     val hot = shingled.groupBy(col("_shingle")).agg(count(lit(1)).as("_df"))

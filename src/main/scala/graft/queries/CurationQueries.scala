@@ -191,7 +191,13 @@ object CurationQueries {
   // probe under the total order (distance, candidate key). Ambiguity is
   // real: probe "Customer#00000000" sits at distance 1 from ten clean
   // names; the deterministic tiebreak picks the smallest key.
-  private def delNeighborhood(c: String): String =
+  // The declarative deletion-neighborhood form. Retired from the query
+  // hot paths in favor of the native [[graft.functions.DelNeighborsExpr]]
+  // (one compiled pass, no variant-string allocation); kept as the
+  // independently-derived witness DelNeighborsExprSpec pins the native
+  // expression against (each substring/concat step is a separate Catalyst
+  // builtin here, so agreement is meaningful).
+  private[graft] def delNeighborhood(c: String): String =
     s"""array_distinct(concat(
        |  array($c),
        |  transform(sequence(1, length($c)), i ->
@@ -226,10 +232,10 @@ object CurationQueries {
     // shuffle bytes, and a hash collision can only ADD a candidate pair,
     // which the exact levenshtein verify then rejects — lossless
     val candIdx = cGroups.select(col("cand_key"),
-      explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("c_name")))
         .as("variant"))
     val probeIdx = pNames.select(col("dirty_name"),
-      explode(expr(s"transform(${delNeighborhood("dirty_name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("dirty_name")))
         .as("variant"))
     // a near pair shares MANY del-variants (every common deletion of the
     // edit positions), so the raw join multiplies each pair ~30x — dedup
@@ -319,10 +325,10 @@ object CurationQueries {
       .agg(min(col("probe_id")).as("p_node"))
       .persist()
     val candIdx = mGroups.select(col("m_node"),
-      explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("c_name")))
         .as("variant"))
     val probeIdx = pGroups.select(col("p_node"),
-      explode(expr(s"transform(${delNeighborhood("dirty_name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("dirty_name")))
         .as("variant"))
     val pairs = broadcast(probeIdx)
       .join(candIdx, Seq("variant"))
@@ -480,7 +486,7 @@ object CurationQueries {
           .as("name"))
     val dGroups = dirty.groupBy(col("name")).agg(min(col("record_id")).as("d_node"))
     val dIdx = dGroups.select(col("d_node"),
-      explode(expr(s"transform(${delNeighborhood("name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("name")))
         .as("variant"))
     // Identical-name collapse on the MASTER side too (the fuzzy_match /
     // er_clusters recipe): distance to a probe name is constant within an
@@ -494,7 +500,7 @@ object CurationQueries {
       .agg(min(col("c_custkey")).as("m_node"))
       .persist()
     val mIdx = mGroups.select(col("m_node"),
-      explode(expr(s"transform(${delNeighborhood("c_name")}, v -> xxhash64(v))"))
+      explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("c_name")))
         .as("variant"))
     val best = broadcast(dIdx)
       .join(mIdx, Seq("variant"))

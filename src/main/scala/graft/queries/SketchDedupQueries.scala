@@ -662,15 +662,15 @@ object SketchDedupQueries {
     */
   def minimizerPairs(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // fingerprint extraction runs in the native WinnowFingerprintsExpr
+    // (hash + window-min in one compiled pass; WinnowExprSpec pins it to
+    // the declarative md5/conv + array_min(slice(...)) chain it replaced)
     val fps = docs
       .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 6) // >= 4 shingles -> >= 1 window
-      .withColumn("hs", expr(
-        """transform(sequence(0, size(tk)-3),
-          |  i -> cast(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15), 16, 10) as bigint))""".stripMargin))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(hs)-3), j -> array_min(slice(hs, j, 4)))")))
-        .as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprintsExpr.fingerprints(col("tk")))
+          .as("fp"))
     val capped = fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= 50)

@@ -118,12 +118,15 @@ object TextQueries {
   // truncated to their first 200 chars (standard langid practice; bounds
   // the explode). Output is the confusion matrix (actual, predicted, n).
   def qLangIdNb(spark: SparkSession, dir: String): DataFrame = {
+    // trigram explosion runs in the native CharNgramsExpr (one compiled
+    // pass; the old transform(sequence(...), i -> substring(...)) HOF
+    // re-walked the string per position) — CharNgramsExprSpec pins the
+    // two equal on every real doc, the oracle's generate_series pins the
+    // len<3 edge
     val tri = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """transform(sequence(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
-            |  i -> substring(substring(lower(text), 1, 200), i, 3))""".stripMargin))
-          .as("g"))
+        explode(graft.functions.CharNgramsExpr.charNgrams(
+          substring(lower(col("text")), 1, 200))).as("g"))
       .persist() // feeds training counts, vocab, and scoring
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
     val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))
@@ -201,10 +204,8 @@ object TextQueries {
   def qLmQuality(spark: SparkSession, dir: String): DataFrame = {
     val tri = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          """transform(sequence(1, greatest(length(substring(lower(text), 1, 200)) - 2, 0)),
-            |  i -> substring(substring(lower(text), 1, 200), i, 3))""".stripMargin))
-          .as("g"))
+        explode(graft.functions.CharNgramsExpr.charNgrams(
+          substring(lower(col("text")), 1, 200))).as("g"))
       .persist()
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
     val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))

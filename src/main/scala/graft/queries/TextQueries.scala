@@ -123,14 +123,21 @@ object TextQueries {
     // re-walked the string per position) — CharNgramsExprSpec pins the
     // two equal on every real doc, the oracle's generate_series pins the
     // len<3 edge
+    // The persist point stays at the NARROW exploded frame (persisting
+    // the per-doc counts instead was measured SLOWER — it moves the
+    // materialization behind a shuffle on near-unique (doc, gram) keys,
+    // where map-side combine can't reduce anything). The instance stream
+    // feeds the two real aggregations (c_gl, per-doc counts); c_l and the
+    // vocab derive from c_gl — Σ c_gl per language and distinct g are
+    // arithmetic identities, saving two more full cache scans.
     val tri = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.CharNgramsExpr.charNgrams(
           substring(lower(col("text")), 1, 200))).as("g"))
-      .persist() // feeds training counts, vocab, and scoring
+      .persist() // feeds training counts and per-doc scoring counts
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
-    val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))
-    val vocab = tri.select(col("g")).distinct()
+    val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
+    val vocab = cGl.select(col("g")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     // log-prob table for EVERY (trigram, language) pair — absent pairs get
     // the smoothed floor. |vocab| x |langs| rows: bounded by the charset,
@@ -202,14 +209,17 @@ object TextQueries {
   // the end (rounded), so the score is order-insensitive. Output: the 10
   // lowest-likelihood docs per language — the drop candidates.
   def qLmQuality(spark: SparkSession, dir: String): DataFrame = {
+    // persist point at the narrow exploded frame (see q_langid_nb's note:
+    // persisting the post-shuffle per-doc counts measured slower); c_l
+    // and |vocab| derive from c_gl rather than re-scanning the instances
     val tri = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.CharNgramsExpr.charNgrams(
           substring(lower(col("text")), 1, 200))).as("g"))
       .persist()
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
-    val cL = tri.groupBy(col("lang").as("l")).agg(count(lit(1)).as("c_l"))
-    val vSize = tri.select(col("g")).distinct().agg(count(lit(1)).as("v"))
+    val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
+    val vSize = cGl.select(col("g")).distinct().agg(count(lit(1)).as("v"))
     val logp = cGl
       .join(broadcast(cL), "l")
       .join(broadcast(vSize))

@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine's portable deterministic hash,
+  * `cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)` — the value
+  * of the first 15 md5 hex digits, i.e. the digest's top 60 bits — as ONE
+  * native expression. DuckDB replays the declarative form bit-for-bit
+  * (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`), which is why every
+  * sampling / splitting / salting / sketch-hash op in the engine is built
+  * on it; but the builtin chain materializes a 32-char hex STRING per row
+  * and then re-parses 15 of those chars back into a long. This expression
+  * reads the top 8 digest bytes directly (big-endian >>> 4 — the same
+  * identity [[CdcChunksExpr]] uses, spec-pinned), skipping the hex
+  * round-trip and its allocations on hash-heavy paths (the Poisson
+  * bootstrap evaluates it 32x per event; shingle sketches once per
+  * shingle instance).
+  *
+  * Consumers keep their `% K` / comparison arithmetic declarative, so
+  * each call site stays textually close to its DuckDB oracle.
+  * Md5Hash60Spec pins native == declarative chain on ids, salted
+  * composites, and unicode.
+  */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash60Expr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.Md5Hash60Expr.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Hash60Expr {
+
+  private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Column form: top 60 bits of md5(s) as a non-negative long. */
+  def of(s: Column): Column = Shims.column(Md5Hash60Expr(Shims.expression(s)))
+
+  def compute(s: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val top =
+      (d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
+      (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |
+      (d(4) & 0xffL) << 24 | (d(5) & 0xffL) << 16 |
+      (d(6) & 0xffL) << 8 | (d(7) & 0xffL)
+    top >>> 4
+  }
+}

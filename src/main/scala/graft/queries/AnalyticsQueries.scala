@@ -1086,8 +1086,9 @@ object AnalyticsQueries {
       .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .select(col("event_id"), col("cents"),
         explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("u", expr(
-        "cast(conv(substring(md5(concat('boot9:', cast(event_id as string), ':', cast(b as string))), 1, 15), 16, 10) as bigint) % 1000"))
+      .withColumn("u", graft.functions.Md5Hash60Expr.of(concat(
+        lit("boot9:"), col("event_id").cast("string"), lit(":"),
+        col("b").cast("string"))) % 1000L)
       .withColumn("m", expr(
         """CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
           |     WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END""".stripMargin))

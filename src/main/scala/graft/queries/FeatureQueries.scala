@@ -121,8 +121,9 @@ object FeatureQueries {
     val cands = customer(spark, dir).select(col("c_custkey").as("custkey"))
       .select(col("custkey"), explode(expr("sequence(0, 7)")).as("i"))
       .crossJoin(broadcast(maxPart))
-      .withColumn("partkey", expr(
-        "cast(conv(substring(md5(concat('neg11:', cast(custkey as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % mp + 1"))
+      .withColumn("partkey", graft.functions.Md5Hash60Expr.of(concat(
+        lit("neg11:"), col("custkey").cast("string"), lit(":"),
+        col("i").cast("string"))) % col("mp") + 1L)
       .join(part(spark, dir).select(col("p_partkey").as("partkey")),
         Seq("partkey"), "left_semi")
       .groupBy(col("custkey"), col("partkey")).agg(min(col("i")).as("i"))

@@ -67,7 +67,7 @@ object SketchDedupQueries {
     val shingles = reps.select(col("doc_id"), explode(col("sarr")).as("shingle"))
       .persist()
     val hashed = shingles.withColumn("xm",
-      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
+      graft.functions.Md5Hash60Expr.of(col("shingle")) % 1000000007L)
 
     // all K permutations + running mins inside ONE array-typed aggregate
     // (long[16] buffer, map-side partials) instead of 16 min() columns —
@@ -242,7 +242,7 @@ object SketchDedupQueries {
         explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("hx",
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+        graft.functions.Md5Hash60Expr.of(col("tok")))
     val bitSum = udaf(new graft.functions.SignedBitSum(SimBits))
     val fpExpr = expr(
       s"""aggregate(sequence(0, ${SimBits - 1}), CAST(0 AS BIGINT),
@@ -480,7 +480,7 @@ object SketchDedupQueries {
       .distinct()
       .persist()
     val hashed = sh.withColumn("xm",
-      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % 1000000007"))
+      graft.functions.Md5Hash60Expr.of(col("shingle")) % 1000000007L)
     val minVec = udaf(new graft.functions.MinPermVec(as.toArray, bs.toArray, P))
     val sig = hashed.groupBy(col("source")).agg(minVec(col("xm")).as("m"))
     def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)

@@ -1326,8 +1326,9 @@ object TextQueries {
     val t = documents(spark, dir)
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
-      .withColumn("drop", expr(
-        "cast(conv(substring(md5(concat('aug3:', cast(doc_id as string), ':', cast(pos as string))), 1, 15), 16, 10) as bigint) % 10 = 0"))
+      .withColumn("drop", graft.functions.Md5Hash60Expr.of(concat(
+        lit("aug3:"), col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))) % 10L === 0L)
     t.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(!col("drop"), 1L).otherwise(0L)).as("n_kept"),

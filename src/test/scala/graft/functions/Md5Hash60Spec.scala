@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the native [[Md5Hash60Expr]] to the declarative portable-hash
+  * chain it replaced (`cast(conv(substring(md5(s),1,15),16,10) as
+  * bigint)`) — the identity every DuckDB oracle replays.
+  */
+class Md5Hash60Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val hof = expr(
+    "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+
+  test("native == conv(substring(md5)) chain on ids, salted composites, unicode") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("boot9:"), col("doc_id").cast("string")).as("s"))
+      .union(Seq("", "a", "héllo wörld", "boot9:123:31").toDF("s"))
+    val diff = docs
+      .select(Md5Hash60Expr.of(col("s")).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() == 0)
+    // non-negative by construction (top 60 bits)
+    assert(docs.select(Md5Hash60Expr.of(col("s")).as("h"))
+      .filter(col("h") < 0).count() == 0)
+  }
+}

@@ -412,46 +412,39 @@ object CorpusOpsQueries {
     // sf0.1; this form ~2 s). Means are IDENTICAL (Σq6·100 =
     // Σround(x,6)·1e8); covariance now quantizes INPUTS once instead of
     // each product — the same integer-micro-unit determinism discipline
-    // the rest of the engine uses. The 2080 upper-triangle cells build
-    // ROW-LOCALLY (nested transform + flatten, no array carried through
-    // the explode), and cell sums accumulate in DECIMAL(38,0) (products
-    // are ≤ ~1e13 each; a BIGINT sum only overflows past ~10⁶ vectors,
-    // the decimal removes the cliff). The product itself is
-    // overflow-exact at ARBITRARY coordinate scale without paying
-    // BigDecimal on every cell: both operands ≤ floor(sqrt(2⁶³−1)) =
-    // 3037000499 (every real embedding) multiply in BIGINT and cast;
-    // anything larger promotes one operand to DECIMAL(38,0) first —
-    // the same exactness as the oracle's HUGEINT, measured ~1.6x
-    // cheaper than unconditional decimal promotion.
-    def cellArray(product: String) =
-      s"""flatten(transform(sequence(0, 63), i ->
-         |  transform(sequence(i, 63), j -> named_struct(
-         |    'c', i * 64 + j,
-         |    's', $product))))""".stripMargin
-    val fastProduct =
-      "CAST(element_at(v6, i + 1) * element_at(v6, j + 1) AS DECIMAL(38,0))"
-    val wideProduct =
-      "CAST(element_at(v6, i + 1) AS DECIMAL(38,0)) * element_at(v6, j + 1)"
-    val prods = e
+    // the rest of the engine uses.
+    //
+    // All 2080 upper-triangle cell sums accumulate in ONE array-typed
+    // aggregate ([[graft.functions.OuterProductSum]]): a compiled
+    // 128-bit (hi, lo) accumulator per cell with map-side partials,
+    // replacing 2080 interpreted named_structs per row exploded into a
+    // 41.6M-row hash aggregation (that form: ~2.9 s at sf0.1; this one
+    // ~0.9 s). Exact at arbitrary coordinate scale — Math.multiplyHigh
+    // gives the full signed product, and hi·2⁶⁴ + unsigned(lo) below
+    // reconstructs the same DECIMAL(38,0) the oracle's HUGEINT sums
+    // carry, with the identical ~1.7e38 ceiling. OuterProductSumSpec
+    // pins the aggregate against the declarative decimal sums on real
+    // embeddings plus adversarial magnitudes/signs.
+    val ops = udaf(new graft.functions.OuterProductSum(64))
+    val sums = e
       .withColumn("v6", expr(
         "transform(v, x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"))
-      .select(explode(expr(
-        // the magnitude branch sits at ROW level, not inside the
-        // 2080-cell loop: rows whose max |q6| fits the BIGINT-safe bound
-        // floor(sqrt(2⁶³−1)) (every real embedding) take the long
-        // multiply per cell; a row with any larger coordinate promotes
-        // to DECIMAL(38,0) — exact either way (per-cell CASE measured
-        // 1.7x; unconditional decimal 1.6x; this form ~1x vs the
-        // wrap-prone BIGINT baseline)
-        s"""CASE WHEN aggregate(v6, 0L, (m, x) -> greatest(m, abs(x)))
-           |       <= 3037000499
-           |  THEN ${cellArray(fastProduct)}
-           |  ELSE ${cellArray(wideProduct)} END""".stripMargin))
-        .as("cell"))
-      .groupBy(col("cell.c").as("c"))
-      .agg(sum(col("cell.s")).as("sp12"), count(lit(1)).as("n"))
-      .select(expr("CAST(c div 64 AS INT)").as("i"), expr("CAST(c % 64 AS INT)").as("j"),
-        col("sp12"), col("n"))
+      .agg(ops(col("v6")).as("hl"), count(lit(1)).as("nv"))
+    val prods = sums
+      .select(col("hl"), col("nv"), explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j -> named_struct('i', i, 'j', j))))""".stripMargin))
+        .as("ij"))
+      .select(col("ij.i").cast("int").as("i"), col("ij.j").cast("int").as("j"),
+        col("nv").as("n"),
+        expr("element_at(hl, (ij.i * 64 + ij.j) * 2 + 1)").as("hi"),
+        expr("element_at(hl, (ij.i * 64 + ij.j) * 2 + 2)").as("lo"))
+      .withColumn("sp12", expr(
+        """CAST(hi AS DECIMAL(38,0)) * CAST('18446744073709551616' AS DECIMAL(20,0))
+          | + CASE WHEN lo >= 0 THEN CAST(lo AS DECIMAL(38,0))
+          |   ELSE CAST(lo AS DECIMAL(38,0))
+          |        + CAST('18446744073709551616' AS DECIMAL(20,0)) END""".stripMargin))
+      .select(col("i"), col("j"), col("sp12"), col("n"))
     prods
       .join(broadcast(dims.select(col("i"), col("m8").as("m8_i"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("m8").as("m8_j"))), "j")

@@ -914,9 +914,9 @@ object CorpusOpsQueries {
   // plain BIGINT — only the final 2080-cell mean-subtraction runs in
   // DECIMAL(38). Headroom: |term| <= ~1e6-scale, so a BIGINT sum holds
   // ~9e12 rows (multi-PB of 64-dim floats); qEmbedCovariance remains
-  // the arbitrary-scale exact form. The 2080 upper-triangle cells build
-  // row-locally (nested transform + flatten) so the explode carries no
-  // array. The cell table is localCheckpoint'd (metadata scale) so the
+  // the arbitrary-scale exact form. The cell sums accumulate in one
+  // compiled array-typed aggregate (ScaledOuterProductSum, map-side
+  // partials). The cell table is localCheckpoint'd (metadata scale) so the
   // three iterations never touch the corpus again; each iteration is a
   // 4096-row join + map-side-combinable groupBy. Uniform all-ones
   // start: deterministic, and not orthogonal to the top component on
@@ -934,22 +934,22 @@ object CorpusOpsQueries {
                |  THEN (2 * s6 + n) div (2 * n)
                |  ELSE -((2 * (-s6) + n) div (2 * n))
                |END""".stripMargin).as("m6"))
+    // cell sums in ONE array-typed aggregate (the q_embed_covariance
+    // recipe — see [[graft.functions.ScaledOuterProductSum]]), replacing
+    // 2080 interpreted named_structs per row + a 41.6M-row hash agg;
+    // per-cell arithmetic (long product, half-up rescale) is the exact
+    // declarative form, spec-pinned
+    val sops = udaf(new graft.functions.ScaledOuterProductSum(64, 1000000L))
     val prods = e
       .withColumn("v6", expr(
         "transform(v, x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"))
-      .select(explode(expr(
+      .agg(sops(col("v6")).as("s"), count(lit(1)).as("nv"))
+      .select(col("s"), col("nv"), explode(expr(
         """flatten(transform(sequence(0, 63), i ->
-          |  transform(sequence(i, 63), j -> named_struct(
-          |    'c', i * 64 + j,
-          |    'p', element_at(v6, i + 1) * element_at(v6, j + 1)))))""".stripMargin))
-        .as("cell"))
-      .select(col("cell.c").as("c"), expr(
-        """CASE WHEN cell.p >= 0 THEN (2 * cell.p + 1000000) div 2000000
-          |  ELSE -((2 * -cell.p + 1000000) div 2000000) END""".stripMargin).as("s"))
-      .groupBy(col("c"))
-      .agg(sum(col("s")).as("sp6"), count(lit(1)).as("n"))
-      .select(expr("CAST(c div 64 AS INT)").as("i"),
-        expr("CAST(c % 64 AS INT)").as("j"), col("sp6"), col("n"))
+          |  transform(sequence(i, 63), j -> named_struct('i', i, 'j', j))))""".stripMargin))
+        .as("ij"))
+      .select(col("ij.i").cast("int").as("i"), col("ij.j").cast("int").as("j"),
+        expr("element_at(s, ij.i * 64 + ij.j + 1)").as("sp6"), col("nv").as("n"))
     val upper = prods
       .join(broadcast(dims.select(col("i"), col("m6").as("m6_i"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("m6").as("m6_j"))), "j")

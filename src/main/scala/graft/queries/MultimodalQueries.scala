@@ -121,25 +121,14 @@ object MultimodalQueries {
     val d = base.unionByName(twins).unionByName(near)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n"))
-    val px = d
-      .select(col("doc_id"), col("n"), col("text"),
-        explode(expr("sequence(1, CAST(n AS INT))")).as("pos"))
-      .select(col("doc_id"), col("n"),
-        expr("CAST((CAST(pos AS BIGINT) - 1) * 64 div n AS INT)").as("seg"),
-        expr("CAST(ascii(substring(text, pos, 1)) AS BIGINT)").as("code"))
-    val segMean = px.groupBy(col("doc_id"), col("seg"))
-      .agg(sum(col("code")).as("s"), count(lit(1)).as("c"))
-      .select(col("doc_id"), col("seg"),
-        expr("(2 * 1000000 * s + c) div (2 * c)").as("m6"))
-    val docMean = px.groupBy(col("doc_id"))
-      .agg(sum(col("code")).as("s"), count(lit(1)).as("c"))
-      .select(col("doc_id"), expr("(2 * 1000000 * s + c) div (2 * c)").as("g6"))
-    val bands = segMean.join(docMean, "doc_id")
-      .select(col("doc_id"), (col("seg") / 16).cast("int").as("band"),
-        when(col("m6") > col("g6"),
-          expr("CAST(pow(2, seg % 16) AS BIGINT)")).otherwise(lit(0L)).as("bw"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("bw")).as("bv"))
+    // the whole signature derives per-doc in the native AHashBandsExpr
+    // (one codepoint walk; AHashExprSpec pins it to the declarative
+    // explode + two-aggregation chain it replaced, which shuffled a
+    // ~50M-row per-character frame twice at sf0.1)
+    val bands = d
+      .select(col("doc_id"), posexplode(
+        graft.functions.AHashBandsExpr.bands(col("text")))
+        .as(Seq("band", "bv")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -113,8 +113,9 @@ object CorpusOpsQueries {
     // (doc_id, pos, shingle) for docs long enough to have one
     val sh = t.filter(col("nt") >= n)
       .select(col("doc_id"), col("nt"),
-        posexplode(expr(
-          s"transform(sequence(1, nt - ${n - 1}), i -> concat_ws(' ', slice(tk, i, $n)))"))
+        // every n-token window via the native ShinglesExpr (non-distinct
+        // — ShingleExprSpec pins window-per-position semantics)
+        posexplode(graft.functions.ShinglesExpr.shingles(col("tk"), n, distinct = false))
           .as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("sh"))
     val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
@@ -624,8 +625,8 @@ object CorpusOpsQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .filter(length(col("w")) >= 2)
     words
-      .select(col("wc"), explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .select(col("wc"),
+        explode(graft.functions.CharNgramsExpr.charNgrams(col("w"), 2)).as("pair"))
       .groupBy(col("pair"))
       .agg(sum(col("wc")).as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)

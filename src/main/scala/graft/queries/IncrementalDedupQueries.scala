@@ -47,19 +47,15 @@ object IncrementalDedupQueries {
     * (doc_id, m, sarr, n_shingles). Documents under 3 tokens carry no
     * 3-shingle and are excluded, matching the whole-corpus query.
     */
-  def signatures(docs: DataFrame): DataFrame = {
-    val minCols = (0 until K).map { i =>
-      expr(s"array_min(transform(xmarr, x -> (${as(i)} * x + ${bs(i)}) % $P))")
-    }
-    docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
-      .withColumn("xmarr", expr(
-        s"transform(sarr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)"))
-      .select(col("doc_id"), array(minCols: _*).as("m"),
-        col("sarr"), size(col("sarr")).as("n_shingles"))
-  }
+  def signatures(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    .filter(size(col("tk")) >= 3)
+    .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
+    // all K permutation minima in one compiled pass (MinHashSigSpec pins
+    // it to the md5-lambda + K×array_min(transform) chain it replaced)
+    .select(col("doc_id"),
+      graft.functions.MinHashSigExpr.sig(col("sarr"), as, bs, P).as("m"),
+      col("sarr"), size(col("sarr")).as("n_shingles"))
 
   /** Merge a day's signatures into the persisted index (last-writer-wins
     * on doc_id — a re-ingested or corrected document replaces its row).

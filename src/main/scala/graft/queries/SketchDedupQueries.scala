@@ -25,11 +25,11 @@ object SketchDedupQueries {
   // shared with IncrementalDedupQueries — the incremental index stores
   // signatures under the SAME permutation family, so batch-vs-index pairs
   // are bit-identical to whole-corpus pairs
-  private[queries] val P = 1000000007L
-  private[queries] val K = 16          // minhash functions
+  private[graft] val P = 1000000007L
+  private[graft] val K = 16          // minhash functions
   private[queries] val Bands = 4       // 4 bands x 4 rows
-  private[queries] val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
-  private[queries] val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
+  private[graft] val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
+  private[graft] val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
 
   // ---------------------------------------------------------------- MinHash
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -66,15 +66,14 @@ object SketchDedupQueries {
     // recomputing the explode+md5 per branch
     val shingles = reps.select(col("doc_id"), explode(col("sarr")).as("shingle"))
       .persist()
-    val hashed = shingles.withColumn("xm",
-      graft.functions.Md5Hash60Expr.of(col("shingle")) % 1000000007L)
 
-    // all K permutations + running mins inside ONE array-typed aggregate
-    // (long[16] buffer, map-side partials) instead of 16 min() columns —
-    // same fusion as the SimHash SignedBitSum; arithmetic unchanged, so
-    // the oracle's per-column mins still match bit-for-bit
-    val minVec = udaf(new graft.functions.MinPermVec(as.toArray, bs.toArray, P))
-    val sig = hashed.groupBy(col("doc_id")).agg(minVec(col("xm")).as("m"))
+    // all K permutation minima per document in ONE compiled row-grain pass
+    // (MinHashSigExpr — the same expression the incremental index uses, so
+    // batch-vs-index pairs stay bit-identical) instead of exploding and
+    // shuffling per-shingle rows into a MinPermVec aggregate; arithmetic
+    // unchanged, so the oracle's per-column mins still match bit-for-bit
+    val sig = reps.select(col("doc_id"),
+        graft.functions.MinHashSigExpr.sig(col("sarr"), as, bs, P).as("m"))
       .persist() // both sides of the band self-join
 
     def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)

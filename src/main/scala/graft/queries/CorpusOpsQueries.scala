@@ -716,17 +716,18 @@ object CorpusOpsQueries {
       .select(least(col("pdoc"), col("fdoc")).as("doc_a"),
         greatest(col("pdoc"), col("fdoc")).as("doc_b"))
       .distinct()
-    val counts = reps.select(col("doc_id"), col("n_shingles"), col("set_hash"))
-    val repPairs = shingles.as("sa")
-      .join(cand, col("sa.doc_id") === col("doc_a"))
-      .join(shingles.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(counts.select(col("doc_id").as("doc_a"),
+    // verify: size(array_intersect) of the two (distinct) shingle arrays
+    // fetched per candidate pair — one per-row set intersection instead
+    // of a posting-list self-join + counting shuffle (same rewrite as the
+    // Jaccard/MinHash detectors; integer threshold arithmetic unchanged)
+    val repArr = reps.select(col("doc_id"), col("sarr"), col("n_shingles"),
+      col("set_hash"))
+    val repPairs = cand
+      .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
         col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"),
+      .join(repArr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"),
         col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("common") * 5 >= least(col("na"), col("nb")) * 4)
       .select(col("ha"), col("hb"), col("common"),
         round(col("common").cast("double") / least(col("na"), col("nb")), 6)

@@ -64,9 +64,6 @@ object SketchDedupQueries {
     // the shingle set feeds several plan branches (signatures and both
     // sides of the candidate-verify join) — persist it once instead of
     // recomputing the explode+md5 per branch
-    val shingles = reps.select(col("doc_id"), explode(col("sarr")).as("shingle"))
-      .persist()
-
     // all K permutation minima per document in ONE compiled row-grain pass
     // (MinHashSigExpr — the same expression the incremental index uses, so
     // batch-vs-index pairs stay bit-identical) instead of exploding and
@@ -99,21 +96,21 @@ object SketchDedupQueries {
       .persist() // joined twice in the verify stage
 
     // verify stage: exact Jaccard, restricted to LSH candidates
-    // (representatives only — n_shingles from size(), no counting shuffle)
-    val counts = reps.select(col("doc_id"), size(col("sarr")).as("n_shingles"),
-      col("set_hash"))
-    val common = shingles.as("sa")
-      .join(cand, col("sa.doc_id") === col("doc_a"))
-      .join(shingles.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    // (representatives only). The overlap is size(array_intersect) of the
+    // two (distinct) shingle arrays fetched per candidate pair — one
+    // per-row set intersection instead of a posting-list self-join plus a
+    // counting shuffle; with the signature also computed at row grain,
+    // the shingle explode disappears from this detector entirely. A
+    // zero-overlap candidate scores jaccard 0 and falls to the same
+    // >= 0.5 filter that the old inner join on the counting agg implied.
+    val repArr = reps.select(col("doc_id"), col("sarr"),
+      size(col("sarr")).as("n_shingles"), col("set_hash"))
     val repPairs = cand
-      .join(common, Seq("doc_a", "doc_b"), "inner")
-      .join(counts.select(col("doc_id").as("doc_a"),
+      .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
         col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"),
+      .join(repArr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"),
         col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
@@ -218,12 +215,9 @@ object SketchDedupQueries {
   private val BandBits = 15
   private val HammingMax = 3
 
-  /** 60-bit simhash per document over its token multiset. The 60 signed
-    * bit-sums are ONE array-typed aggregate ([[graft.functions.SignedBitSum]]
-    * — long[60] buffer, map-side partials), not 60 sum columns; the
-    * fingerprint folds the array with a codegen'd `aggregate` expression.
-    * Arithmetic is unchanged (signed popcount, then bit j set iff sum > 0),
-    * so the DuckDB oracle's column-wise form reproduces it exactly.
+  /** 60-bit simhash per document over its token multiset (signed
+    * popcount, then bit j set iff sum > 0 — the DuckDB oracle's
+    * column-wise form reproduces it exactly; see [[simhashSigOver]]).
     */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame =
     simhashSigOver(documents(spark, dir), "doc_id", "text")
@@ -233,25 +227,23 @@ object SketchDedupQueries {
     * CorpusPipeline.dedupNearSimhash (which detects on the pipeline's
     * exact-deduped representatives, the composition that stays
     * output-bounded on duplicate-saturated corpora).
+    *
+    * The whole signed-popcount runs per ROW ([[graft.functions.SimHashExpr]]
+    * — one compiled pass over the token array, SimHashSpec-pinned to the
+    * explode + SignedBitSum chain it replaced): every token of a document
+    * lives in its own row, so no explode and no per-token shuffle is
+    * needed. A document with no non-empty token returns NULL (it produced
+    * no row under the exploded form) and is filtered, mirroring the
+    * oracle's `WHERE tok <> ''` stream.
     */
   private[graft] def simhashSigOver(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("hx",
-        graft.functions.Md5Hash60Expr.of(col("tok")))
-    val bitSum = udaf(new graft.functions.SignedBitSum(SimBits))
-    val fpExpr = expr(
-      s"""aggregate(sequence(0, ${SimBits - 1}), CAST(0 AS BIGINT),
-         |  (acc, j) -> acc + CASE WHEN element_at(s, j + 1) > 0
-         |    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-      .as("simhash")
-    tokens.groupBy(col("doc_id")).agg(bitSum(col("hx")).as("s"))
-      .select(col("doc_id"), fpExpr)
+        graft.functions.SimHashExpr.of(split(trim(col(textCol)), "\\s+"))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
       .persist() // signature reused by both sides of the band self-join
-  }
 
   private def simhashSigSql: String = {
     val sums = (0 until SimBits)

@@ -499,6 +499,15 @@ object AnalyticsQueries {
   // Lift is computed entirely in integer ppm: (1e6 * n_ab * N) div
   // (n_a * n_b), exact in both engines.
   def qItemAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // NEGATIVE RESULT (round 9): rewriting the basket self-join as
+    // groupBy(o).collect_set + in-row ordered-pair fan-out (the shape
+    // that won for q_source_similarity) measured 2.25 s vs this form's
+    // 2.12 s anchor at sf0.1 — the self-join REUSES the distinct's
+    // exchange (both sides are the same frame), so the only saving was
+    // the join build, and the interpreted pair-expansion lambda cost
+    // more than that. Every basket emits pairs here (pair rows ~3x the
+    // stream), unlike the shingle case where multi-source shingles are
+    // rare.
     val li = lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val pairs = li.as("a").join(li.as("b"),

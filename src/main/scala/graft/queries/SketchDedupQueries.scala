@@ -463,35 +463,49 @@ object SketchDedupQueries {
   // permutation family as the doc-level MinHash, so the incremental
   // signature index could maintain these sketches per partition too.
   def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val sh = documents(spark, dir)
+    // ONE shuffle of the raw (source, shingle) stream builds the
+    // per-shingle source SET (collect_set dedups inside the aggregate,
+    // with map-side partials — no separate distinct pass); everything
+    // else derives from that compact one-row-per-distinct-shingle frame.
+    val srcSets = documents(spark, dir)
       .select(col("source"), split(trim(col("text")), "\\s+").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("source"), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("shingle"))
-      .distinct()
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
       .persist()
-    val hashed = sh.withColumn("xm",
-      graft.functions.Md5Hash60Expr.of(col("shingle")) % 1000000007L)
+    // per-source distinct-shingle counts AND union sketches in one tiny
+    // aggregate over the re-exploded sets (the sketch min is insensitive
+    // to the dedup, so the set frame loses nothing)
+    val bySrc = srcSets.select(explode(col("ss")).as("source"),
+      (graft.functions.Md5Hash60Expr.of(col("shingle")) % 1000000007L).as("xm"))
     val minVec = udaf(new graft.functions.MinPermVec(as.toArray, bs.toArray, P))
-    val sig = hashed.groupBy(col("source")).agg(minVec(col("xm")).as("m"))
+    val sig = bySrc.groupBy(col("source"))
+      .agg(minVec(col("xm")).as("m"), count(lit(1)).as("n_sh"))
     def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)
     val est = ((0 until K)
       .map(i => when(m("a", i) === m("b", i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / K).as("minhash_est")
     val pairs = sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
-      .select(col("a.source").as("source_a"), col("b.source").as("source_b"), est)
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("source").as("source_a"), col("shingle"))
-      .join(sh.select(col("source").as("source_b"), col("shingle")), "shingle")
-      .filter(col("source_a") < col("source_b"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        est, col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    // exact per-pair overlap: expand each multi-source shingle's ordered
+    // source pairs in-row — the source universe is tiny (a catalog
+    // dimension), so the fan-out is bounded by k² and almost every
+    // shingle lives in one source (no pair at all). No posting
+    // self-join ever happens.
+    val common = srcSets
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1), y ->
+          |    struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(common, Seq("source_a", "source_b"), "left")
-      .join(sizes.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n_sh", "na"), "source_a")
-      .join(sizes.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n_sh", "nb"), "source_b")
       .select(col("source_a"), col("source_b"), col("minhash_est"),
         round(coalesce(col("common"), lit(0L)).cast("double") /
           (col("na") + col("nb") - coalesce(col("common"), lit(0L))), 6).as("jaccard"))

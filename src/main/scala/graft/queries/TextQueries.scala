@@ -1375,15 +1375,18 @@ object TextQueries {
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .persist()
-    val groups = docs.groupBy(col("set_hash")).agg(count(lit(1)).as("g"))
-    val within = groups.agg(
-      coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("w"))
+    // group size and representative selection in ONE pass over the
+    // set_hash partitioning (count + row_number share the exchange/sort)
+    // instead of a separate groupBy + join back
+    val bySet = Window.partitionBy(col("set_hash"))
     val reps = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
+      .withColumn("g", count(lit(1)).over(bySet))
+      .withColumn("rn", row_number().over(bySet.orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
-      .join(groups, "set_hash")
       .select(col("doc_id"), col("sarr"), col("n"), col("g"))
+      .persist()
+    val within = reps.agg(
+      coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("w"))
     val shingles = reps
       .select(col("doc_id"), col("n"), explode(col("sarr")).as("shingle"))
     val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -1392,10 +1395,16 @@ object TextQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n"))
+    // AllPairs length filter at the LOWEST swept threshold (t = 0.5):
+    // jaccard >= 0.5 forces min*2 >= max, so pairs failing it cannot
+    // pass any threshold >= 50 — integer-exact and lossless for the
+    // whole sweep, pruning candidates before the distinct/verify
     val cand = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")) * 2
+             >= greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val ra = reps.select(col("doc_id").as("da"), col("sarr").as("sa"),

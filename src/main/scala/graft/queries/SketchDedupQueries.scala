@@ -279,21 +279,46 @@ object SketchDedupQueries {
   private[graft] def simhashPairsOver(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sig = simhashSigOver(docs, idCol, textCol)
+    // identical-SIGNATURE collapse (the ngram/minhash/containment lesson
+    // applied to the one detector that lacked it): documents sharing a
+    // simhash have identical band rows and pairwise hamming 0, so
+    // banding + the pair join run on one representative per distinct
+    // signature and the full pair set reassembles afterwards —
+    // within-group pairs carry hamming 0, and a cross-group rep pair's
+    // hamming holds for every member pair. Lossless by construction.
+    // On the 99%-duplicate 100x corpus this is what keeps band buckets
+    // unskewed: without it, exact copies multiply every bucket by k and
+    // the band join by k² (measured 268 s under the broadcast plan AQE
+    // picks for the small cached signature table, 53–93 s under forced
+    // shuffle joins; collapsed, the k² work is output-only reassembly).
+    val reps = sig.groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
     val bandStructs = (0 until SimBands).map(b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(simhash, ${BandBits * b}) % ${1 << BandBits}").as("bv")))
-    val bands = sig
+    val bands = reps
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    bands.as("a")
+    val repPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= HammingMax)
+    val within = sig.as("x")
+      .join(sig.as("y"),
+        col("x.simhash") === col("y.simhash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val cross = repPairs
+      .join(sig.select(col("simhash").as("ha"), col("doc_id").as("ida")), "ha")
+      .join(sig.select(col("simhash").as("hb"), col("doc_id").as("idb")), "hb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

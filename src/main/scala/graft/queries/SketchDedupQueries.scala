@@ -35,12 +35,32 @@ object SketchDedupQueries {
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(documents(spark, dir))
 
+  /** The 3-shingle SET frame every shingle-based detector starts from:
+    * (doc_id, sarr, n_shingles, set_hash), docs under 3 tokens dropped.
+    * The set_hash is collision-free (newline delimiter: tokens come from
+    * a \s+ split, so no shingle can contain it). NOT persisted here —
+    * the caller decides (q_dedup_agreement shares ONE persisted base
+    * across its ngram + minhash generators).
+    */
+  private[graft] def shingleBase(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    .filter(size(col("tk")) >= 3)
+    .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
+    .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
+      md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
+
   /** Whole-corpus MinHash+LSH near-dup pairs over any documents frame —
     * the corpus-global form; [[IncrementalDedupQueries]] reproduces its
     * output restricted to batch-touching pairs without re-fingerprinting
     * the corpus.
     */
-  private[queries] def minhashPairs(docs: DataFrame): DataFrame = {
+  private[queries] def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsFrom(shingleBase(docs).persist())
+
+  /** MinHash pair generation over a prebuilt (caller-persisted)
+    * [[shingleBase]] frame.
+    */
+  private[queries] def minhashPairsFrom(base: DataFrame): DataFrame = {
     // identical-set collapse (same technique as qDedupNgramJaccard): the
     // signature/banding/verify pipeline runs on one representative per
     // distinct shingle set — k exact copies of a doc would otherwise
@@ -48,22 +68,11 @@ object SketchDedupQueries {
     // Identical sets have identical signatures, so within-group pairs are
     // exactly (est=1, jaccard=1) and a cross-group rep pair's values hold
     // for every member pair. Lossless by construction.
-    val base = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
-      .select(col("doc_id"), col("sarr"),
-        // newline-delimited sorted set: collision-free (tokens are \s+ split)
-        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
-      .persist()
     val reps = base
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("sarr"), col("set_hash"))
-    // the shingle set feeds several plan branches (signatures and both
-    // sides of the candidate-verify join) — persist it once instead of
-    // recomputing the explode+md5 per branch
     // all K permutation minima per document in ONE compiled row-grain pass
     // (MinHashSigExpr — the same expression the incremental index uses, so
     // batch-vs-index pairs stay bit-identical) instead of exploding and
@@ -752,9 +761,13 @@ object SketchDedupQueries {
   // reference, so the audit cost ~3x the sum of its parts.) Distinct
   // pairs per generator make max-over-tag exact set membership.
   def qDedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // the ngram and minhash generators start from the IDENTICAL
+    // tokenize→shingles→set_hash frame — build and persist it ONCE and
+    // hand it to both (simhash is token-grain, its base differs)
+    val base = shingleBase(documents(spark, dir)).persist()
     val tagged = Seq(
-      "truth" -> TextQueries.qDedupNgramJaccard(spark, dir),
-      "minhash_lsh" -> qDedupMinhashLsh(spark, dir),
+      "truth" -> TextQueries.ngramJaccardPairsFrom(base),
+      "minhash_lsh" -> minhashPairsFrom(base),
       "simhash" -> qDedupSimhash(spark, dir))
       .map { case (src, df) =>
         df.select(col("doc_a"), col("doc_b"), lit(src).as("src")) }

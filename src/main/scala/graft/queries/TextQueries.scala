@@ -342,11 +342,16 @@ object TextQueries {
   // quadratic: 525s at 50k docs vs ~20s with prefixes; graft.ScaleProbe).
   // All threshold arithmetic is integer-exact (t = 3/5): float rounding at
   // prefix/length boundaries could silently drop qualifying pairs.
-  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Per-doc shingle SET as an array, its size (from size(), no counting
-    // shuffle), and a collision-free set hash (newline delimiter: tokens
-    // come from a \s+ split, so no shingle can contain it).
-    //
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsFrom(
+      SketchDedupQueries.shingleBase(documents(spark, dir)).persist())
+
+  /** Jaccard pair generation over a prebuilt (caller-persisted)
+    * [[SketchDedupQueries.shingleBase]] frame — shared with
+    * q_dedup_agreement, which reuses ONE persisted base across its
+    * ngram + minhash generators.
+    */
+  private[queries] def ngramJaccardPairsFrom(docs: DataFrame): DataFrame = {
     // Identical-set collapse: dedup corpora are duplicate-heavy by
     // definition, and exact copies are poison for ALL-pairs candidate
     // generation — k copies of a doc multiply every posting list by k and
@@ -357,13 +362,6 @@ object TextQueries {
     // every member pair (identical sets). Lossless by construction; on
     // the 10x probe corpus (every doc x10) this cuts candidate generation
     // from 50k docs back to the ~5k distinct sets.
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 3)
-      .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
-      .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
-        md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
-      .persist()
     val reps = docs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))

@@ -125,21 +125,47 @@ object MultimodalQueries {
     // (one codepoint walk; AHashExprSpec pins it to the declarative
     // explode + two-aggregation chain it replaced, which shuffled a
     // ~50M-row per-character frame twice at sf0.1)
-    val bands = d
-      .select(col("doc_id"), posexplode(
-        graft.functions.AHashBandsExpr.bands(col("text")))
-        .as(Seq("band", "bv")))
-    val cand = bands.as("a").join(bands.as("b"),
+    val sigs = d
+      .select(col("doc_id"),
+        graft.functions.AHashBandsExpr.bands(col("text")).as("sig"))
+      // scalar collapse key: the four 16-bit bands packed back into the
+      // 64-bit aHash, so every collapse/reassembly join keys on a LONG
+      // instead of hashing the array per row
+      .withColumn("k", expr(
+        "sig[0] | shiftleft(sig[1], 16) | shiftleft(sig[2], 32) | shiftleft(sig[3], 48)"))
+      .persist()
+    // identical-signature collapse (the simhash lesson, §10.16): docs
+    // sharing the 4-band signature array have identical band rows and
+    // pairwise hamming 0, so banding + the pair join run on one
+    // representative per distinct signature and the pair set reassembles
+    // afterwards — lossless, and exact twins stop multiplying band
+    // buckets by k and the band join by k². The verify is an in-row fold
+    // over the two 4-element signatures fetched per rep pair (no
+    // band-level joins, no counting shuffle).
+    val reps = sigs.groupBy(col("k"), col("sig")).agg(min(col("doc_id")).as("doc_id"))
+    val bands = reps.select(col("doc_id"), col("k"), col("sig"),
+      posexplode(col("sig")).as(Seq("band", "bv")))
+    val repPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.k").as("ka"), col("a.sig").as("sa"),
+        col("b.k").as("kb"), col("b.sig").as("sb"))
       .distinct()
-    val ba = bands.select(col("doc_id").as("doc_a"), col("band"), col("bv").as("bva"))
-    val bb = bands.select(col("doc_id").as("doc_b"), col("band"), col("bv").as("bvb"))
-    cand.join(ba, "doc_a").join(bb, Seq("doc_b", "band"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(expr("bit_count(bva ^ bvb)")).cast("long").as("hamming"))
+      .withColumn("hamming", expr(
+        """aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .filter(col("hamming") <= 3)
+    val within = sigs.as("x")
+      .join(sigs.as("y"),
+        col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    val cross = repPairs
+      .join(sigs.select(col("k").as("ka"), col("doc_id").as("ida")), "ka")
+      .join(sigs.select(col("k").as("kb"), col("doc_id").as("idb")), "kb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

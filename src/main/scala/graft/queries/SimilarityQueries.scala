@@ -412,18 +412,57 @@ object SimilarityQueries {
 
   def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
-    val assigned = ivfAssign(e, ivfCentroids(e, IvfIters)).persist()
-    assigned.as("a").join(assigned.as("b"),
+    // identical-VECTOR collapse (the §10.16 family, applied to the one
+    // k²-at-100× survivor the round-7 rehearsal flagged): duplicate
+    // vectors share the centroid assignment, every pairwise cosine, and
+    // the rounded values, so clustering + the within-cluster pair join
+    // run on one representative per distinct vector. Reassembly is exact
+    // because only a group's MIN member can ever be the minimum
+    // qualifying partner (any other member of the same group is larger
+    // at the same cosine): dup_of(vec) = min over qualifying groups'
+    // min-members below vec — own group at cosine 1.0 (identical
+    // vectors round to exactly 1.0 at 5 decimals), cross groups at the
+    // rep-pair cosine. Centroids still TRAIN on the full corpus
+    // (duplicates weight the means), matching the oracle bit-for-bit.
+    // scalar collapse key — md5 of the double coordinates (the same
+    // convention as the shingle detectors' set_hash; 128 bits, so no
+    // collision gamble at corpus scale) — array-keyed windows/groupings
+    // force sort-based plans and measured ~1 s of pure overhead at sf0.1
+    val keyed = e.withColumn("vh",
+        md5(concat_ws(",", expr("transform(v, x -> cast(x as string))"))))
+      .persist()
+    val groups = keyed.groupBy(col("vh")).agg(min(col("vec_id")).as("rep_id"))
+    val reps = keyed.join(groups.select(col("rep_id")),
+        col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val assigned = ivfAssign(reps, ivfCentroids(e, IvfIters)).persist()
+    // one cosine per unordered rep pair (the join is the hot path), then
+    // the two directed contributions expand only for qualifying pairs
+    val cross = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.cid").as("cid"), col("b.vec_id").as("vec_id"),
-        col("a.vec_id").as("vec_a"), cosineExpr.as("cosine"))
-      .filter(col("cosine") >= SemTau)
-      // keeper = lowest qualifying vec_id; min_by is deterministic here
-      // because vec_a is unique within the (cid, vec_id) group
-      .groupBy(col("cid"), col("vec_id"))
-      .agg(min_by(struct(col("vec_a"), col("cosine")), col("vec_a")).as("d"))
-      .select(col("cid"), col("vec_id"), col("d.vec_a").as("dup_of"),
-        col("d.cosine").as("cosine"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        col("a.cid").as("c"), cosineExpr.as("cos"))
+      .filter(col("cos") >= SemTau)
+      .select(explode(array(
+        struct(col("ia").as("partner"), col("ib").as("rep_id"),
+          col("c").as("cid"), col("cos").as("cosine")),
+        struct(col("ib").as("partner"), col("ia").as("rep_id"),
+          col("c").as("cid"), col("cos").as("cosine")))).as("x"))
+      .select(col("x.partner").as("partner"), col("x.rep_id").as("rep_id"),
+        col("x.cid").as("cid"), col("x.cosine").as("cosine"))
+    val own = assigned.select(col("vec_id").as("partner"),
+      col("vec_id").as("rep_id"), col("cid"), lit(1.0).as("cosine"))
+    // keeper = lowest qualifying partner; min_by is deterministic here
+    // because partner ids are distinct within each vec_id group
+    keyed.select(col("vec_id"), col("vh"))
+      .join(groups, "vh")
+      .join(cross.unionByName(own), "rep_id")
+      .filter(col("partner") < col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("partner"), col("cosine"), col("cid")),
+        col("partner")).as("d"))
+      .select(col("d.cid").as("cid"), col("vec_id"),
+        col("d.partner").as("dup_of"), col("d.cosine").as("cosine"))
       .orderBy(col("vec_id"))
   }
 

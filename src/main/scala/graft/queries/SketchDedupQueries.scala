@@ -363,8 +363,14 @@ object SketchDedupQueries {
   // metadata-scale after the resolution. Singleton docs never enter
   // the pair graph and are reported from the corpus count delta.
   def qDedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    // comp feeds TWO aggregates (the size histogram and the in-graph
+    // count); unpersisted, each re-derives the vertex set and the final
+    // star join over the full edge graph — measured ~100 s of recompute
+    // at the 100x corpus (192.8 s vs dedup_apply's 89.4 on the same
+    // pair graph)
     val comp = graft.ops.ConnectedComponents
       .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
+      .persist()
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
     val hist = sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))

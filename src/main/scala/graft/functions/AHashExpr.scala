@@ -52,6 +52,11 @@ object AHashBandsExpr {
     val m = bytes.length
     // one codepoint walk: segment sums/counts + global sum
     val n = text.numChars().toLong
+    // empty input: every segment is empty, so every bit-decision is
+    // skipped — the degenerate grid is all-zero words (no division by the
+    // zero codepoint count). Callers filter length >= 64 so this is a
+    // contract guard, not a hot path.
+    if (n == 0) return new GenericArrayData(Array[Any](0L, 0L, 0L, 0L))
     val segS = new Array[Long](64)
     val segC = new Array[Long](64)
     var tot = 0L

@@ -32,6 +32,10 @@ class OuterProductSum(d: Int)
   override def zero: Array[Long] = new Array[Long](2 * d * d)
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    // null or wrong-dimension rows contribute nothing (instead of NPE /
+    // IndexOutOfBounds): the aggregate is defined over exactly-d vectors,
+    // and callers that cannot prove that filter upstream
+    if (v == null || v.length != d) return buf
     // IndexedSeq backed by a primitive array in practice; copy once so
     // the inner loop reads a flat long[]
     val a = new Array[Long](d)

@@ -20,6 +20,9 @@ class ScaledOuterProductSum(d: Int, div: Long)
   override def zero: Array[Long] = new Array[Long](d * d)
 
   override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    // same contract guard as OuterProductSum: null / wrong-dimension rows
+    // are skipped, never NPE
+    if (v == null || v.length != d) return buf
     val a = new Array[Long](d)
     var t = 0
     while (t < d) { a(t) = v(t); t += 1 }

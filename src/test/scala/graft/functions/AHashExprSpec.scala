@@ -53,6 +53,17 @@ class AHashExprSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("empty input returns the all-zero degenerate grid (no div-by-zero)") {
+    val bands = AHashBandsExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""))
+    assert(bands.array.toSeq == Seq(0L, 0L, 0L, 0L))
+    // and through the expression path end-to-end
+    val out = Seq((1L, "")).toDF("doc_id", "text")
+      .select(AHashBandsExpr.bands(col("text")).as("b"))
+      .collect()
+    assert(out.head.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("native == declarative on unicode and boundary shapes") {
     val d = Seq(
       (1L, "x" * 64),                                     // minimal grid

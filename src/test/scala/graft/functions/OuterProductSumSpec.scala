@@ -67,4 +67,18 @@ class OuterProductSumSpec extends SparkSpec {
     assert(joined.filter(col("got") =!= col("want")).count() == 0)
     e.unpersist()
   }
+
+  test("null and wrong-dimension rows are skipped, not NPE") {
+    val agg = new OuterProductSum(2)
+    val buf = agg.reduce(agg.reduce(agg.zero, Seq(2L, 3L)), null)
+    val buf2 = agg.reduce(agg.reduce(buf, Seq(1L)), Seq(1L, 2L, 3L))
+    // only the one valid row contributed: cells (2·2, 2·3, 3·3)
+    assert(buf2.toSeq == Seq(0L, 4L, 0L, 6L, 0L, 0L, 0L, 9L))
+    // and through the DataFrame path with an actual null array row
+    val d = Seq(Some(Seq(2L, 3L)), None, Some(Seq(1L)))
+      .toDF("v6")
+    val ops = udaf(new OuterProductSum(2))
+    val hl = d.agg(ops(col("v6"))).collect().head.getSeq[Long](0)
+    assert(hl == Seq(0L, 4L, 0L, 6L, 0L, 0L, 0L, 9L))
+  }
 }

@@ -54,4 +54,11 @@ class ScaledOuterProductSumSpec extends SparkSpec {
       .filter(col("got") =!= col("want")).count() == 0)
     e.unpersist()
   }
+
+  test("null and wrong-dimension rows are skipped, not NPE") {
+    val agg = new ScaledOuterProductSum(2, 1L)
+    val buf = agg.reduce(agg.reduce(agg.zero, Seq(2L, 3L)), null)
+    val buf2 = agg.reduce(agg.reduce(buf, Seq(1L)), Seq(1L, 2L, 3L))
+    assert(buf2.toSeq == Seq(4L, 6L, 0L, 9L))
+  }
 }

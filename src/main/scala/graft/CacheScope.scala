@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry for the persisted intermediates query builders
+  * create (shingle bases, signature frames, normalized embeddings, ...).
+  *
+  * Problem it solves (round-10 ADVICE): every detector persists one or
+  * more corpus-scale frames that the RETURNED plan references several
+  * times. The builder cannot unpersist them itself — the caller hasn't
+  * executed the plan yet — so a long-lived session running many
+  * detectors back-to-back accumulated corpus-scale cache without bound.
+  *
+  * Contract: builders persist through [[persist]] (which registers the
+  * frame under its session); every `SparkEntry.queries` entry drains the
+  * frames REGISTERED BEFORE IT starts building, so cache occupancy in a
+  * query-after-query session is bounded by one query's intermediates.
+  * Direct callers of the query objects can release explicitly with
+  * [[drain]].
+  *
+  * Laziness is preserved: nothing is materialized here, and a drain
+  * never breaks correctness — cached-plan substitution happens at
+  * execution time, so a plan whose intermediates were dropped simply
+  * recomputes them. The only pattern that loses the persist BENEFIT is
+  * building query B before executing query A's plan; build-execute-build
+  * (Bench, Verify, the driver, tests) keeps it fully.
+  */
+object CacheScope {
+
+  private val reg =
+    new ConcurrentHashMap[SparkSession, java.util.ArrayDeque[DataFrame]]()
+
+  /** Persist `df` (default storage level) and register it for the next
+    * [[drain]] of its session. Usable point-free in a plan chain:
+    * `.transform(graft.CacheScope.persist)`.
+    */
+  def persist(df: DataFrame): DataFrame = {
+    val q = reg.computeIfAbsent(df.sparkSession,
+      _ => new java.util.ArrayDeque[DataFrame]())
+    q.synchronized { q.addLast(df) }
+    df.persist()
+  }
+
+  /** Unpersist (blocking, so storage accounting is deterministic) every
+    * frame registered for `spark` and forget them.
+    */
+  def drain(spark: SparkSession): Unit = {
+    val q = reg.remove(spark)
+    if (q != null) q.synchronized {
+      q.forEach(df => df.unpersist(blocking = true))
+      q.clear()
+    }
+  }
+
+  /** Number of frames currently registered for `spark` (diagnostics). */
+  def registered(spark: SparkSession): Int = {
+    val q = reg.get(spark)
+    if (q == null) 0 else q.synchronized { q.size() }
+  }
+
+  /** Drain what previous scopes registered, then build — the wrapper
+    * every `SparkEntry.queries` entry runs under.
+    */
+  def scopedBuild[T](spark: SparkSession)(build: => T): T = {
+    drain(spark)
+    build
+  }
+}

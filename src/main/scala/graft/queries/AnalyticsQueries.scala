@@ -653,7 +653,7 @@ object AnalyticsQueries {
     val daily = events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val lags = spark.range(1, 4).select(col("id").cast("int").as("lag"))
     val pairs = daily.as("x")
       .crossJoin(broadcast(lags))
@@ -711,7 +711,7 @@ object AnalyticsQueries {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("dow", dayofweek(col("day")))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val base = daily.groupBy(col("dow"))
       .agg(expr("percentile(cnt, 0.5)").as("baseline"))
     val resid = daily.join(broadcast(base), "dow")

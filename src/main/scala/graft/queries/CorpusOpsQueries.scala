@@ -695,14 +695,14 @@ object CorpusOpsQueries {
       .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val reps = base
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val docFreq = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
     val prefixes = shingles
       .join(docFreq, "shingle")

@@ -43,7 +43,7 @@ object CurationQueries {
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
-      .persist() // feeds bigram counts, context counts, and scoring
+      .transform(graft.CacheScope.persist) // feeds bigram counts, context counts, and scoring
     val cBig = big.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_big"))
     val cCtx = big.groupBy(col("lang"), col("w1"))
@@ -320,10 +320,10 @@ object CurationQueries {
     // carries min(member id) so comp minima survive expansion
     val mGroups = cust.groupBy(col("c_name"))
       .agg(min(col("c_custkey")).as("m_node"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val pGroups = probes.groupBy(col("dirty_name"))
       .agg(min(col("probe_id")).as("p_node"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val candIdx = mGroups.select(col("m_node"),
       explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("c_name")))
         .as("variant"))
@@ -498,7 +498,7 @@ object CurationQueries {
     // 100x) this removes a 100x posting-list and candidate-join factor.
     val mGroups = cust.groupBy(col("c_name"))
       .agg(min(col("c_custkey")).as("m_node"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val mIdx = mGroups.select(col("m_node"),
       explode(graft.functions.DelNeighborsExpr.delNeighborHashes(col("c_name")))
         .as("variant"))

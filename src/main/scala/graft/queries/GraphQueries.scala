@@ -119,13 +119,13 @@ object GraphQueries {
         ((col("node") * col("node") + 7) % col("m")).as("dst"))
       .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
     // hub1 feeds BOTH the auth2 round and the final report join —
     // persist it (like edges) or the auth1→hub1 chain plans twice
     val hub1 = edges.join(auth1, "dst")
       .groupBy(col("src")).agg(sum(col("a1")).as("h1"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val auth2 = edges.join(hub1, "src")
       .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
     nodes
@@ -180,7 +180,7 @@ object GraphQueries {
         ((col("node") * col("node") + 7) % col("m")).as("dst"))
       .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val deg = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -308,7 +308,7 @@ object GraphQueries {
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist()
+      .transform(graft.CacheScope.persist)
     val recip = edges.as("a")
       .join(edges.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),

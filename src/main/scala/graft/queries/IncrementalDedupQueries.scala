@@ -160,7 +160,7 @@ object IncrementalDedupQueries {
     val lake = java.nio.file.Files.createTempDirectory("minhash-index")
       .resolve("sig").toString
     updateIndex(spark, signatures(docs.filter(!batchPred)), lake)
-    val batchSigs = signatures(docs.filter(batchPred)).persist()
+    val batchSigs = signatures(docs.filter(batchPred)).transform(graft.CacheScope.persist)
     updateIndex(spark, batchSigs, lake)
     val index = spark.read.parquet(lake)
     // materialize before deleting the scratch lake — the returned frame

@@ -133,7 +133,7 @@ object MultimodalQueries {
       // instead of hashing the array per row
       .withColumn("k", expr(
         "sig[0] | shiftleft(sig[1], 16) | shiftleft(sig[2], 32) | shiftleft(sig[3], 48)"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     // identical-signature collapse (the simhash lesson, §10.16): docs
     // sharing the 4-band signature array have identical band rows and
     // pairwise hamming 0, so banding + the pair join run on one

@@ -200,7 +200,7 @@ object PipelineQueries {
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist() // feeds df, the corpus count, and the score join
+      .transform(graft.CacheScope.persist) // feeds df, the corpus count, and the score join
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfreq"))
     val nDocs = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("nd"))
@@ -329,7 +329,7 @@ object PipelineQueries {
     val tf = toksDf.filter(col("tok").isin(qterms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
     val scored = tf.join(broadcast(dfreq), "tok").join(broadcast(stats))
       .withColumn("bm25_micro", expr(

@@ -36,7 +36,7 @@ object SimilarityQueries {
     val withV = df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     withV
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .persist() // both sides of every pairwise join reuse the normed table
+      .transform(graft.CacheScope.persist) // both sides of every pairwise join reuse the normed table
   }
 
   /** cosine between pre-normed sides a and b, rounded for determinism. */
@@ -284,7 +284,7 @@ object SimilarityQueries {
       spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(embeddings(spark, dir)).select("vec_id", "v", "norm")
     val centroids = ivfCentroids(e, iters)
-    val assigned = ivfAssign(e, centroids).persist()
+    val assigned = ivfAssign(e, centroids).transform(graft.CacheScope.persist)
     // multi-probe: each query searches its `nprobe` highest-cosine lists,
     // the standard IVF recall lever (a true neighbor often sits just over
     // a Voronoi boundary in the SECOND-nearest list). The probe pick is a
@@ -430,12 +430,12 @@ object SimilarityQueries {
     // force sort-based plans and measured ~1 s of pure overhead at sf0.1
     val keyed = e.withColumn("vh",
         md5(concat_ws(",", expr("transform(v, x -> cast(x as string))"))))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val groups = keyed.groupBy(col("vh")).agg(min(col("vec_id")).as("rep_id"))
     val reps = keyed.join(groups.select(col("rep_id")),
         col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val assigned = ivfAssign(reps, ivfCentroids(e, IvfIters)).persist()
+    val assigned = ivfAssign(reps, ivfCentroids(e, IvfIters)).transform(graft.CacheScope.persist)
     // one cosine per unordered rep pair (the join is the hot path), then
     // the two directed contributions expand only for qualifying pairs
     val cross = assigned.as("a").join(assigned.as("b"),

@@ -55,7 +55,7 @@ object SketchDedupQueries {
     * the corpus.
     */
   private[queries] def minhashPairs(docs: DataFrame): DataFrame =
-    minhashPairsFrom(shingleBase(docs).persist())
+    minhashPairsFrom(shingleBase(docs).transform(graft.CacheScope.persist))
 
   /** MinHash pair generation over a prebuilt (caller-persisted)
     * [[shingleBase]] frame.
@@ -80,7 +80,7 @@ object SketchDedupQueries {
     // unchanged, so the oracle's per-column mins still match bit-for-bit
     val sig = reps.select(col("doc_id"),
         graft.functions.MinHashSigExpr.sig(col("sarr"), as, bs, P).as("m"))
-      .persist() // both sides of the band self-join
+      .transform(graft.CacheScope.persist) // both sides of the band self-join
 
     def m(side: String, i: Int) = element_at(col(s"$side.m"), i + 1)
     val bandStructs = (0 until Bands).map { b =>
@@ -102,7 +102,7 @@ object SketchDedupQueries {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), estExpr)
       .distinct()
-      .persist() // joined twice in the verify stage
+      .transform(graft.CacheScope.persist) // joined twice in the verify stage
 
     // verify stage: exact Jaccard, restricted to LSH candidates
     // (representatives only). The overlap is size(array_intersect) of the
@@ -252,7 +252,7 @@ object SketchDedupQueries {
         graft.functions.SimHashExpr.of(split(trim(col(textCol)), "\\s+"))
           .as("simhash"))
       .filter(col("simhash").isNotNull)
-      .persist() // signature reused by both sides of the band self-join
+      .transform(graft.CacheScope.persist) // signature reused by both sides of the band self-join
 
   private def simhashSigSql: String = {
     val sums = (0 until SimBits)
@@ -300,22 +300,9 @@ object SketchDedupQueries {
     // the band join by k² (measured 268 s under the broadcast plan AQE
     // picks for the small cached signature table, 53–93 s under forced
     // shuffle joins; collapsed, the k² work is output-only reassembly).
-    val reps = sig.groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
-    val bandStructs = (0 until SimBands).map(b =>
-      struct(lit(b).as("band"),
-        expr(s"shiftright(simhash, ${BandBits * b}) % ${1 << BandBits}").as("bv")))
-    val bands = reps
-      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val repPairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= HammingMax)
+    val reps = sig.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    val repPairs = repBandPairs(reps)
+      .select(col("ha"), col("hb"), col("hamming"))
     val within = sig.as("x")
       .join(sig.as("y"),
         col("x.simhash") === col("y.simhash")
@@ -329,6 +316,33 @@ object SketchDedupQueries {
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Band-blocked near-dup candidates over one-representative-per-
+    * signature rows `(simhash, rep)`: emits `(ha, hb, ra, rb, hamming)`
+    * with hamming <= [[HammingMax]] — the shared generator behind the
+    * pair query ([[simhashPairsOver]]) and group resolution
+    * ([[simhashRepComponents]]). 4 band buckets of 15 bits each keep the
+    * join linear (Manku pigeonhole); representative grain keeps buckets
+    * unskewed on duplicate-saturated corpora.
+    */
+  private def repBandPairs(reps: DataFrame): DataFrame = {
+    val bandStructs = (0 until SimBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${BandBits * b}) % ${1 << BandBits}").as("bv")))
+    val bands = reps
+      .select(col("rep"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("rep"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.rep") < col("b.rep"))
+      .select(col("a.simhash").as("ha"), col("b.simhash").as("hb"),
+        col("a.rep").as("ra"), col("b.rep").as("rb"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
   }
 
   val qDedupSimhashOracle: String = {
@@ -370,7 +384,7 @@ object SketchDedupQueries {
     // pair graph)
     val comp = graft.ops.ConnectedComponents
       .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
     val hist = sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -514,7 +528,7 @@ object SketchDedupQueries {
         .as("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     // per-source distinct-shingle counts AND union sketches in one tiny
     // aggregate over the re-exploded sets (the sketch min is insensitive
     // to the dedup, so the set frame loses nothing)
@@ -624,7 +638,7 @@ object SketchDedupQueries {
         col("sarr"), size(col("sarr")).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val slim = docs.select(col("doc_id"), col("lang"), col("n"), col("rn"))
     // the w=2 neighborhood as an EQUI join: each row probes ranks rn+1
     // and rn+2 explicitly, so the join keys on (lang, rn) and the
@@ -770,7 +784,7 @@ object SketchDedupQueries {
     // the ngram and minhash generators start from the IDENTICAL
     // tokenize→shingles→set_hash frame — build and persist it ONCE and
     // hand it to both (simhash is token-grain, its base differs)
-    val base = shingleBase(documents(spark, dir)).persist()
+    val base = shingleBase(documents(spark, dir)).transform(graft.CacheScope.persist)
     val tagged = Seq(
       "truth" -> TextQueries.ngramJaccardPairsFrom(base),
       "minhash_lsh" -> minhashPairsFrom(base),

@@ -134,7 +134,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.CharNgramsExpr.charNgrams(
           substring(lower(col("text")), 1, 200))).as("g"))
-      .persist() // feeds training counts and per-doc scoring counts
+      .transform(graft.CacheScope.persist) // feeds training counts and per-doc scoring counts
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vocab = cGl.select(col("g")).distinct()
@@ -216,7 +216,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.CharNgramsExpr.charNgrams(
           substring(lower(col("text")), 1, 200))).as("g"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vSize = cGl.select(col("g")).distinct().agg(count(lit(1)).as("v"))
@@ -344,7 +344,7 @@ object TextQueries {
   // prefix/length boundaries could silently drop qualifying pairs.
   def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsFrom(
-      SketchDedupQueries.shingleBase(documents(spark, dir)).persist())
+      SketchDedupQueries.shingleBase(documents(spark, dir)).transform(graft.CacheScope.persist))
 
   /** Jaccard pair generation over a prebuilt (caller-persisted)
     * [[SketchDedupQueries.shingleBase]] frame — shared with
@@ -369,7 +369,7 @@ object TextQueries {
       .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
-      .persist()
+      .transform(graft.CacheScope.persist)
 
     // Candidate generation is ALWAYS the lossless prefix-filter path — no
     // driver-side count() cost switch. Global canonical order: rarest
@@ -892,7 +892,7 @@ object TextQueries {
       .groupBy(col("tok"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("b"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val totals = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
       count(lit(1)).as("v"))
     val z = counts.crossJoin(broadcast(totals))
@@ -1372,7 +1372,7 @@ object TextQueries {
       .withColumn("sarr", graft.functions.ShinglesExpr.shingles(col("tk")))
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     // group size and representative selection in ONE pass over the
     // set_hash partitioning (count + row_number share the exchange/sort)
     // instead of a separate groupBy + join back
@@ -1382,7 +1382,7 @@ object TextQueries {
       .withColumn("rn", row_number().over(bySet.orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("sarr"), col("n"), col("g"))
-      .persist()
+      .transform(graft.CacheScope.persist)
     val within = reps.agg(
       coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).as("w"))
     val shingles = reps

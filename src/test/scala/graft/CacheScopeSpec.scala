@@ -1,0 +1,46 @@
+package graft
+
+/** Session-reuse cache hygiene (round-10 ADVICE): running detectors
+  * back-to-back through `SparkEntry.queries` must NOT accumulate the
+  * builders' persisted intermediates — each build drains the previous
+  * query's registered frames, and an explicit drain releases the last.
+  */
+class CacheScopeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("three detectors back-to-back do not grow storage; drain empties it") {
+    // other suites share this session — measure against their leftovers
+    CacheScope.drain(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+
+    def runQuery(name: String): Set[Int] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.keySet.diff(baseline).toSet
+    }
+
+    val afterMinhash = runQuery("q_dedup_minhash_lsh")
+    assert(afterMinhash.nonEmpty, "detector should persist intermediates")
+    val afterSimhash = runQuery("q_dedup_simhash")
+    // minhash's frames were drained when simhash built: no overlap, and
+    // total cached RDDs is simhash's own set, not the union
+    assert(afterSimhash.intersect(afterMinhash).isEmpty,
+      "previous detector's persisted frames must be gone")
+    val afterPhash = runQuery("q_phash_neardup")
+    assert(afterPhash.intersect(afterMinhash ++ afterSimhash).isEmpty)
+
+    // bounded, not monotonic: occupancy after three queries is the last
+    // query's own intermediates only
+    CacheScope.drain(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(baseline).isEmpty,
+      "drain must release the last query's frames")
+  }
+
+  test("drained plans still compute (recompute path stays correct)") {
+    val df = SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir)
+    CacheScope.drain(spark) // drop its intermediates BEFORE execution
+    assert(df.count() >= 0) // plan recomputes the unpersisted subtrees
+    CacheScope.drain(spark)
+  }
+}

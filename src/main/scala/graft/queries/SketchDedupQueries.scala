@@ -377,21 +377,18 @@ object SketchDedupQueries {
   // metadata-scale after the resolution. Singleton docs never enter
   // the pair graph and are reported from the corpus count delta.
   def qDedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
-    // comp feeds TWO aggregates (the size histogram and the in-graph
-    // count); unpersisted, each re-derives the vertex set and the final
-    // star join over the full edge graph — measured ~100 s of recompute
-    // at the 100x corpus (192.8 s vs dedup_apply's 89.4 on the same
-    // pair graph)
-    val comp = graft.ops.ConnectedComponents
-      .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
-      .transform(graft.CacheScope.persist)
-    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    // signature-grain resolution: component sizes are Σ group-size over
+    // the component's signatures, and the in-graph doc count is Σ gsz —
+    // the histogram never touches doc-grain rows at all
+    val repComp = simhashRepComponents(spark, dir)
+    val sizes = repComp.groupBy(col("component_id")).agg(sum(col("gsz")).as("sz"))
     val hist = sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("docs_removed",
         (col("cluster_size") - 1) * col("n_clusters"))
     val tot = documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val inGraph = comp.agg(count(lit(1)).as("n_in_graph"))
+    // coalesce: sum over an edge-free corpus is NULL where count was 0
+    val inGraph = repComp.agg(coalesce(sum(col("gsz")), lit(0L)).as("n_in_graph"))
     hist.crossJoin(broadcast(tot)).crossJoin(broadcast(inGraph))
       .select(col("cluster_size").cast("long").as("cluster_size"),
         col("n_clusters"), col("docs_removed"),
@@ -419,11 +416,48 @@ object SketchDedupQueries {
        |ORDER BY cluster_size""".stripMargin
   }
 
-  def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.ConnectedComponents
-      .components(qDedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
-      .select(col("id").as("doc_id"), col("comp").as("component_id"))
+  /** Signature-grain group resolution: one row per distinct simhash that
+    * participates in the dedup graph — `(simhash, gsz, component_id)`,
+    * where gsz is the identical-signature group size and component_id is
+    * the min doc_id over the whole connected component.
+    *
+    * This is the identical-content collapse (SURVEY §10.16) applied to
+    * GROUP RESOLUTION: identical documents connect completely, so CC over
+    * the raw pair graph (27M edges at the 100x adversarial corpus, 107 s)
+    * spends its rounds re-deriving what the collapse already knows. Here
+    * CC runs on the REPRESENTATIVE graph — one vertex per distinct
+    * signature, band edges only — and members inherit their rep's label.
+    * Lossless: every member shares its representative's signature, hence
+    * its component; and since each rep IS its group's min doc_id, the
+    * min-label CC over reps yields exactly the min doc_id over member
+    * docs. Groups of >= 2 identical docs with no cross-signature edge are
+    * components too (their within-pairs connect them) — they take their
+    * own rep as label. ComponentsCollapseSpec pins both equalities.
+    */
+  private[graft] def simhashRepComponents(
+      spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigOver(documents(spark, dir), "doc_id", "text")
+    val groups = sig.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsz"))
+    val edges = repBandPairs(groups).select(col("ra"), col("rb"))
+    val comp = graft.ops.ConnectedComponents.components(edges)
+    groups.join(comp, groups("rep") === comp("id"), "left")
+      .select(col("simhash"), col("gsz"),
+        coalesce(col("comp"), when(col("gsz") >= 2, col("rep")))
+          .as("component_id"))
+      .filter(col("component_id").isNotNull)
+      .transform(graft.CacheScope.persist) // feeds expansion + two aggregates
+  }
+
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val repComp = simhashRepComponents(spark, dir)
+    // member expansion: docs inherit their signature's component label —
+    // an equi-join on simhash, no doc-grain graph work anywhere
+    simhashSigOver(documents(spark, dir), "doc_id", "text")
+      .join(repComp.select(col("simhash"), col("component_id")), "simhash")
+      .select(col("doc_id"), col("component_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** Oracle computes the same fixpoint independently: transitive closure
     * via a recursive CTE, component = min reachable vertex (incl. self).

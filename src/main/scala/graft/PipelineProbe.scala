@@ -59,9 +59,9 @@ object PipelineProbe {
   }
 
   /** The full composed chain, terminal chunks grain — shared by the
-    * timing and plan-audit modes.
+    * timing and plan-audit modes, and by the [[Sentinel]] gate.
     */
-  private def composedChain(
+  private[graft] def composedChain(
       spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String)
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(spark, dir)

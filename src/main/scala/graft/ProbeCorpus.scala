@@ -29,8 +29,17 @@ object ProbeCorpus {
     // "documents,customer" for a 1000x corpus that skips the 100M-row
     // events write when the target ops never read events)
     val onlyTables = args.lift(3).map(_.split(",").toSet)
-    def wanted(t: String) = onlyTables.forall(_(t))
     val spark = Tables.localSession(cores = 16)
+    build(spark, src, out, copies, onlyTables)
+    spark.stop()
+  }
+
+  /** Build the replicated corpus with an existing session — also called
+    * by [[Sentinel]] to regenerate a missing gate corpus.
+    */
+  def build(spark: SparkSession, src: String, out: String, copies: Int,
+      onlyTables: Option[Set[String]]): Unit = {
+    def wanted(t: String) = onlyTables.forall(_(t))
 
     def replicate(table: String, idCols: Seq[String]): Unit = if (wanted(table)) {
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -63,6 +72,5 @@ object ProbeCorpus {
           spark.read.parquet(p).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
         }
       }
-    spark.stop()
   }
 }

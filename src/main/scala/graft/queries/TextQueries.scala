@@ -118,24 +118,27 @@ object TextQueries {
   // truncated to their first 200 chars (standard langid practice; bounds
   // the explode). Output is the confusion matrix (actual, predicted, n).
   def qLangIdNb(spark: SparkSession, dir: String): DataFrame = {
-    // trigram explosion runs in the native CharNgramsExpr (one compiled
-    // pass; the old transform(sequence(...), i -> substring(...)) HOF
-    // re-walked the string per position) — CharNgramsExprSpec pins the
-    // two equal on every real doc, the oracle's generate_series pins the
-    // len<3 edge
-    // The persist point stays at the NARROW exploded frame (persisting
-    // the per-doc counts instead was measured SLOWER — it moves the
-    // materialization behind a shuffle on near-unique (doc, gram) keys,
-    // where map-side combine can't reduce anything). The instance stream
-    // feeds the two real aggregations (c_gl, per-doc counts); c_l and the
-    // vocab derive from c_gl — Σ c_gl per language and distinct g are
-    // arithmetic identities, saving two more full cache scans.
-    val tri = documents(spark, dir)
+    // Per-doc trigram COUNTS are computed at ROW grain in one compiled
+    // pass (CharNgramCountsExpr, round 11): the previous shape exploded
+    // every trigram INSTANCE (~99M rows at the 100x corpus) and shuffled
+    // that stream on near-unique (doc, gram) keys just to rebuild counts
+    // that never left their row — the shuffle map-side combine couldn't
+    // reduce (the §10.15 negative result, now resolved from the
+    // expression side instead). The persisted frame is one MAP row per
+    // doc; training counts explode (gram, cnt) pairs (~25% fewer rows,
+    // fully combinable into (lang, gram) partials) and scoring explodes
+    // the same cached maps with no shuffle before the doc-grain
+    // aggregate. c_l and the vocab still derive from c_gl (Σ per
+    // language / distinct g — arithmetic identities).
+    val gmap = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(graft.functions.CharNgramsExpr.charNgrams(
-          substring(lower(col("text")), 1, 200))).as("g"))
-      .transform(graft.CacheScope.persist) // feeds training counts and per-doc scoring counts
-    val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
+        graft.functions.CharNgramCountsExpr.charNgramCounts(
+          substring(lower(col("text")), 1, 200)).as("gm"))
+      .filter(size(col("gm")) > 0) // <3-char docs contribute nothing
+      .transform(graft.CacheScope.persist) // feeds training counts and scoring
+    val cGl = gmap
+      .select(col("lang").as("l"), explode(col("gm")).as(Seq("g", "cnt")))
+      .groupBy(col("l"), col("g")).agg(sum(col("cnt")).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vocab = cGl.select(col("g")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
@@ -150,20 +153,48 @@ object TextQueries {
         round(log10((coalesce(col("c_gl"), lit(0L)) + 1).cast("double") /
           (col("c_l") + col("v"))), 6).cast("decimal(28,6)").as("lp"))
     // score with per-doc trigram COUNTS against the BROADCAST log-prob
-    // table (bounded: vocab x languages) — no shuffle of the trigram
-    // instances; lp * cnt in decimal is exactly cnt additions of lp
-    val docG = tri.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-    val scored = docG
-      .join(broadcast(logp), "g")
-      .groupBy(col("doc_id"), col("lang"), col("l"))
-      .agg(sum(col("lp") * col("cnt")).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("l"))))
-      .filter(col("rk") === 1)
-    scored
-      .groupBy(col("lang"), col("l").as("predicted"))
+    // table — lp * cnt in decimal is exactly cnt additions of lp.
+    //
+    // Round-11 shared-pass audit (VERDICT r10 item 8), scoring side: the
+    // per-language ROW layout joined each (doc, g) against |langs|
+    // broadcast rows (5x join output) and resolved the argmax with a
+    // row_number window over 5 rows per doc — another full shuffle. The
+    // map layout (one broadcast row per trigram, lang->lp entries; every
+    // lang present by construction) scores all languages in ONE
+    // aggregate pass at doc grain: the (doc, gram, cnt) stream explodes
+    // straight out of the cached maps (scan-local, no shuffle), partial
+    // aggregation collapses each doc to one row per partition before the
+    // 500k-row doc-grain shuffle, and argmax is a codegen'd greatest +
+    // first-match chain with the same (score desc, lang asc) tie-break.
+    // Decimal sums are unchanged, so the confusion matrix is
+    // bit-identical. (Measured alone, the map scoring was a WASH at the
+    // 100x corpus — 185 vs 187 s — because the instance explode + count
+    // shuffle dominated; the CharNgramCountsExpr restructure above is
+    // what moves the total. Receipts in SURVEY §10.17.)
+    val lpMap = logp.groupBy(col("g"))
+      .agg(map_from_entries(collect_list(struct(col("l"), col("lp")))).as("lps"))
+    // label set: bounded by the language inventory (5 here, ~100s at
+    // worst), not the corpus — a driver-side list the score columns are
+    // generated from
+    val langs = cL.select(col("l")).collect().map(_.getString(0)).sorted
+    val scoreCols = langs.map(l =>
+      sum(element_at(col("lps"), lit(l)) * col("cnt")).as(s"s_$l"))
+    val perDoc = gmap
+      .select(col("doc_id"), col("lang"), explode(col("gm")).as(Seq("g", "cnt")))
+      .join(broadcast(lpMap), "g")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val mx =
+      if (langs.size == 1) col(s"s_${langs.head}")
+      else greatest(langs.map(l => col(s"s_$l")): _*)
+    // ties take the alphabetically-first language: the when-chain is
+    // evaluated in ascending lang order, first match wins — identical to
+    // the old orderBy(score desc, l asc) row_number
+    val predicted = coalesce(
+      langs.map(l => when(col(s"s_$l") === mx, lit(l))): _*)
+    perDoc
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
   }
@@ -209,15 +240,20 @@ object TextQueries {
   // the end (rounded), so the score is order-insensitive. Output: the 10
   // lowest-likelihood docs per language — the drop candidates.
   def qLmQuality(spark: SparkSession, dir: String): DataFrame = {
-    // persist point at the narrow exploded frame (see q_langid_nb's note:
-    // persisting the post-shuffle per-doc counts measured slower); c_l
-    // and |vocab| derive from c_gl rather than re-scanning the instances
-    val tri = documents(spark, dir)
+    // Same round-11 restructure as q_langid_nb: per-doc trigram counts
+    // at row grain (CharNgramCountsExpr — the near-unique-key count
+    // shuffle disappears), training counts from the exploded (gram, cnt)
+    // pairs, scoring against a broadcast per-gram lang->lp map. c_l and
+    // |vocab| still derive from c_gl.
+    val gmap = documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        explode(graft.functions.CharNgramsExpr.charNgrams(
-          substring(lower(col("text")), 1, 200))).as("g"))
+        graft.functions.CharNgramCountsExpr.charNgramCounts(
+          substring(lower(col("text")), 1, 200)).as("gm"))
+      .filter(size(col("gm")) > 0)
       .transform(graft.CacheScope.persist)
-    val cGl = tri.groupBy(col("lang").as("l"), col("g")).agg(count(lit(1)).as("c_gl"))
+    val cGl = gmap
+      .select(col("lang").as("l"), explode(col("gm")).as(Seq("g", "cnt")))
+      .groupBy(col("l"), col("g")).agg(sum(col("cnt")).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vSize = cGl.select(col("g")).distinct().agg(count(lit(1)).as("v"))
     val logp = cGl
@@ -226,14 +262,16 @@ object TextQueries {
       .select(col("g"), col("l"),
         round(log10((col("c_gl") + 1).cast("double") / (col("c_l") + col("v"))), 6)
           .cast("decimal(28,6)").as("lp"))
-    tri.groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      // own-language model only: every (lang, g) of a doc exists in its
-      // own counts (it contributed them), so an inner join is lossless
-      .join(broadcast(logp.withColumnRenamed("g", "lg")),
-        col("g") === col("lg") && col("lang") === col("l"))
+    // one broadcast row per gram; scoring reads the doc's OWN language's
+    // entry — present by construction (the doc contributed its counts)
+    val lpMap = logp.groupBy(col("g"))
+      .agg(map_from_entries(collect_list(struct(col("l"), col("lp")))).as("lps"))
+    gmap
+      .select(col("doc_id"), col("lang"), explode(col("gm")).as(Seq("g", "cnt")))
+      .join(broadcast(lpMap), "g")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("lp") * col("cnt")).as("total"), sum(col("cnt")).as("n"))
+      .agg(sum(element_at(col("lps"), col("lang")) * col("cnt")).as("total"),
+        sum(col("cnt")).as("n"))
       .select(col("doc_id"), col("lang"),
         round(col("total").cast("double") / col("n"), 5).as("avg_logp"))
       .withColumn("rk", row_number().over(

@@ -104,6 +104,14 @@ object CorpusOpsQueries {
     * (idCol, n_tokens, n_dup_tokens, clean_text). `clean_text` is the doc
     * rebuilt from token positions not covered by any corpus-duplicated
     * n-gram (empty string when everything was duplicated).
+    *
+    * This is the PER-DOC form — the right core for callers whose input
+    * is already one row per distinct text (CorpusPipeline runs it after
+    * dedupExact; an attempt to build the collapse in here cost the
+    * composed chain 55 → 126+ s at 100× in lost broadcast/exchange
+    * reuse for zero benefit, since its input has no duplicates). The
+    * standalone q_exact_substr — whose input IS the raw corpus — goes
+    * through [[repeatedSpanCleanCollapsed]] instead.
     */
   def repeatedSpanClean(docs: DataFrame, idCol: String, textCol: String,
       n: Int = SpanN): DataFrame = {
@@ -146,8 +154,79 @@ object CorpusOpsQueries {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Repeated-span removal with the identical-content collapse (round
+    * 11, the §10.16 technique applied to span removal) — the form for a
+    * RAW corpus, where duplication is the norm. The result depends only
+    * on a doc's TOKEN SEQUENCE and the corpus-global duplicated-shingle
+    * set, so the window explode, coverage distinct, and ordered rebuild
+    * run once per DISTINCT sequence and members inherit by a hash join.
+    * The global counts stay exact: each representative's windows are
+    * weighted by its group size (k identical copies make every window
+    * corpus-duplicated — a shingle occurring once in each of two
+    * identical docs IS duplicated). On the 99%-duplicate 100× corpus the
+    * 98M-row window explode and the ~490M-row coverage distinct drop to
+    * the ~5k-representative grain: 101 → 15.4 s at 100×, 64.5 s at
+    * 1000× (previously unfeasible). SpanCollapseSpec pins the output
+    * against the per-doc chain on a replicated corpus.
+    */
+  private[queries] def repeatedSpanCleanCollapsed(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = SpanN): DataFrame = {
+    // tokens can't contain whitespace (\s+ split), so "\n" is a safe
+    // order-preserving sequence key
+    val t = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("tk"))
+      .withColumn("nt", size(col("tk")))
+      .withColumn("tkh", md5(concat_ws("\n", col("tk"))))
+    // one representative per distinct token sequence + the member count.
+    // min(tk) — not first() — picks the (identical) sequence: min is
+    // deterministic, first() is not, and nondeterminism here blocks
+    // exchange/cache reuse for every downstream consumer.
+    val grp = t.groupBy(col("tkh"))
+      .agg(count(lit(1)).as("gsz"), min(col("tk")).as("tk"),
+        min(col("nt")).as("nt"))
+    // (sequence, pos, shingle) at representative grain, for sequences
+    // long enough to have a window
+    val sh = grp.filter(col("nt") >= n)
+      .select(col("tkh"), col("gsz"),
+        // every n-token window via the native ShinglesExpr (non-distinct
+        // — ShingleExprSpec pins window-per-position semantics)
+        posexplode(graft.functions.ShinglesExpr.shingles(col("tk"), n, distinct = false))
+          .as(Seq("p0", "sh")))
+      .select(col("tkh"), col("gsz"), (col("p0") + 1).as("pos"), col("sh"))
+    // corpus-global occurrence counts: representative windows weighted by
+    // group size (map-side combinable sum)
+    val dup = sh.groupBy(col("sh")).agg(sum(col("gsz")).as("c"))
+      .filter(col("c") > 1).select(col("sh"))
+    // token positions covered by a duplicated shingle — representative grain
+    val cov = sh.join(dup, "sh")
+      .select(col("tkh").as("ch"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val dupCnt = cov.groupBy(col("ch").as("tkh"))
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    // rebuild: surviving tokens in order (ordered agg via sorted structs)
+    val tox = grp.select(col("tkh"),
+        posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("tkh"), (col("p0") + 1).as("p"), col("tok"))
+    val clean = tox.join(cov,
+        col("tkh") === col("ch") && col("p") === col("tp"), "left_anti")
+      .groupBy(col("tkh"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
+        .as("clean_text"))
+    // member expansion: docs inherit their sequence's result
+    t.select(col("doc_id"), col("nt"), col("tkh"))
+      .join(dupCnt, Seq("tkh"), "left")
+      .join(clean, Seq("tkh"), "left")
+      .select(
+        col("doc_id").as(idCol),
+        col("nt").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def qExactSubstr(spark: SparkSession, dir: String): DataFrame =
-    repeatedSpanClean(documents(spark, dir), "doc_id", "text")
+    repeatedSpanCleanCollapsed(documents(spark, dir), "doc_id", "text")
       .select(
         col("doc_id"),
         col("n_tokens"),

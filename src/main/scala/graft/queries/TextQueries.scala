@@ -124,21 +124,28 @@ object TextQueries {
     // that stream on near-unique (doc, gram) keys just to rebuild counts
     // that never left their row — the shuffle map-side combine couldn't
     // reduce (the §10.15 negative result, now resolved from the
-    // expression side instead). The persisted frame is one MAP row per
-    // doc; training counts explode (gram, cnt) pairs (~25% fewer rows,
-    // fully combinable into (lang, gram) partials) and scoring explodes
-    // the same cached maps with no shuffle before the doc-grain
-    // aggregate. c_l and the vocab still derive from c_gl (Σ per
-    // language / distinct g — arithmetic identities).
+    // expression side instead). On top of that rides the identical-
+    // content collapse (§10.16): two docs with the same language and
+    // same truncated text have the same training contribution (weighted
+    // by the copy count) and the same prediction, so gram maps, scoring,
+    // and the argmax all run once per DISTINCT (lang, text200) group and
+    // the confusion matrix sums group sizes. min(s) — deterministic, all
+    // group members identical — carries the representative text;
+    // LangIdCollapseSpec pins the collapsed queries against a replicated
+    // corpus. c_l and the vocab still derive from c_gl (Σ per language /
+    // distinct g — arithmetic identities).
     val gmap = documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.CharNgramCountsExpr.charNgramCounts(
-          substring(lower(col("text")), 1, 200)).as("gm"))
+      .select(col("lang"), substring(lower(col("text")), 1, 200).as("s"))
+      .groupBy(col("lang"), md5(col("s")).as("th"))
+      .agg(count(lit(1)).as("gsz"), min(col("s")).as("s"))
+      .select(col("lang"), col("th"), col("gsz"),
+        graft.functions.CharNgramCountsExpr.charNgramCounts(col("s")).as("gm"))
       .filter(size(col("gm")) > 0) // <3-char docs contribute nothing
       .transform(graft.CacheScope.persist) // feeds training counts and scoring
     val cGl = gmap
-      .select(col("lang").as("l"), explode(col("gm")).as(Seq("g", "cnt")))
-      .groupBy(col("l"), col("g")).agg(sum(col("cnt")).as("c_gl"))
+      .select(col("lang").as("l"), col("gsz"),
+        explode(col("gm")).as(Seq("g", "cnt")))
+      .groupBy(col("l"), col("g")).agg(sum(col("cnt") * col("gsz")).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vocab = cGl.select(col("g")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
@@ -179,10 +186,13 @@ object TextQueries {
     val langs = cL.select(col("l")).collect().map(_.getString(0)).sorted
     val scoreCols = langs.map(l =>
       sum(element_at(col("lps"), lit(l)) * col("cnt")).as(s"s_$l"))
-    val perDoc = gmap
-      .select(col("doc_id"), col("lang"), explode(col("gm")).as(Seq("g", "cnt")))
+    // scoring at GROUP grain: identical (lang, text200) docs share their
+    // scores and prediction; the matrix sums group sizes at the end
+    val perGroup = gmap
+      .select(col("lang"), col("th"), col("gsz"),
+        explode(col("gm")).as(Seq("g", "cnt")))
       .join(broadcast(lpMap), "g")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("lang"), col("th"), col("gsz"))
       .agg(scoreCols.head, scoreCols.tail: _*)
     val mx =
       if (langs.size == 1) col(s"s_${langs.head}")
@@ -192,10 +202,10 @@ object TextQueries {
     // the old orderBy(score desc, l asc) row_number
     val predicted = coalesce(
       langs.map(l => when(col(s"s_$l") === mx, lit(l))): _*)
-    perDoc
-      .select(col("lang"), predicted.as("predicted"))
+    perGroup
+      .select(col("lang"), col("gsz"), predicted.as("predicted"))
       .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(sum(col("gsz")).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
   }
 
@@ -243,17 +253,24 @@ object TextQueries {
     // Same round-11 restructure as q_langid_nb: per-doc trigram counts
     // at row grain (CharNgramCountsExpr — the near-unique-key count
     // shuffle disappears), training counts from the exploded (gram, cnt)
-    // pairs, scoring against a broadcast per-gram lang->lp map. c_l and
-    // |vocab| still derive from c_gl.
-    val gmap = documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.CharNgramCountsExpr.charNgramCounts(
-          substring(lower(col("text")), 1, 200)).as("gm"))
+    // pairs weighted by the identical-content group size, scoring ONCE
+    // per distinct (lang, text200) group against a broadcast per-gram
+    // lang->lp map; members inherit their group's avg_logp through a
+    // hash join before the per-language top-10 window. c_l and |vocab|
+    // still derive from c_gl.
+    val trunc = substring(lower(col("text")), 1, 200)
+    val grp = documents(spark, dir)
+      .select(col("lang"), trunc.as("s"))
+      .groupBy(col("lang"), md5(col("s")).as("th"))
+      .agg(count(lit(1)).as("gsz"), min(col("s")).as("s"))
+      .select(col("lang"), col("th"), col("gsz"),
+        graft.functions.CharNgramCountsExpr.charNgramCounts(col("s")).as("gm"))
       .filter(size(col("gm")) > 0)
       .transform(graft.CacheScope.persist)
-    val cGl = gmap
-      .select(col("lang").as("l"), explode(col("gm")).as(Seq("g", "cnt")))
-      .groupBy(col("l"), col("g")).agg(sum(col("cnt")).as("c_gl"))
+    val cGl = grp
+      .select(col("lang").as("l"), col("gsz"),
+        explode(col("gm")).as(Seq("g", "cnt")))
+      .groupBy(col("l"), col("g")).agg(sum(col("cnt") * col("gsz")).as("c_gl"))
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vSize = cGl.select(col("g")).distinct().agg(count(lit(1)).as("v"))
     val logp = cGl
@@ -262,16 +279,20 @@ object TextQueries {
       .select(col("g"), col("l"),
         round(log10((col("c_gl") + 1).cast("double") / (col("c_l") + col("v"))), 6)
           .cast("decimal(28,6)").as("lp"))
-    // one broadcast row per gram; scoring reads the doc's OWN language's
-    // entry — present by construction (the doc contributed its counts)
+    // one broadcast row per gram; scoring reads the group's OWN
+    // language's entry — present by construction (the group contributed
+    // its counts)
     val lpMap = logp.groupBy(col("g"))
       .agg(map_from_entries(collect_list(struct(col("l"), col("lp")))).as("lps"))
-    gmap
-      .select(col("doc_id"), col("lang"), explode(col("gm")).as(Seq("g", "cnt")))
+    val groupScore = grp
+      .select(col("lang"), col("th"), explode(col("gm")).as(Seq("g", "cnt")))
       .join(broadcast(lpMap), "g")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("lang"), col("th"))
       .agg(sum(element_at(col("lps"), col("lang")) * col("cnt")).as("total"),
         sum(col("cnt")).as("n"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(trunc).as("th"))
+      .join(groupScore, Seq("lang", "th"))
       .select(col("doc_id"), col("lang"),
         round(col("total").cast("double") / col("n"), 5).as("avg_logp"))
       .withColumn("rk", row_number().over(

@@ -35,20 +35,33 @@ object CurationQueries {
   // only big shuffles are the two training aggregations and the per-doc
   // score aggregation, all on high-cardinality keys.
   def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val tk = documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split(trim(col("text")), "\\s+").as("t"))
+    // Identical-content collapse (round 11, same move as
+    // q_langid_nb/q_lm_quality — PerplexityCollapseSpec pins it): the
+    // bigram stream, training counts (weighted by copy count) and the
+    // per-group score run once per distinct (lang, text); members
+    // inherit avg_nlp by hash join before the ntile window. The
+    // distinct-word vocabulary needs no weighting (duplicates add no
+    // new words). Bigrams of one group explode scan-locally, so the
+    // per-group bigram counts collapse map-side before their shuffle.
+    val trunc = trim(col("text"))
+    val grp = documents(spark, dir)
+      .select(col("lang"), trunc.as("s"))
+      .groupBy(col("lang"), md5(col("s")).as("th"))
+      .agg(count(lit(1)).as("gsz"), min(col("s")).as("s"))
+      .select(col("lang"), col("th"), col("gsz"),
+        split(col("s"), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
-    val big = tk
-      .select(col("doc_id"), col("lang"), explode(expr(
+    val big = grp
+      .select(col("th"), col("lang"), col("gsz"), explode(expr(
         "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .select(col("th"), col("lang"), col("gsz"), col("b.w1"), col("b.w2"))
       .transform(graft.CacheScope.persist) // feeds bigram counts, context counts, and scoring
     val cBig = big.groupBy(col("lang"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_big"))
+      .agg(sum(col("gsz")).as("c_big"))
     val cCtx = big.groupBy(col("lang"), col("w1"))
-      .agg(count(lit(1)).as("c_ctx"))
-    val vocab = tk.select(col("lang"), explode(col("t")).as("w"))
+      .agg(sum(col("gsz")).as("c_ctx"))
+    val vocab = grp.select(col("lang"), explode(col("t")).as("w"))
       .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
     val logp = cBig
       .join(cCtx, Seq("lang", "w1"))
@@ -56,14 +69,17 @@ object CurationQueries {
       .select(col("lang"), col("w1"), col("w2"),
         round(log10((col("c_big") + 1).cast("double") / (col("c_ctx") + col("v"))), 6)
           .cast("decimal(28,6)").as("lp"))
-    val docBig = big.groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+    val grpBig = big.groupBy(col("th"), col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-    val scored = docBig
+    val groupScore = grpBig
       .join(broadcast(logp), Seq("lang", "w1", "w2"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("th"), col("lang"))
       .agg(sum(col("lp") * col("cnt")).as("s"), sum(col("cnt")).as("n"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("th"), col("lang"),
         ((-col("s")).cast("double") / col("n")).as("avg_nlp"))
+    val scored = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(trunc).as("th"))
+      .join(groupScore, Seq("lang", "th"))
       .withColumn("bucket", ntile(3).over(
         Window.partitionBy(col("lang")).orderBy(col("avg_nlp"), col("doc_id"))))
     scored

@@ -61,6 +61,32 @@ object SketchDedupQueries {
     * [[shingleBase]] frame.
     */
   private[queries] def minhashPairsFrom(base: DataFrame): DataFrame = {
+    val repPairs = minhashRepPairs(base)
+    // reassemble the full pair set from the group structure
+    val members = base.select(col("set_hash"), col("doc_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("minhash_est"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
+      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("minhash_est"), col("jaccard"))
+    within.unionByName(cross)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The detector's pre-reassembly pair BLOCKS — `(ha, hb, minhash_est,
+    * jaccard)` over distinct-shingle-set hashes, LSH-banded candidates
+    * verified at jaccard >= 0.5. Shared by the pair query and the
+    * block-grain agreement audit.
+    */
+  private[queries] def minhashRepPairs(base: DataFrame): DataFrame = {
     // identical-set collapse (same technique as qDedupNgramJaccard): the
     // signature/banding/verify pipeline runs on one representative per
     // distinct shingle set — k exact copies of a doc would otherwise
@@ -124,24 +150,7 @@ object SketchDedupQueries {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.5)
       .select(col("ha"), col("hb"), col("minhash_est"), col("jaccard"))
-
-    // reassemble the full pair set from the group structure
-    val members = base.select(col("set_hash"), col("doc_id"))
-    val within = members.as("x")
-      .join(members.as("y"),
-        col("x.set_hash") === col("y.set_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("minhash_est"), lit(1.0).as("jaccard"))
-    val cross = repPairs
-      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
-      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
-      .select(
-        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
-        col("minhash_est"), col("jaccard"))
-    within.unionByName(cross)
-      .orderBy(col("doc_a"), col("doc_b"))
+    repPairs
   }
 
   val qDedupMinhashLshOracle: String = minhashPairsSql("")
@@ -287,7 +296,7 @@ object SketchDedupQueries {
   /** The band-blocked SimHash pair generator over an arbitrary frame. */
   private[graft] def simhashPairsOver(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = simhashSigOver(docs, idCol, textCol)
+    val (sig, repPairs) = simhashSigAndRepPairs(docs, idCol, textCol)
     // identical-SIGNATURE collapse (the ngram/minhash/containment lesson
     // applied to the one detector that lacked it): documents sharing a
     // simhash have identical band rows and pairwise hamming 0, so
@@ -300,9 +309,6 @@ object SketchDedupQueries {
     // the band join by k² (measured 268 s under the broadcast plan AQE
     // picks for the small cached signature table, 53–93 s under forced
     // shuffle joins; collapsed, the k² work is output-only reassembly).
-    val reps = sig.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
-    val repPairs = repBandPairs(reps)
-      .select(col("ha"), col("hb"), col("hamming"))
     val within = sig.as("x")
       .join(sig.as("y"),
         col("x.simhash") === col("y.simhash")
@@ -316,6 +322,17 @@ object SketchDedupQueries {
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** (doc→simhash signatures, pre-reassembly block pairs `(ha, hb,
+    * hamming)`) — the agreement audit consumes the blocks without ever
+    * expanding them to member pairs.
+    */
+  private[queries] def simhashSigAndRepPairs(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val sig = simhashSigOver(docs, idCol, textCol)
+    val reps = sig.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    (sig, repBandPairs(reps).select(col("ha"), col("hb"), col("hamming")))
   }
 
   /** Band-blocked near-dup candidates over one-representative-per-
@@ -817,7 +834,19 @@ object SketchDedupQueries {
   def qDedupAgreement(spark: SparkSession, dir: String): DataFrame = {
     // the ngram and minhash generators start from the IDENTICAL
     // tokenize→shingles→set_hash frame — build and persist it ONCE and
-    // hand it to both (simhash is token-grain, its base differs)
+    // hand it to both (simhash is token-grain, its base differs).
+    //
+    // Recorded NEGATIVE result (round 11): a block-grain rewrite —
+    // weighted identical-text group-pair blocks instead of the expanded
+    // union, exact by construction — measured 54 vs 58 s at 100×
+    // (the audit is DETECTOR-bound: three candidate-generation passes
+    // dominate and the 85M-row expanded union is cheap next to them)
+    // and 2.5× WORSE at sf0.1 (16.4 vs 6.6 s — a dozen extra
+    // metadata-scale join/distinct stages cost real wall time when the
+    // detectors only take a second each). Reverted; the pre-reassembly
+    // block frames the attempt extracted (ngramRepPairs /
+    // minhashRepPairs / simhashSigAndRepPairs) stay, since the pair
+    // queries now share them.
     val base = shingleBase(documents(spark, dir)).transform(graft.CacheScope.persist)
     val tagged = Seq(
       "truth" -> TextQueries.ngramJaccardPairsFrom(base),

@@ -411,6 +411,32 @@ object TextQueries {
     * ngram + minhash generators.
     */
   private[queries] def ngramJaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val repPairs = ngramRepPairs(docs)
+    // reassemble the full pair set from the group structure
+    val members = docs.select(col("set_hash"), col("doc_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
+      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("jaccard"))
+    within.unionByName(cross)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The detector's pre-reassembly pair BLOCKS — `(ha, hb, jaccard)`
+    * pairs of distinct-shingle-set hashes with jaccard >= 0.6. Shared by
+    * the pair query (which expands blocks to member pairs) and the
+    * block-grain agreement audit (which never expands).
+    */
+  private[queries] def ngramRepPairs(docs: DataFrame): DataFrame = {
     // Identical-set collapse: dedup corpora are duplicate-heavy by
     // definition, and exact copies are poison for ALL-pairs candidate
     // generation — k copies of a doc multiply every posting list by k and
@@ -470,24 +496,7 @@ object TextQueries {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= 0.6)
       .select(col("ha"), col("hb"), col("jaccard"))
-
-    // reassemble the full pair set from the group structure
-    val members = docs.select(col("set_hash"), col("doc_id"))
-    val within = members.as("x")
-      .join(members.as("y"),
-        col("x.set_hash") === col("y.set_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    val cross = repPairs
-      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
-      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
-      .select(
-        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
-        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
-        col("jaccard"))
-    within.unionByName(cross)
-      .orderBy(col("doc_a"), col("doc_b"))
+    repPairs
   }
 
   val qDedupNgramJaccardOracle: String =

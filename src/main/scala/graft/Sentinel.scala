@@ -66,11 +66,13 @@ object Sentinel {
     "exact_substr" -> timed((s, d, _) =>
       fold(queries.CorpusOpsQueries.qExactSubstr(s, d)
         .select(col("clean_hash")))),
-    // the per-token pair, collapse-carrying since round 11
+    // the per-token trio, collapse-carrying since round 11
     "langid_nb" -> timed((s, d, _) =>
       queries.TextQueries.qLangIdNb(s, d).count()),
     "lm_quality" -> timed((s, d, _) =>
       queries.TextQueries.qLmQuality(s, d).count()),
+    "perplexity" -> timed((s, d, _) =>
+      queries.CurationQueries.qPerplexity(s, d).count()),
     "pipeline_composed" -> timed((s, d, b) =>
       fold(PipelineProbe.composedChain(s, d, b))),
     // steady-state daily dedup: standing index build is SETUP (untimed);

@@ -306,7 +306,11 @@ object AnalyticsQueries {
     val mad = d.join(broadcast(med), "lang")
       .groupBy(col("lang"))
       .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"),
-        first(col("med")).as("med"))
+        // med is constant within the lang group: min == the value, and
+        // min is DETERMINISTIC where first() is not (nondeterministic
+        // aggregates block downstream exchange/cache reuse — the round-11
+        // composed-chain lesson)
+        min(col("med")).as("med"))
     d.join(broadcast(mad), "lang")
       .filter(abs(col("n_chars") - col("med")) > col("mad") * 2.0)
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -470,7 +474,9 @@ object AnalyticsQueries {
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
       .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), first(col("t1")).as("t1"))
+      // t1 is constant within the user group: min == the value (and is
+      // deterministic, unlike first — see qMadOutliers)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
     s2.select(expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").as("secs"))
       .agg(count(lit(1)).as("n_converted"),
         round(expr("percentile(secs, 0.5)"), 4).as("p50_secs"),

@@ -80,6 +80,7 @@ object Bench {
         }
       val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache()
+      CacheScope.drain(spark) // clearCache freed the data; drop the plan refs too
       if (ok) elapsed else -1.0
     }
     // full passes over the query list (not N back-to-back runs of one

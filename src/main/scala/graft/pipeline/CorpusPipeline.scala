@@ -33,7 +33,15 @@ final class CorpusPipeline private (
 
   private def next(d: DataFrame): CorpusPipeline = new CorpusPipeline(d, idCol)
 
-  /** Exact dedup: keep the minimum-id document per identical text. */
+  /** Exact dedup: keep the minimum-id document per identical text.
+    *
+    * Recorded NEGATIVE result (round 11): a groupBy-winners + semi-join
+    * form — narrow (hash, min id) aggregation, broadcast back — measured
+    * consistently ~10% SLOWER end-to-end at the 100× composed chain
+    * (56.8/58.3 vs 51.3/52.4 s): it scans and hashes the corpus twice
+    * where the window form's single full-row shuffle is paid once and
+    * its exchange is reused by the chain. The window stays.
+    */
   def dedupExact(textCol: String = "text"): CorpusPipeline = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col(textCol))).orderBy(col(idCol))

@@ -35,12 +35,35 @@ object CacheScope {
   /** Persist `df` (default storage level) and register it for the next
     * [[drain]] of its session. Usable point-free in a plan chain:
     * `.transform(graft.CacheScope.persist)`.
+    *
+    * Safe against a concurrent [[drain]] (ADVICE r11): persist happens
+    * BEFORE registration, and if a drain removes our queue between
+    * registration and the re-check, we de-register from the orphaned
+    * queue and retry — so a frame can never end up persisted but
+    * invisible to every later drain. The benign race that remains is
+    * semantic, not a leak: a drain that lands right after a successful
+    * registration unpersists the frame immediately, which is exactly
+    * the drain contract (recompute stays correct; see the scaladoc
+    * above and CacheScopeSpec's recompute-correctness test).
     */
   def persist(df: DataFrame): DataFrame = {
-    val q = reg.computeIfAbsent(df.sparkSession,
-      _ => new java.util.ArrayDeque[DataFrame]())
-    q.synchronized { q.addLast(df) }
     df.persist()
+    var registered = false
+    while (!registered) {
+      val q = reg.computeIfAbsent(df.sparkSession,
+        _ => new java.util.ArrayDeque[DataFrame]())
+      q.synchronized { q.addLast(df) }
+      registered = reg.get(df.sparkSession) eq q
+      if (!registered) {
+        // a concurrent drain claimed q (and may have just unpersisted
+        // df): pull df back out of the orphaned queue and retry —
+        // re-persist first so the retry's registration covers a
+        // persisted frame either way
+        q.synchronized { q.remove(df) }
+        df.persist()
+      }
+    }
+    df
   }
 
   /** Unpersist (blocking, so storage accounting is deterministic) every

@@ -43,6 +43,7 @@ object PipelineProbe {
       case "incremental" => runIncremental(spark, dir, baseDir)
       case "decontaminate" => runDecontaminate(spark, dir, baseDir)
       case "minimizers" => runMinimizers(spark, dir)
+      case "groups" => runGroupBundle(spark, dir)
       case "explain" => runExplain(spark, dir, baseDir)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -192,6 +193,39 @@ object PipelineProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[decontaminate] $strat%-9s constant benchmark $secs%8.2f s   kept=$kept")
     }
+  }
+
+  /** A/B for the dedup-group trio (VERDICT r11 item 4): the standalone
+    * queries each pay their own signature pass + component resolution
+    * (SparkEntry's scopedBuild drains between queries by design); the
+    * [[queries.SketchDedupQueries.dedupGroupBundle]] shares ONE
+    * CacheScope-persisted repComp across all three. Prints both totals.
+    */
+  private def runGroupBundle(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import queries.SketchDedupQueries
+    def standalone(name: String, f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = f.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[groups] standalone $name%-14s $secs%8.2f s   rows=$n")
+      spark.catalog.clearCache(); CacheScope.drain(spark)
+      secs
+    }
+    val ta =
+      standalone("components", SketchDedupQueries.qDedupComponents(spark, dir)) +
+      standalone("apply", SketchDedupQueries.qDedupApply(spark, dir)) +
+      standalone("cluster_stats", SketchDedupQueries.qDedupClusterStats(spark, dir))
+    val t0 = System.nanoTime()
+    val bundle = SketchDedupQueries.dedupGroupBundle(spark, dir)
+    Seq("components", "apply", "cluster_stats").foreach { n =>
+      val t1 = System.nanoTime()
+      val r = bundle(n).count()
+      println(f"[groups] bundle     $n%-14s ${(System.nanoTime() - t1) / 1e9}%8.2f s   rows=$r")
+    }
+    val tb = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache(); CacheScope.drain(spark)
+    println(f"[groups] standalone total $ta%8.2f s   bundle total $tb%8.2f s")
   }
 
   private def runMinimizers(

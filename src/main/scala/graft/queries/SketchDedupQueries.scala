@@ -393,11 +393,14 @@ object SketchDedupQueries {
   // map-side-combinable aggregation over the component labels —
   // metadata-scale after the resolution. Singleton docs never enter
   // the pair graph and are reported from the corpus count delta.
-  def qDedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusterStatsOver(spark, dir, simhashRepComponents(spark, dir))
+
+  private def clusterStatsOver(
+      spark: SparkSession, dir: String, repComp: DataFrame): DataFrame = {
     // signature-grain resolution: component sizes are Σ group-size over
     // the component's signatures, and the in-graph doc count is Σ gsz —
     // the histogram never touches doc-grain rows at all
-    val repComp = simhashRepComponents(spark, dir)
     val sizes = repComp.groupBy(col("component_id")).agg(sum(col("gsz")).as("sz"))
     val hist = sizes.groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -466,14 +469,39 @@ object SketchDedupQueries {
       .transform(graft.CacheScope.persist) // feeds expansion + two aggregates
   }
 
-  def qDedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val repComp = simhashRepComponents(spark, dir)
+  def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOver(spark, dir, simhashRepComponents(spark, dir))
+
+  private def componentsOver(
+      spark: SparkSession, dir: String, repComp: DataFrame): DataFrame =
     // member expansion: docs inherit their signature's component label —
     // an equi-join on simhash, no doc-grain graph work anywhere
     simhashSigOver(documents(spark, dir), "doc_id", "text")
       .join(repComp.select(col("simhash"), col("component_id")), "simhash")
       .select(col("doc_id"), col("component_id"))
       .orderBy(col("doc_id"))
+
+  /** The three standalone group reports — components, apply, cluster
+    * stats — over ONE shared signature pass + component resolution.
+    *
+    * A user running the standalone trio back-to-back through
+    * `SparkEntry.queries` pays the signature pass (the dominant cost of
+    * the family at 1000×: SURVEY §10.18 A/B) once per query, because
+    * each entry's scopedBuild drains the previous entry's persisted
+    * intermediates by design. This bundle is the opt-in composition for
+    * that user: all three frames reference the SAME CacheScope-persisted
+    * `repComp` (and its persisted signature base), so executing them in
+    * any order materializes the signature pass once. Drain via
+    * [[graft.CacheScope.drain]] (or build the next scoped query) when
+    * done. Results are frame-for-frame identical to the standalone trio.
+    */
+  def dedupGroupBundle(
+      spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val repComp = simhashRepComponents(spark, dir)
+    Map(
+      "components" -> componentsOver(spark, dir, repComp),
+      "apply" -> applyOver(spark, dir, repComp),
+      "cluster_stats" -> clusterStatsOver(spark, dir, repComp))
   }
 
   /** Oracle computes the same fixpoint independently: transitive closure
@@ -514,8 +542,12 @@ object SketchDedupQueries {
     * itself distributed, so the anti-join degrades gracefully to a
     * shuffle. The survivors count is what a pipeline actually ships.
     */
-  def qDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val nonCanonical = qDedupComponents(spark, dir)
+  def qDedupApply(spark: SparkSession, dir: String): DataFrame =
+    applyOver(spark, dir, simhashRepComponents(spark, dir))
+
+  private def applyOver(
+      spark: SparkSession, dir: String, repComp: DataFrame): DataFrame = {
+    val nonCanonical = componentsOver(spark, dir, repComp)
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id"))
     documents(spark, dir)

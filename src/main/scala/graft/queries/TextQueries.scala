@@ -117,6 +117,12 @@ object TextQueries {
   // sum here would be nondeterministic across partitionings). Docs are
   // truncated to their first 200 chars (standard langid practice; bounds
   // the explode). Output is the confusion matrix (actual, predicted, n).
+  //
+  // NOTE: building this query is EAGER — the score columns are generated
+  // from the language inventory, which the builder collects by running
+  // the training aggregation (corpus-scale, bounded output) at
+  // plan-build time. Plan-audit/EXPLAIN callers pay that job before they
+  // see a plan; every other `queries` entry is a pure lazy build.
   def qLangIdNb(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc trigram COUNTS are computed at ROW grain in one compiled
     // pass (CharNgramCountsExpr, round 11): the previous shape exploded
@@ -184,6 +190,19 @@ object TextQueries {
     // worst), not the corpus — a driver-side list the score columns are
     // generated from
     val langs = cL.select(col("l")).collect().map(_.getString(0)).sorted
+    if (langs.isEmpty) {
+      // a corpus where every truncated text is <3 chars yields no
+      // trigrams, hence no model and no predictions: the confusion
+      // matrix is EMPTY (the pre-collapse shape returned an empty frame
+      // here; the oracle's scored CTE is empty too — ADVICE r11 flagged
+      // that scoreCols.head/greatest would otherwise throw at build)
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("lang", StringType),
+          StructField("predicted", StringType),
+          StructField("n_docs", LongType))))
+    }
     val scoreCols = langs.map(l =>
       sum(element_at(col("lps"), lit(l)) * col("cnt")).as(s"s_$l"))
     // scoring at GROUP grain: identical (lang, text200) docs share their

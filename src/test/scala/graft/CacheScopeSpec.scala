@@ -43,4 +43,22 @@ class CacheScopeSpec extends SparkSpec {
     assert(df.count() >= 0) // plan recomputes the unpersisted subtrees
     CacheScope.drain(spark)
   }
+
+  test("build-before-execute loses only the persist BENEFIT, never the result") {
+    // the interactive-notebook order the scaladoc warns about: build A,
+    // build B (B's scopedBuild drains A's registered persists), THEN
+    // execute A — A must recompute its dropped intermediates and return
+    // exactly what the build-execute order returns
+    CacheScope.drain(spark)
+    val expected = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .collect().map(_.toString).sorted // benefit path: executed right after build
+    CacheScope.drain(spark)
+
+    val a = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+    SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir) // drains a's persists
+    val got = a.collect().map(_.toString).sorted // recompute path
+    assert(got.toSeq == expected.toSeq,
+      "recompute after a cross-build drain must be bit-identical")
+    CacheScope.drain(spark)
+  }
 }

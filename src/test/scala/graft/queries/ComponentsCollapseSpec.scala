@@ -68,4 +68,23 @@ class ComponentsCollapseSpec extends SparkSpec {
     assert(got.nonEmpty)
     graft.CacheScope.drain(spark)
   }
+
+  test("dedupGroupBundle frames equal the standalone trio") {
+    writeCorpus()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val standalone = Map(
+      "components" -> rows(SketchDedupQueries.qDedupComponents(spark, dir)),
+      "apply" -> rows(SketchDedupQueries.qDedupApply(spark, dir)),
+      "cluster_stats" -> rows(SketchDedupQueries.qDedupClusterStats(spark, dir)))
+    graft.CacheScope.drain(spark)
+
+    val bundle = SketchDedupQueries.dedupGroupBundle(spark, dir)
+    standalone.foreach { case (name, want) =>
+      assert(rows(bundle(name)) == want, s"bundle '$name' diverged")
+      assert(want.nonEmpty)
+    }
+    graft.CacheScope.drain(spark)
+  }
 }

@@ -108,6 +108,20 @@ class LangIdCollapseSpec extends SparkSpec {
     graft.CacheScope.drain(spark)
   }
 
+  test("q_langid_nb on a trigram-free corpus is an empty matrix, not a crash") {
+    // every truncated text <3 chars: no trigrams, no language inventory
+    // (ADVICE r11: the generated score columns would otherwise leave
+    // scoreCols.head/greatest to throw at plan-build time)
+    val d = "/tmp/langid_empty_spec"
+    spark.createDataFrame(Seq((1L, "en", "ab"), (2L, "de", ""), (3L, "es", "y")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextQueries.qLangIdNb(spark, d)
+    assert(out.columns.toSeq == Seq("lang", "predicted", "n_docs"))
+    assert(out.count() == 0)
+    graft.CacheScope.drain(spark)
+  }
+
   /** (lang, predicted, n_docs) set of a confusion-matrix frame. */
   private def matrixSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet

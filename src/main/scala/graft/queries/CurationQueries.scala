@@ -51,11 +51,22 @@ object CurationQueries {
       .select(col("lang"), col("th"), col("gsz"),
         split(col("s"), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
+    // bigrams via arrays_zip of two slices, NOT transform(sequence(...),
+    // lambda): a higher-order function is evaluated interpreted (lambda
+    // functions never enter whole-stage codegen), and this query's
+    // in-run bench floor was dominated by re-JITting that interpreter
+    // path after other queries displaced it (round 12: cold-JVM sample
+    // 7.7 s vs warm 1.66 s, in-run min-of-3 ~2.9 s; the zip form
+    // compiles with the stage). Same (w1, w2) stream, oracle unchanged.
+    val t = col("t")
     val big = grp
-      .select(col("th"), col("lang"), col("gsz"), explode(expr(
-        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
-        .as("b"))
-      .select(col("th"), col("lang"), col("gsz"), col("b.w1"), col("b.w2"))
+      .select(col("th"), col("lang"), col("gsz"),
+        slice(t, lit(1), size(t) - 1).as("w1s"),
+        slice(t, lit(2), size(t) - 1).as("w2s"))
+      .select(col("th"), col("lang"), col("gsz"),
+        explode(arrays_zip(col("w1s"), col("w2s"))).as("b"))
+      .select(col("th"), col("lang"), col("gsz"),
+        col("b.w1s").as("w1"), col("b.w2s").as("w2"))
       .transform(graft.CacheScope.persist) // feeds bigram counts, context counts, and scoring
     val cBig = big.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("gsz")).as("c_big"))

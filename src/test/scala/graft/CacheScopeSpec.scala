@@ -44,6 +44,36 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.drain(spark)
   }
 
+  test("concurrent persist/drain never leaks a persisted frame") {
+    // the ADVICE-r11 race: a drain() between persist's registration and
+    // completion could orphan a persisted frame where no later drain
+    // would ever see it. Hammer persist from several threads while
+    // another drains concurrently, then drain once more: storage must
+    // return exactly to baseline — any survivor is a leak.
+    CacheScope.drain(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val persists = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 25).foreach { i =>
+            CacheScope.persist(spark.range(t * 100 + i, t * 100 + i + 3).toDF("v"))
+          }
+        })
+      }
+      val drains = (0 until 2).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 40).foreach { _ => CacheScope.drain(spark) }
+        })
+      }
+      (persists ++ drains).foreach(_.get())
+    } finally pool.shutdown()
+    CacheScope.drain(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(baseline)
+    assert(leaked.isEmpty, s"persisted RDDs leaked past the final drain: $leaked")
+    assert(CacheScope.registered(spark) == 0)
+  }
+
   test("build-before-execute loses only the persist BENEFIT, never the result") {
     // the interactive-notebook order the scaladoc warns about: build A,
     // build B (B's scopedBuild drains A's registered persists), THEN

@@ -33,6 +33,15 @@ object SparkEntry {
     * corpus-scale frames). Consume each returned plan before building
     * the next to keep the persist benefit; interleaved build-build-run
     * stays correct but recomputes.
+    *
+    * Builds are lazy (no jobs) with these exceptions, which run
+    * corpus-scale work at build time: q_langid_nb (collects the language
+    * inventory to generate score columns) and every connected-components
+    * consumer — q_dedup_components / q_dedup_apply /
+    * q_dedup_cluster_stats / q_er_clusters — whose exact fixpoint loop
+    * cannot live inside one lazy plan (see
+    * [[graft.ops.ConnectedComponents.components]]; the same applies to
+    * CorpusPipeline chains that include dedupNear*).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (n, f) =>

@@ -42,6 +42,16 @@ object ConnectedComponents {
     * enough). Returns (id, comp) — comp = min vertex id in the connected
     * component, every vertex of every edge present (self-loop-only
     * vertices included, labeled themselves).
+    *
+    * EAGER: calling this runs the resolution NOW — the first
+    * localCheckpoint materializes the upstream pair query and the
+    * convergence loop executes a job per round. Every builder that
+    * composes it (qDedupComponents/Apply/ClusterStats, qErClusters,
+    * CorpusPipeline.dedupNear*, dedupGroupBundle) therefore runs
+    * graph-scale work at plan-BUILD time; plan-audit/EXPLAIN callers pay
+    * it before they see a plan. Unavoidable for an exact fixpoint: the
+    * round count is data-dependent, so it cannot live inside one lazy
+    * plan.
     */
   def components(edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) upstream pair query exactly

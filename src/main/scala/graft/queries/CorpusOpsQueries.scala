@@ -471,7 +471,7 @@ object CorpusOpsQueries {
   // interpreted BigDecimal ops per pass.
   def qEmbedCovariance(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dims = e
       .select(posexplode(col("v")).as(Seq("i", "xi")))
       .groupBy(col("i"))
@@ -1004,7 +1004,7 @@ object CorpusOpsQueries {
   // real data.
   def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
-      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("embedding").cast("array<double>").as("v"))
     val dims = e
       .select(posexplode(col("v")).as(Seq("i", "xi")))
       .groupBy(col("i"))

@@ -639,7 +639,7 @@ object CurationQueries {
   def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
     val m = embeddings(spark, dir)
       .select(col("label"), (col("vec_id") % 2).as("parity"),
-        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        posexplode(col("embedding").cast("array<double>"))
           .as(Seq("dim", "x")))
       .groupBy(col("label"), col("parity"), col("dim"))
       .agg(sum(expr(

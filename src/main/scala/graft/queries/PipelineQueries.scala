@@ -499,7 +499,7 @@ object PipelineQueries {
   // without comparing raw arrays.
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE)"))
       .withColumn("q", expr(
         """CASE WHEN scale = CAST(0.0 AS DOUBLE)

@@ -51,7 +51,7 @@ object PqQueries {
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
 
   /** (m, k, cw): deterministic sample codebook. */
   private def codebook(e: DataFrame): DataFrame =

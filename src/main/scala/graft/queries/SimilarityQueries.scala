@@ -33,7 +33,12 @@ object SimilarityQueries {
     * loop is generated primitive code, not per-element lambdas).
     */
   private[queries] def withNorm(df: DataFrame): DataFrame = {
-    val withV = df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    // native array cast, not transform(x -> CAST(x AS DOUBLE)): the
+    // element-wise result is identical (float->double widening either
+    // way) but Cast compiles into the stage while a lambda is evaluated
+    // interpreted per element (round 12 — same finding as the perplexity
+    // bigram builder; measured on the 100x corpus in SURVEY §10.18)
+    val withV = df.withColumn("v", col("embedding").cast("array<double>"))
     withV
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .transform(graft.CacheScope.persist) // both sides of every pairwise join reuse the normed table
@@ -508,7 +513,7 @@ object SimilarityQueries {
         .as(s"y$j")
     }
     embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .select(col("vec_id") +: cols: _*)
       .orderBy(col("vec_id"))
   }

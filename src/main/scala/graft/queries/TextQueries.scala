@@ -547,10 +547,12 @@ object TextQueries {
   //   top_ratio: share of the single most frequent token.
   // Both are pure per-row array expressions — no explode, no shuffle until
   // the final tiny per-source rollup, so the scoring pass is
-  // embarrassingly parallel at 100 TB. The top-token count is quadratic
-  // in DOC length (distinct-terms x tokens), bounded and cache-local —
-  // strictly cheaper than exploding N x len rows through a shuffle just
-  // to count within a doc.
+  // embarrassingly parallel at 100 TB. The top-token count is ONE linear
+  // compiled hash pass (TopTokenCountExpr, round 12); its predecessor —
+  // nested interpreted lambdas, quadratic in doc length — cost 62 s at
+  // the 100x corpus (now 17.9 s) and would grow without bound on a
+  // long-document corpus. Still strictly cheaper than exploding N x len
+  // rows through a shuffle just to count within a doc.
   //
   // Determinism: per-doc metrics are IEEE double quotients of exact
   // integers (identical in both engines); the per-source averages sum the
@@ -562,7 +564,13 @@ object TextQueries {
     */
   private[graft] def withRepetitionSignals(d: DataFrame, tkCol: String): DataFrame =
     d
-      // bigrams; `slice(tk, 1, 0)` is a typed-empty fallback for 1-token docs
+      // bigrams; `slice(tk, 1, 0)` is a typed-empty fallback for 1-token
+      // docs. Negative A/B (round 12): arrays_zip(slice, slice) struct
+      // pairs — the perplexity move — measured WORSE here (22.5 vs 17.9 s
+      // at 100x, 4-sample mins): this lambda is linear and feeds
+      // array_distinct, and distinct over struct pairs costs more than
+      // distinct over the concat strings. The quadratic top-token lambda
+      // below was the 62 s problem, not this one.
       .withColumn("_bg", expr(
         s"""CASE WHEN size($tkCol) >= 2
            |  THEN transform(sequence(1, size($tkCol) - 1),
@@ -571,10 +579,13 @@ object TextQueries {
       .withColumn("dup2", when(size(col("_bg")) > 0,
         lit(1.0) - size(array_distinct(col("_bg"))).cast("double") / size(col("_bg")))
         .otherwise(lit(0.0)))
-      .withColumn("top_ratio", expr(
-        s"CAST(array_max(transform(array_distinct($tkCol), " +
-          s"w -> size(filter($tkCol, x -> x = w)))) AS DOUBLE)")
-        ./(size(col(tkCol))))
+      // compiled linear hash-count, not the O(distinct x length) nested
+      // interpreted lambdas it replaces (TopTokenCountExpr scaladoc: the
+      // lambda form cost 62 s at 100x and grows quadratically with doc
+      // length); NULL/tie/empty semantics pinned by TopTokenCountSpec
+      .withColumn("top_ratio",
+        graft.functions.TopTokenCountExpr.topTokenCount(col(tkCol))
+          .cast("double") / size(col(tkCol)))
       .drop("_bg")
 
   def qRepetitionFilter(spark: SparkSession, dir: String): DataFrame = {

@@ -48,7 +48,14 @@ object ProbeCorpus {
       val bumped = idCols.foldLeft(rep) { case (df, c) =>
         df.withColumn(c, col(c) + col("_off"))
       }.drop("_off")
-      bumped.write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+      // 64 output files, not one: replicated content compresses ~100x,
+      // so a single-file corpus lands under one 128 MB split and every
+      // scan stage the probes time runs on ONE core (round 12 — the
+      // 1000x signature pass was a 49 MB single file). One file per
+      // split (localSession sets 1 MB splits / zero open cost) restores
+      // the scan parallelism a real deployment would have.
+      bumped.repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
       println(s"[corpus] $table x$copies -> ${bumped.count()} rows")
     }
 

@@ -71,6 +71,20 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan-stage parallelism for the probe corpora (round 12): the
+      // replicated corpora compress ~100x on disk (49 MB for 5M docs at
+      // 1000x), so under the 128 MB default every scan stage was ONE
+      // task — every pre-shuffle receipt (the whole signature pass)
+      // measured a single core, which models nothing about a real
+      // deployment where a 5M-doc table spans many splits. 1 MB splits
+      // + zero open cost give one task per ProbeCorpus output file.
+      // Probe/sentinel sessions only — Bench and Verify build their own
+      // sessions, so the sf0.1 anchors stay comparable.
+      // env overrides let probes A/B the split sizing itself
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (1 << 20).toString))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "0"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -47,13 +47,32 @@ object Md5Hash60Expr {
   private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
+  // reused per-thread digest output; MessageDigest.digest() otherwise
+  // allocates a fresh 16-byte array per call — per TOKEN on the sketch
+  // paths (round 12: the signature pass spent more on these little
+  // allocations + the getBytes copy below than on MD5 itself)
+  private val Out = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+
   /** Column form: top 60 bits of md5(s) as a non-negative long. */
   def of(s: Column): Column = Shims.column(Md5Hash60Expr(Shims.expression(s)))
 
   def compute(s: UTF8String): Long = {
     val md = Md5.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    // feed the digest in place when the string is backed by an on-heap
+    // byte[] (split tokens, parquet-scan strings): UTF8String.getBytes
+    // copies every slice into a fresh array otherwise
+    val base = s.getBaseObject
+    val nb = s.numBytes()
+    base match {
+      case arr: Array[Byte] =>
+        val off = s.getBaseOffset - org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+        if (off >= 0 && off + nb <= arr.length) md.update(arr, off.toInt, nb)
+        else md.update(s.getBytes)
+      case _ => md.update(s.getBytes)
+    }
+    val d = Out.get()
+    md.digest(d, 0, 16)
     val top =
       (d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
       (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |

@@ -31,6 +31,9 @@ object TokenProbe {
       docs.select(graft.functions.SimHashExpr.of(
           split(trim(col("text")), "\\s+")).as("h"))
         .agg(expr("bit_xor(h)")).first().getLong(0))
+    time("simhash_fused")(
+      docs.select(graft.functions.SimHashTextExpr.of(col("text")).as("h"))
+        .agg(expr("bit_xor(h)")).first().getLong(0))
     spark.stop()
   }
 }

@@ -56,6 +56,25 @@ object Md5Hash60Expr {
   /** Column form: top 60 bits of md5(s) as a non-negative long. */
   def of(s: Column): Column = Shims.column(Md5Hash60Expr(Shims.expression(s)))
 
+  /** Same top-60-bits-of-md5 hash over a byte RANGE — the zero-copy,
+    * zero-allocation entry point for fused per-token walks
+    * ([[SimHashTextExpr]]): the token bytes are hashed in place inside
+    * the document's buffer.
+    */
+  def computeRange(arr: Array[Byte], off: Int, len: Int): Long = {
+    val md = Md5.get()
+    md.reset()
+    md.update(arr, off, len)
+    val d = Out.get()
+    md.digest(d, 0, 16)
+    val top =
+      (d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
+      (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |
+      (d(4) & 0xffL) << 24 | (d(5) & 0xffL) << 16 |
+      (d(6) & 0xffL) << 8 | (d(7) & 0xffL)
+    top >>> 4
+  }
+
   def compute(s: UTF8String): Long = {
     val md = Md5.get()
     md.reset()

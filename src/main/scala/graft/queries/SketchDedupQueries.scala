@@ -258,8 +258,11 @@ object SketchDedupQueries {
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        graft.functions.SimHashExpr.of(split(trim(col(textCol)), "\\s+"))
-          .as("simhash"))
+        // fused tokenize+hash walk (round 12): the split form allocated
+        // one UTF8String per token only for the hash to consume it once
+        // — 1.8x on the signature pass at the 100x corpus (TokenProbe);
+        // SimHashTextSpec pins per-doc equality with the split chain
+        graft.functions.SimHashTextExpr.of(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
       .transform(graft.CacheScope.persist) // signature reused by both sides of the band self-join
 

@@ -149,12 +149,22 @@ object Bench {
       val anchorSum = rs.map(_._3).sum
       if (anchorSum > 0) f"${rs.map(_._2).sum / anchorSum}%.3f" else "-1"
     }
+    // Box-state-robust subtotal (VERDICT r12 item 6): sub-second queries
+    // shift ~uniformly +0.1–0.3 s under external load (pure dispatch
+    // overhead on tiny 32-way stages — BASELINE.md), which moves the
+    // headline ratio_sum 1.08–1.30 on IDENTICAL code. Queries with ≥1 s
+    // anchors are dominated by real work, so their subtotal tracks the
+    // code, not the box. Readers compare ratio_sum_large first;
+    // n_over_2x stays the gate.
+    def largeOf(rs: Seq[(String, Double, Double)]): Seq[(String, Double, Double)] =
+      rs.filter(_._3 >= 1.0)
     val anchorBlock: String = ratioData match {
       case None => """"anchors_file":null"""
       case Some(rs) =>
         val ratios = rs.map { case (n, m, am) => "\"" + n + "\":" + f"${m / am}%.3f" }
           .mkString("{", ",", "}")
-        s""""anchors_file":"$anchorsPath","anchored_count":${rs.size},"ratios":$ratios,"ratio_sum":${ratioSumOf(rs)}"""
+        val lg = largeOf(rs)
+        s""""anchors_file":"$anchorsPath","anchored_count":${rs.size},"ratios":$ratios,"ratio_sum":${ratioSumOf(rs)},"ratio_sum_large":${ratioSumOf(lg)},"n_large":${lg.size}"""
     }
     // The driver stores only the TAIL of bench output, so the gate-relevant
     // numbers (errors, totals, anchor ratios, ratio_sum) go LAST — the big
@@ -170,7 +180,8 @@ object Bench {
         val worst = withRatio.sortBy(-_._2).take(5)
           .map { case (n, r) => "\"" + n + "\":" + f"$r%.3f" }
           .mkString("{", ",", "}")
-        s"""{"bench_summary":1,"ratio_sum":${ratioSumOf(rs)},"max_ratio":${f"${withRatio.map(_._2).max}%.3f"},"n_over_2x":${withRatio.count(_._2 > 2.0)},"worst":$worst,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
+        val lg = largeOf(rs)
+        s"""{"bench_summary":1,"ratio_sum":${ratioSumOf(rs)},"ratio_sum_large":${ratioSumOf(lg)},"n_large":${lg.size},"max_ratio":${f"${withRatio.map(_._2).max}%.3f"},"n_over_2x":${withRatio.count(_._2 > 2.0)},"worst":$worst,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
       case _ =>
         s"""{"bench_summary":1,"ratio_sum":null,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
     }

@@ -36,7 +36,7 @@ object PipelineProbe {
     val mode = args.headOption.getOrElse("pipeline")
     val dir = args.lift(1).getOrElse("/tmp/docs100x")
     val baseDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val spark = Tables.localSession(cores = 32)
+    val spark = Tables.localSession(cores = 32, probeSplits = true)
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "pipeline" => runPipeline(spark, dir, baseDir)

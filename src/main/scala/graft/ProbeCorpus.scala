@@ -21,6 +21,51 @@ import org.apache.spark.sql.functions._
   * qPhashNeardup's +1e7 twins).
   */
 object ProbeCorpus {
+
+  /** Tables [[build]] replicates under offset ids (the rest copy through
+    * unchanged — dimension-shaped, tiny, usually broadcast).
+    */
+  private[graft] val ReplicatedTables: Set[String] =
+    Set("documents", "embeddings", "events", "customer")
+
+  /** Minimum part-file count a replicated probe table must span.
+    *
+    * Round 12's instrument bug: replicated content compresses ~100x, so
+    * a corpus written as ONE parquet file lands under a single input
+    * split and every pre-shuffle stage of every receipt runs on one
+    * core — three rounds of 100x/1000x numbers measured one task.
+    * [[build]] writes 64 files; this floor (checked by
+    * [[assertScanParallel]] before any receipt is recorded or gated)
+    * makes the invariant structural, so a future build change or parquet
+    * writer upgrade can't silently reintroduce the bug. 16, not 64: the
+    * guard targets "effectively serial", not the exact write fan-out.
+    * Deliberate layout A/Bs can lower it via SPARK_GRAFT_MIN_CORPUS_FILES.
+    */
+  private[graft] val MinScanFiles = 16
+
+  private[graft] def partFileCount(dir: java.io.File): Int =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  /** Fail fast if any replicated probe table present under `corpus` spans
+    * fewer than `minFiles` parquet part-files (see [[MinScanFiles]]).
+    */
+  def assertScanParallel(corpus: String,
+      minFiles: Int = sys.env.get("SPARK_GRAFT_MIN_CORPUS_FILES")
+        .map(_.toInt).getOrElse(MinScanFiles)): Unit =
+    ReplicatedTables.foreach { t =>
+      val dir = new java.io.File(s"$corpus/$t.parquet")
+      if (dir.isDirectory) {
+        val n = partFileCount(dir)
+        require(n >= minFiles,
+          s"probe corpus $corpus/$t.parquet spans only $n part-file(s) " +
+            s"(need >= $minFiles): its scan stages would run effectively " +
+            "serial and every timing receipt would measure one core " +
+            "(round-12 instrument bug). Rebuild via ProbeCorpus, or set " +
+            "SPARK_GRAFT_MIN_CORPUS_FILES for a deliberate layout A/B.")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/docs10x")
@@ -29,7 +74,7 @@ object ProbeCorpus {
     // "documents,customer" for a 1000x corpus that skips the 100M-row
     // events write when the target ops never read events)
     val onlyTables = args.lift(3).map(_.split(",").toSet)
-    val spark = Tables.localSession(cores = 16)
+    val spark = Tables.localSession(cores = 16, probeSplits = true)
     build(spark, src, out, copies, onlyTables)
     spark.stop()
   }

@@ -33,7 +33,7 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/docs100x")
     val hotShare = args.lift(1).map(_.toDouble).getOrElse(0.5)
-    val spark = Tables.localSession(cores = 32)
+    val spark = Tables.localSession(cores = 32, probeSplits = true)
     spark.sparkContext.setLogLevel("WARN")
 
     // --- the adversarial fact: reassign hotShare of events to user 0 ---

@@ -33,7 +33,7 @@ object StreamProbe {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("state")
     val dir = args.lift(1).getOrElse("/tmp/docs100x")
-    val spark = Tables.localSession(cores = 32)
+    val spark = Tables.localSession(cores = 32, probeSplits = true)
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "drain" =>

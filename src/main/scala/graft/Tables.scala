@@ -62,30 +62,36 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Local session with the same settings the driver uses, for tests/bench. */
-  def localSession(cores: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+  /** Local session with the same settings the driver uses, for tests/bench.
+    *
+    * `probeSplits = true` (probe/sentinel entry points only) adds
+    * scan-split overrides for the replicated probe corpora (round 12):
+    * those corpora compress ~100x on disk (49 MB for 5M docs at 1000x),
+    * so under the 128 MB default every scan stage was ONE task — every
+    * pre-shuffle receipt (the whole signature pass) measured a single
+    * core, which models nothing about a real deployment where a 5M-doc
+    * table spans many splits. 1 MB splits + zero open cost give one task
+    * per ProbeCorpus output file. Non-probe entry points (IncrementalRunner,
+    * PipelineDemo, ExplainPlans) keep Spark's defaults — on real-sized
+    * data the 1 MB override would schedule one task per megabyte. Env
+    * overrides let probes A/B the split sizing itself.
+    */
+  def localSession(cores: Int = 32, probeSplits: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Scan-stage parallelism for the probe corpora (round 12): the
-      // replicated corpora compress ~100x on disk (49 MB for 5M docs at
-      // 1000x), so under the 128 MB default every scan stage was ONE
-      // task — every pre-shuffle receipt (the whole signature pass)
-      // measured a single core, which models nothing about a real
-      // deployment where a 5M-doc table spans many splits. 1 MB splits
-      // + zero open cost give one task per ProbeCorpus output file.
-      // Probe/sentinel sessions only — Bench and Verify build their own
-      // sessions, so the sf0.1 anchors stay comparable.
-      // env overrides let probes A/B the split sizing itself
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (1 << 20).toString))
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "0"))
-      .getOrCreate()
+    val withSplits =
+      if (probeSplits)
+        b.config("spark.sql.files.maxPartitionBytes",
+            sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (1 << 20).toString))
+          .config("spark.sql.files.openCostInBytes",
+            sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "0"))
+      else b
+    val s = withSplits.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

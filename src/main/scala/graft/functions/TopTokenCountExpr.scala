@@ -42,12 +42,17 @@ case class TopTokenCountExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // fresh per-instance name: nullSafeCodeGen emits this snippet without an
+      // enclosing block when the child is non-nullable, so a fixed local name
+      // would collide (janino duplicate-variable) if two instances share one
+      // codegen scope and silently drop the plan out of whole-stage codegen.
+      val r = ctx.freshName("topTokenCount")
       s"""
-         |Object topTokenCountR = graft.functions.TopTokenCountExpr.compute($c);
-         |if (topTokenCountR == null) {
+         |Object $r = graft.functions.TopTokenCountExpr.compute($c);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((Long) topTokenCountR).longValue();
+         |  ${ev.value} = ((Long) $r).longValue();
          |}
        """.stripMargin
     })

@@ -55,4 +55,30 @@ class TopTokenCountSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(gn == Seq(0L, 2L))
   }
+
+  test("two instances in one codegen scope compile (fresh local names)") {
+    // ADVICE r12: doGenCode used a FIXED local variable name; with a
+    // non-nullable child, nullSafeCodeGen emits the snippet without an
+    // enclosing block, so two instances in one projection produced a
+    // janino duplicate-variable error and a silent fallback to the
+    // interpreted path. split() over a non-null literal column gives the
+    // non-nullable child; spark.sql.codegen.fallback=false makes a
+    // codegen failure a test failure instead of a silent slow path.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = Seq("a b a", "x y").toDF("t")
+        .select(split(col("t"), " ").as("a"), split(col("t"), " ").as("b"))
+      val rows = d.select(
+          TopTokenCountExpr.topTokenCount(col("a")).as("ca"),
+          TopTokenCountExpr.topTokenCount(col("b")).as("cb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((2L, 2L), (1L, 1L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }

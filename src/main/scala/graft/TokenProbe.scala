@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TokenProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/docs100x")
-    val spark = Tables.localSession(cores = 32)
+    val spark = Tables.localSession(cores = 32, probeSplits = true)
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, dir).select(col("text"))
     // warmup scan
@@ -33,6 +33,23 @@ object TokenProbe {
         .agg(expr("bit_xor(h)")).first().getLong(0))
     time("simhash_fused")(
       docs.select(graft.functions.SimHashTextExpr.of(col("text")).as("h"))
+        .agg(expr("bit_xor(h)")).first().getLong(0))
+    // the MinHash signature pass, unfused chain vs fused walk (VERDICT
+    // r12 item 4). Fold xxhash64 over the signature array so all K
+    // minima materialize per row.
+    import graft.queries.SketchDedupQueries.{as, bs, P}
+    time("minhash")(
+      docs.select(col("text"))
+        .select(split(trim(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(graft.functions.MinHashSigExpr.sig(
+          graft.functions.ShinglesExpr.shingles(col("tk")), as, bs, P).as("m"))
+        .select(xxhash64(col("m")).as("h"))
+        .agg(expr("bit_xor(h)")).first().getLong(0))
+    time("minhash_fused")(
+      docs.select(graft.functions.MinHashTextExpr.sig(col("text"), as, bs, P).as("m"))
+        .filter(col("m").isNotNull)
+        .select(xxhash64(col("m")).as("h"))
         .agg(expr("bit_xor(h)")).first().getLong(0))
     spark.stop()
   }

@@ -65,6 +65,31 @@ object Md5Hash60Expr {
     val md = Md5.get()
     md.reset()
     md.update(arr, off, len)
+    finishTop60(md)
+  }
+
+  private val SpaceByte: Byte = ' '
+
+  /** Top-60-bits-of-md5 of a 3-token shingle `tokA + ' ' + tokB + ' '
+    * + tokC`, fed to the digest straight from the document buffer —
+    * bit-identical to [[computeRange]] over the concatenated string
+    * (md5 is a byte stream; feeding the pieces IS feeding the concat)
+    * without ever materializing the shingle. The fused-minhash entry
+    * point ([[MinHashTextExpr]]).
+    */
+  def computeShingle3(arr: Array[Byte],
+      o1: Int, l1: Int, o2: Int, l2: Int, o3: Int, l3: Int): Long = {
+    val md = Md5.get()
+    md.reset()
+    md.update(arr, o1, l1)
+    md.update(SpaceByte)
+    md.update(arr, o2, l2)
+    md.update(SpaceByte)
+    md.update(arr, o3, l3)
+    finishTop60(md)
+  }
+
+  private def finishTop60(md: MessageDigest): Long = {
     val d = Out.get()
     md.digest(d, 0, 16)
     val top =

@@ -389,8 +389,13 @@ object StreamingQueries {
   private[graft] def nearDedupEmits(
       spark: SparkSession, src: DataFrame): Dataset[BandEmit] = {
     import spark.implicits._
+    // signature-only fingerprinting: this path never reads the shingle
+    // array (bands derive from `m` alone), so it takes the fused text
+    // walk — same minima bit-for-bit (MinHashTextSpec), ~1.2x the
+    // signature-pass throughput and near the bare-scan floor
+    // (TokenProbe A/B at 100x)
     val bands = IncrementalDedupQueries.bandRows(
-      IncrementalDedupQueries.signatures(src)).as[DocBand]
+      IncrementalDedupQueries.signaturesSigOnly(src)).as[DocBand]
     bands
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {

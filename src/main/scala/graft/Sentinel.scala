@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * The sf0.1 bench is blind to scale-shape regressions: §10.16's
   * broadcast-flip made dedup_simhash 3× slower at 100× while sf0.1 times
-  * never moved. This gate runs the 13 collapse/join-shape-critical ops
+  * never moved. This gate runs the 14 collapse/join-shape-critical ops
   * against the regenerable 100× replicated corpus and FAILS (exit 1) if
   * any exceeds its recorded wall-clock ceiling in `sentinels.json`
   * (checked in, like anchors.json; ceiling = [[CeilingMultiplier]] = 2×
@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.Sentinel"                 # 100x gate: exit 1 on breach
   *   sbt "runMain graft.Sentinel --record"        # reprint sentinels.json with fresh receipts
-  *   sbt "runMain graft.Sentinel --tier 1000x"    # before-release tier (6 ops, ~10 min incl. setup)
+  *   sbt "runMain graft.Sentinel --tier 1000x"    # before-release tier (7 ops, ~10 min incl. setup)
   *   sbt "runMain graft.Sentinel --tier 1000x --record"
   *
   * Tiers: `100x` (default) is the standing per-change gate. `1000x` runs
@@ -91,6 +91,17 @@ object Sentinel {
       queries.SketchDedupQueries.qDedupMinhashLsh(s, d).count()),
     "dedup_components" -> timed((s, d, _) =>
       queries.SketchDedupQueries.qDedupComponents(s, d).count()),
+    // the documented recommended path for trio users: three frames over
+    // ONE shared signature pass + component resolution. The shared-pass
+    // plan shape (one CacheScope persist feeding three frames) is
+    // exactly what a refactor can silently break — gate the whole trio
+    // as one receipt (VERDICT r12 item 5).
+    "dedup_group_bundle" -> timed((s, d, _) => {
+      val frames = queries.SketchDedupQueries.dedupGroupBundle(s, d)
+      // consume in the documented order; all three must materialize
+      frames("components").count() + frames("apply").count() +
+        frames("cluster_stats").count()
+    }),
     "semdedup" -> timed((s, d, _) =>
       queries.SimilarityQueries.qSemDedup(s, d).count()),
     "phash_neardup" -> timed((s, d, _) =>
@@ -158,8 +169,8 @@ object Sentinel {
     // (incremental_daily's untimed index build alone is ~4 min at 1000×);
     // run before a release or after changing a gated plan shape
     "1000x" -> Tier("1000x", "/tmp/docs1000x", 1000, Set("documents"),
-      Seq("dedup_components", "exact_substr", "langid_nb", "lm_quality",
-        "pipeline_composed", "incremental_daily")))
+      Seq("dedup_components", "dedup_group_bundle", "exact_substr",
+        "langid_nb", "lm_quality", "pipeline_composed", "incremental_daily")))
 
   /** The tier's ops node inside a parsed sentinels.json, or null. */
   private[graft] def tierOpsNode(root: com.fasterxml.jackson.databind.JsonNode,
@@ -175,7 +186,12 @@ object Sentinel {
     while (i < args.length) {
       args(i) match {
         case "--record" => record = true
-        case "--tier" => tierName = args(i + 1); i += 1
+        case "--tier" =>
+          require(i + 1 < args.length, "--tier requires a value " +
+            s"(have tiers: ${Tiers.keys.mkString(", ")})")
+          tierName = args(i + 1); i += 1
+        case a if a.startsWith("--") =>
+          sys.error(s"unknown flag '$a' (known: --record, --tier <name>)")
         case a => pos += a
       }
       i += 1
@@ -187,12 +203,15 @@ object Sentinel {
     val sentinelsPath = sys.env.getOrElse("SPARK_GRAFT_SENTINELS", "sentinels.json")
     val mapper = new ObjectMapper()
 
-    val spark = Tables.localSession(cores = 32)
+    val spark = Tables.localSession(cores = 32, probeSplits = true)
     if (!new java.io.File(s"$corpus/documents.parquet").exists()) {
       println(s"[sentinel] corpus $corpus missing — regenerating ${tier.copies}x from $baseDir")
       ProbeCorpus.build(spark, baseDir, corpus, copies = tier.copies,
         onlyTables = Some(tier.tables))
     }
+    // layout invariant: no receipt is recorded or gated against a corpus
+    // whose scans would run effectively serial (round-12 instrument bug)
+    ProbeCorpus.assertScanParallel(corpus)
 
     // ceilings from sentinels.json (gate mode)
     val ceilings: Map[String, Double] =

@@ -94,10 +94,19 @@ object SketchDedupQueries {
     // Identical sets have identical signatures, so within-group pairs are
     // exactly (est=1, jaccard=1) and a cross-group rep pair's values hold
     // for every member pair. Lossless by construction.
+    // min/min_by aggregate, not a row_number window (round 13): the
+    // window shuffles EVERY member row's sarr payload and then sorts
+    // each set_hash partition just to keep row 1; the aggregate ships at
+    // most one sarr per distinct set per map partition (partial
+    // aggregation collapses same-partition copies before the exchange)
+    // and drops the sort. Row-identical output: min_by keyed on the
+    // unique doc_id picks exactly the member rn=1 kept. Measured at
+    // 100x from the cached base: 1.05 -> 0.87 s; the real payoff is the
+    // shuffle-byte shape under heavy duplication.
     val reps = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("set_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("sarr"), col("doc_id")).as("sarr"))
       .select(col("doc_id"), col("sarr"), col("set_hash"))
     // all K permutation minima per document in ONE compiled row-grain pass
     // (MinHashSigExpr — the same expression the incremental index uses, so

@@ -466,10 +466,16 @@ object TextQueries {
     // every member pair (identical sets). Lossless by construction; on
     // the 10x probe corpus (every doc x10) this cuts candidate generation
     // from 50k docs back to the ~5k distinct sets.
+    // min/min_by aggregate, not a row_number window — same swap as
+    // minhashRepPairs (round 13): no per-partition sort, and partial
+    // aggregation ships one sarr per distinct set per map partition
+    // instead of every member's. Row-identical (min_by on unique doc_id
+    // = the rn=1 member).
     val reps = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("set_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("sarr"), col("doc_id")).as("sarr"),
+        min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
       .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))

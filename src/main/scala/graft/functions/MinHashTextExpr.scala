@@ -25,13 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     token stream (Java's `\s` is exactly the six ASCII bytes
   *     {space, \t, \n, \x0B, \f, \r}, none of which can appear inside a
   *     UTF-8 multibyte sequence — the [[SimHashTextExpr]] argument) —
-  *     including split's one leading EMPTY token when the space-trimmed
-  *     text starts with a non-space `\s` byte (`trim` strips 0x20 only,
-  *     so `split("\\s+")` sees a leading separator). [[ShinglesExpr]]
-  *     hashes that empty token into the first window and `size(tk)`
-  *     counts it; the walk reproduces both (unlike [[SimHashExpr]],
-  *     which SKIPS empty tokens — the families differ here on purpose,
-  *     each pinned to its own oracle);
+  *     including split's EMPTY tokens: `trim` strips 0x20 only and
+  *     Spark's split is `split(str, regex, -1)` (trailing empty fields
+  *     KEPT, unlike Java's default), so a space-trimmed text that
+  *     starts or ends with a non-space `\s` byte carries one "" token
+  *     there. [[ShinglesExpr]] hashes those into the boundary windows
+  *     and `size(tk)` counts them; the walk reproduces all of it
+  *     (unlike [[SimHashExpr]], which SKIPS empty tokens — the families
+  *     differ here on purpose, each pinned to its own oracle);
   *   - each window's md5 is fed piecewise (tokA, ' ', tokB, ' ', tokC)
   *     via [[Md5Hash60Expr.computeShingle3]] — md5 is a byte stream, so
   *     piecewise feeding IS hashing the concatenated shingle string;
@@ -118,16 +119,23 @@ object MinHashTextExpr {
     val lens = new Array[Int](3)
     var t = 0 // tokens completed
     var i = 0
-    // split's leading-empty-token quirk: trim strips 0x20 only, so when
-    // the space-trimmed text starts with another \s byte, split emits
-    // one "" token at position 0 (and only there — trailing empties are
-    // dropped). It participates in the first window and the token count.
+    // split's empty-token quirks: trim strips 0x20 only, and Spark's
+    // split(str, regex) is split(str, regex, -1) — unlike Java's
+    // default it KEEPS a trailing empty field. So the token stream
+    // carries one "" at position 0 when the space-trimmed text STARTS
+    // with a non-space \s byte, and one "" at the end when it ENDS with
+    // one; both participate in their windows and in size(tk). (An
+    // all-separator trimmed text is exactly the two empties, size 2 —
+    // dropped by the >= 3 filter on both paths.)
     while (i < n && arr(start + i) == 0x20) i += 1
     if (i < n && isWs(arr(start + i))) {
       offs(0) = start
       lens(0) = 0
       t = 1
     }
+    var e = n
+    while (e > 0 && arr(start + e - 1) == 0x20) e -= 1
+    val trailingEmpty = e > 0 && isWs(arr(start + e - 1))
     while (i < n) {
       while (i < n && isWs(arr(start + i))) i += 1
       val t0 = i
@@ -150,6 +158,24 @@ object MinHashTextExpr {
         }
         t += 1
       }
+    }
+    if (trailingEmpty) {
+      offs(t % 3) = start
+      lens(t % 3) = 0
+      if (t >= 2) {
+        val a = (t - 2) % 3
+        val b = (t - 1) % 3
+        val c = t % 3
+        val x = Md5Hash60Expr.computeShingle3(arr,
+          offs(a), lens(a), offs(b), lens(b), offs(c), lens(c)) % cfg.p
+        var j = 0
+        while (j < k) {
+          val v = (cfg.as(j) * x + cfg.bs(j)) % cfg.p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      t += 1
     }
     if (t < 3) return null
     val out = new Array[Any](k)

@@ -50,16 +50,42 @@ class MinHashTextSpec extends SparkSpec {
       " \t\n ",                        // whitespace only -> NULL
       "one",                           // 1 token -> NULL
       "one two",                       // 2 tokens -> NULL (no 3-shingle)
-      // split's leading-empty-token quirk (trim strips 0x20 only): the
-      // "" token counts toward size(tk) and rides in the first shingle
+      // split's empty-token quirks (trim strips 0x20 only; Spark split
+      // keeps trailing empty fields): "" tokens count toward size(tk)
+      // and ride in the boundary shingles
       "\tlead tab",                    // tk ["", lead, tab] -> defined
       "\tsolo",                        // tk ["", solo] -> NULL
+      "one two\t",                     // tk [one, two, ""] -> defined
+      "one two\t ",                    // trailing spaces stripped, then \t -> same
+      "a\n",                           // tk [a, ""] -> NULL
+      "\tmid\n",                       // tk ["", mid, ""] -> defined (both empties)
+      "\t \n",                         // all-separator: tk ["", ""] -> NULL
       "日本語 テキスト 処理 の 検証"     // fully multibyte
     ).toDF("text")
     assert(diffOn(d) == 0)
     val nulls = d.select(MinHashTextExpr.sig(col("text"), as, bs, P).as("m"))
       .filter(col("m").isNull).count()
-    assert(nulls == 5)
+    assert(nulls == 7)
+  }
+
+  test("property: fused == unfused on arbitrary whitespace/unicode soup") {
+    // raw ScalaCheck with fixed seeds, same discipline as PropertySpec
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.nonEmptyListOf(Gen.oneOf('é', 'ß', '語', '≠', 'a', '7')).map(_.mkString),
+      Gen.const("a"))
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n + 1, Gen.nonEmptyListOf(Gen.oneOf(wsChars)).map(_.mkString))
+      lead <- Gen.oneOf("", " ", "\t", "\n ", "  \t")
+    } yield lead + seps.zip(toks :+ "").map { case (s, t) => s + t }.mkString
+    val texts = (0 until 48).map(i =>
+      textGen.pureApply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
+    assert(diffOn(texts.toDF("text")) == 0)
   }
 
   test("two instances in one codegen scope compile (fresh local names)") {

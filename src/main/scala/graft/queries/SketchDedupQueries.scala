@@ -41,6 +41,12 @@ object SketchDedupQueries {
     * a \s+ split, so no shingle can contain it). NOT persisted here —
     * the caller decides (q_dedup_agreement shares ONE persisted base
     * across its ngram + minhash generators).
+    *
+    * Recorded negative (round 13): a fused sort+md5 set-hash expression
+    * (the SimHashTextExpr treatment for this chain) is not worth it —
+    * decomposed at 100x warm, the shingle pass itself is 0.75 s while
+    * sort_array adds ~0.2 s and concat_ws+md5 ~0.1 s; the layers a
+    * fusion would eliminate are <3% of the detector that consumes them.
     */
   private[graft] def shingleBase(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))

@@ -78,4 +78,19 @@ class AHashExprSpec extends SparkSpec {
     assert(diff.count() == 0)
     d.unpersist()
   }
+
+  test("property: native == declarative on generated character soup") {
+    // GenSoup discipline (round 13): dense printable/whitespace/multibyte
+    // soup crossing the 64-sample floor — segment boundaries land on
+    // arbitrary codepoints
+    val d = GenSoup.sample(GenSoup.charSoupGen, n = 24).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .filter(length(col("text")) >= 64).persist()
+    val diff = native(d).as("a")
+      .join(declarative(d).as("b"), Seq("doc_id", "band"), "full")
+      .filter(col("a.bv").isNull || col("b.bv").isNull ||
+        col("a.bv") =!= col("b.bv"))
+    assert(diff.count() == 0)
+    d.unpersist()
+  }
 }

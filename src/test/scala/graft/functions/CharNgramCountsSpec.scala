@@ -53,4 +53,12 @@ class CharNgramCountsSpec extends SparkSpec {
       size(CharNgramsExpr.charNgrams(col("s"))).cast("long").as("w"))
     assert(tot.filter(col("t") =!= col("w")).count() == 0)
   }
+
+  test("property: count map == instance counts on generated soup text") {
+    // GenSoup discipline (round 13): whitespace runs and multibyte chars
+    // at arbitrary boundaries
+    val d = GenSoup.sample(GenSoup.textGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+    assert(diffOn(d) == 0)
+  }
 }

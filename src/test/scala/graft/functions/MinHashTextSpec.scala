@@ -69,23 +69,9 @@ class MinHashTextSpec extends SparkSpec {
   }
 
   test("property: fused == unfused on arbitrary whitespace/unicode soup") {
-    // raw ScalaCheck with fixed seeds, same discipline as PropertySpec
-    import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
-    val tokenGen = Gen.oneOf(
-      Gen.alphaNumStr.suchThat(_.nonEmpty),
-      Gen.nonEmptyListOf(Gen.oneOf('é', 'ß', '語', '≠', 'a', '7')).map(_.mkString),
-      Gen.const("a"))
-    val textGen = for {
-      n <- Gen.choose(0, 12)
-      toks <- Gen.listOfN(n, tokenGen)
-      seps <- Gen.listOfN(n + 1, Gen.nonEmptyListOf(Gen.oneOf(wsChars)).map(_.mkString))
-      lead <- Gen.oneOf("", " ", "\t", "\n ", "  \t")
-    } yield lead + seps.zip(toks :+ "").map { case (s, t) => s + t }.mkString
-    val texts = (0 until 48).map(i =>
-      textGen.pureApply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
-    assert(diffOn(texts.toDF("text")) == 0)
+    // the law that caught the trailing-empty-token divergence the corpus
+    // pin and the oracle gate both missed (39/48 generated texts)
+    assert(diffOn(GenSoup.sample(GenSoup.textGen).toDF("text")) == 0)
   }
 
   test("two instances in one codegen scope compile (fresh local names)") {

@@ -49,4 +49,21 @@ class ShingleExprSpec extends SparkSpec {
       .select(ShinglesExpr.shingles(col("tk"))).head().getSeq[String](0)
     assert(out.isEmpty)
   }
+
+  test("property: native == HOF on generated token arrays (empties, dups)") {
+    // GenSoup discipline (round 13): arrays include empty-string tokens
+    // (split's boundary fields) and heavy duplicates — the shapes where
+    // first-occurrence dedup order and separator handling can diverge
+    val arrays = GenSoup.sample(GenSoup.tokenArrayGen).filter(_.size >= 3)
+    assert(arrays.nonEmpty)
+    val d = arrays.map(Tuple1(_)).toDF("tk")
+    assert(d.select(ShinglesExpr.shingles(col("tk")).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+    // non-distinct form: every window, in order
+    val all = d.select(
+        ShinglesExpr.shingles(col("tk"), 3, distinct = false).as("a"),
+        expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))").as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(all == 0)
+  }
 }

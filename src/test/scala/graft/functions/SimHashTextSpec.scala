@@ -55,21 +55,6 @@ class SimHashTextSpec extends SparkSpec {
     // keeps trailing empty fields — MinHashTextSpec). SimHashExpr SKIPS
     // empty tokens, so here the law pins that the fused walk's
     // never-emits-empties behavior matches on any boundary shape.
-    import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
-    val tokenGen = Gen.oneOf(
-      Gen.alphaNumStr.suchThat(_.nonEmpty),
-      Gen.nonEmptyListOf(Gen.oneOf('é', 'ß', '語', '≠', 'a', '7')).map(_.mkString),
-      Gen.const("a"))
-    val textGen = for {
-      n <- Gen.choose(0, 12)
-      toks <- Gen.listOfN(n, tokenGen)
-      seps <- Gen.listOfN(n + 1, Gen.nonEmptyListOf(Gen.oneOf(wsChars)).map(_.mkString))
-      lead <- Gen.oneOf("", " ", "\t", "\n ", "  \t")
-    } yield lead + seps.zip(toks :+ "").map { case (s, t) => s + t }.mkString
-    val texts = (0 until 48).map(i =>
-      textGen.pureApply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
-    assert(diffOn(texts.toDF("text")) == 0)
+    assert(diffOn(GenSoup.sample(GenSoup.textGen).toDF("text")) == 0)
   }
 }

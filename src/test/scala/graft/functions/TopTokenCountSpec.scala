@@ -56,6 +56,17 @@ class TopTokenCountSpec extends SparkSpec {
     assert(gn == Seq(0L, 2L))
   }
 
+  test("property: expr == lambda chain on generated token arrays") {
+    // GenSoup discipline (round 13): arrays with empty-string tokens and
+    // heavy duplicates; plus a null element spliced into every 4th array
+    // (the lambda chain's null semantics are the subtle part)
+    val arrays = GenSoup.sample(GenSoup.tokenArrayGen).zipWithIndex.map {
+      case (a, i) if i % 4 == 0 => (null: String) +: a
+      case (a, _) => a
+    }
+    assert(diffOn(arrays.map(Tuple1(_)).toDF("a")) == 0)
+  }
+
   test("two instances in one codegen scope compile (fresh local names)") {
     // ADVICE r12: doGenCode used a FIXED local variable name; with a
     // non-nullable child, nullSafeCodeGen emits the snippet without an

@@ -49,4 +49,15 @@ class CharNgramsExprSpec extends SparkSpec {
       .collect()
     out.foreach(r => assert(r.getSeq[String](0).isEmpty))
   }
+
+  test("property: native == HOF on generated soup (dense chars and ws-separated)") {
+    // GenSoup discipline (round 13): dense printable/whitespace/multibyte
+    // soup plus short whitespace-heavy texts — grams spanning separator
+    // runs and codepoint boundaries
+    val soup = GenSoup.sample(GenSoup.charSoupGen, n = 24, seedBase = 0x1111) ++
+      GenSoup.sample(GenSoup.textGen, n = 24, seedBase = 0x1112)
+    val d = soup.toDF("s")
+    assert(d.select(CharNgramsExpr.charNgrams(col("s")).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+  }
 }

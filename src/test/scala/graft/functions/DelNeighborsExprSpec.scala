@@ -47,6 +47,22 @@ class DelNeighborsExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("property: native == HOF on generated soup strings") {
+    // GenSoup discipline (round 13): truncated because the 0/1/2-deletion
+    // neighborhood is O(n^2) variants; soup includes whitespace inside
+    // the string and multibyte chars whose deletions must count in
+    // codepoints on both paths
+    val soup =
+      GenSoup.sample(GenSoup.charSoupGen, n = 24, seedBase = 0x2221).map(_.take(18)) ++
+      GenSoup.sample(GenSoup.textGen, n = 24, seedBase = 0x2222).map(_.take(14))
+    val d = soup.toDF("s")
+    val diff = d
+      .select(array_sort(DelNeighborsExpr.delNeighborHashes(col("s"))).as("a"),
+        hof.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() == 0)
+  }
+
   test("blocking guarantee: ED<=2 pairs share a variant hash") {
     // deleting the edited positions from each side reaches a common string
     val pairs = Seq(

@@ -52,4 +52,24 @@ class FieldExprSpec extends SparkSpec {
       field(lit("b"), "a", "b").as("p")).collect()(0)
     assert(r.getLong(0) == 2L)
   }
+
+  test("property: field == coalesce(array_position) on generated needles") {
+    // GenSoup discipline (round 13): a small alphabet forces duplicate
+    // candidates (first match must win), absences, the empty string,
+    // case variants, and null needles (MySQL FIELD -> 0, not NULL)
+    val cands = Seq("a", "b", "a", "", "é")
+    val needleGen: org.scalacheck.Gen[String] = org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.oneOf("a", "b", "c", "", "é", "A"),
+      1 -> org.scalacheck.Gen.const[String](null))
+    val needles = GenSoup.sample(needleGen, n = 64, seedBase = 0xF1E1D)
+    val d = needles.toDF("w")
+    val want = coalesce(
+      array_position(array(cands.map(lit): _*), col("w")), lit(0L))
+    val diff = d.select(field(col("w"), cands: _*).as("got"), want.as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(diff.count() == 0)
+    // duplicate candidate: position of the FIRST 'a'
+    assert(sql("SELECT 1").select(field(lit("a"), cands: _*))
+      .head().getLong(0) == 1L)
+  }
 }

@@ -27,4 +27,15 @@ class Md5Hash60Spec extends SparkSpec {
     assert(docs.select(Md5Hash60Expr.of(col("s")).as("h"))
       .filter(col("h") < 0).count() == 0)
   }
+
+  test("property: native == chain on generated soup strings") {
+    // GenSoup discipline (round 13): whitespace runs, multibyte chars,
+    // dense printable soup — the UTF-8 encode step is the only place
+    // the native path could diverge from md5(s) on a string column
+    val soup = GenSoup.sample(GenSoup.textGen, n = 32, seedBase = 0x6001) ++
+      GenSoup.sample(GenSoup.charSoupGen, n = 32, seedBase = 0x6002)
+    val d = soup.toDF("s")
+    assert(d.select(Md5Hash60Expr.of(col("s")).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+  }
 }

@@ -35,4 +35,23 @@ class MinHashSigSpec extends SparkSpec {
     assert(got.head().getSeq[Long](1).size == K)
     base.unpersist()
   }
+
+  test("property: native == declarative passes on generated token arrays") {
+    import spark.implicits._
+    // GenSoup discipline (round 13): arrays with empty-string tokens and
+    // heavy duplicates — duplicate shingles must not move any minimum
+    val arrays = GenSoup.sample(GenSoup.tokenArrayGen, seedBase = 0x4242)
+      .filter(_.size >= 3).zipWithIndex
+    assert(arrays.nonEmpty)
+    val base = arrays.map { case (a, i) => (i.toLong, a) }.toDF("id", "tk")
+      .withColumn("sarr", ShinglesExpr.shingles(col("tk")))
+    val want = base
+      .withColumn("xmarr", expr(
+        s"transform(sarr, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)"))
+      .select(col("id"), array(minCols: _*).as("want"))
+    val got = base.select(col("id"),
+      MinHashSigExpr.sig(col("sarr"), as, bs, P).as("got"))
+    assert(got.join(want, "id")
+      .filter(not(col("got") === col("want"))).count() == 0)
+  }
 }

@@ -29,6 +29,24 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(twice.toSeq == out.toSeq)
   }
 
+  test("property: codegen path == driver Normalizer on combining-mark soup; idempotent") {
+    // GenSoup discipline (round 13): lone marks at position 0, mark runs,
+    // Hangul jamo→syllable composition — pins the UTF8String bridge and
+    // the generated code against a direct driver-side Normalizer call
+    val soup = GenSoup.sample(GenSoup.combiningSoupGen, seedBase = 0x0301)
+    val want = soup.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    // the law is vacuous unless composition actually rewrites something
+    assert(soup.zip(want).exists { case (a, b) => a != b })
+    val got = soup.toDF("s").select(UnicodeExprs.nfc(col("s")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == want)
+    val twice = soup.toDF("s")
+      .select(UnicodeExprs.nfc(UnicodeExprs.nfc(col("s"))))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == want)
+  }
+
   test("stays inside whole-stage codegen") {
     val df = spark.range(100)
       .select(concat(lit("x"), col("id").cast("string")).as("s"))

@@ -15,9 +15,13 @@ class SimHashExprSpec extends SparkSpec {
 
   private val Bits = 60
 
-  private def declarative(docs: org.apache.spark.sql.DataFrame) = {
+  private def declarative(docs: org.apache.spark.sql.DataFrame) =
+    declarativeArr(docs.select(
+      col("doc_id"), split(trim(col("text")), "\\s+").as("tk")))
+
+  private def declarativeArr(docs: org.apache.spark.sql.DataFrame) = {
     val tokens = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("hx", Md5Hash60Expr.of(col("tok")))
     val bitSum = udaf(new SignedBitSum(Bits))
@@ -57,5 +61,35 @@ class SimHashExprSpec extends SparkSpec {
     val diff = got.join(want, Seq("doc_id"), "full")
       .filter(col("got").isNull || col("want").isNull || col("got") =!= col("want"))
     assert(diff.count() == 0)
+  }
+
+  test("property: native == explode chain on generated soup texts") {
+    import spark.implicits._
+    // GenSoup discipline (round 13): the corpus pin and oracle both
+    // missed a fused-walk boundary divergence once; seeded soup is the
+    // standing guard for trim/split boundary semantics
+    val docs = GenSoup.sample(GenSoup.textGen, seedBase = 0x5177).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val diff = native(docs).join(declarative(docs), Seq("doc_id"), "full")
+      .filter(col("got").isNull || col("want").isNull || col("got") =!= col("want"))
+    assert(diff.count() == 0)
+    // the law is vacuous unless some generated docs carry tokens
+    assert(native(docs).count() > 0)
+  }
+
+  test("property: native == explode chain on generated token arrays (empties mid-array)") {
+    import spark.implicits._
+    // arrays passed directly can hold shapes split never emits — empty
+    // strings in the MIDDLE — which the native walk must skip exactly
+    // like the exploded filter does
+    val rows = GenSoup.sample(GenSoup.tokenArrayGen, seedBase = 0x51AB).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }.toDF("doc_id", "tk")
+    val got = rows
+      .select(col("doc_id"), SimHashExpr.of(col("tk")).as("got"))
+      .filter(col("got").isNotNull)
+    val diff = got.join(declarativeArr(rows), Seq("doc_id"), "full")
+      .filter(col("got").isNull || col("want").isNull || col("got") =!= col("want"))
+    assert(diff.count() == 0)
+    assert(got.count() > 0)
   }
 }

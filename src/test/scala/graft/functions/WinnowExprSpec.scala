@@ -46,4 +46,16 @@ class WinnowExprSpec extends SparkSpec {
       .select(WinnowFingerprintsExpr.fingerprints(col("tk"))).head().getSeq[Long](0)
     assert(short.isEmpty)
   }
+
+  test("property: native == HOF on generated token arrays (empties, dups)") {
+    // GenSoup discipline (round 13): empty-string tokens and heavy
+    // duplicates — window minima over identical hashes and boundary
+    // windows are where an off-by-one would live
+    val arrays = GenSoup.sample(GenSoup.tokenArrayGen, seedBase = 0x3333)
+      .filter(_.size >= 6)
+    assert(arrays.nonEmpty)
+    val d = arrays.map(Tuple1(_)).toDF("tk")
+    assert(d.select(WinnowFingerprintsExpr.fingerprints(col("tk")).as("a"), hof.as("b"))
+      .filter(not(col("a") === col("b"))).count() == 0)
+  }
 }

@@ -100,7 +100,7 @@ object IncrementalDedupQueries {
   /** LSH band rows (doc_id, band, bh) from index signature rows — 4 band
     * hashes per doc, derived from the 16 stored minima (never from text).
     */
-  private[queries] def bandRows(sigs: DataFrame): DataFrame = {
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
@@ -109,6 +109,25 @@ object IncrementalDedupQueries {
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Band rows CARRYING the verify payload (m, sarr, n_shingles) — the
+    * shape [[pairsFromBatchBands]] joins on. Inside whole-stage codegen
+    * the Generate fuses with the probe of the broadcast join that
+    * consumes it, so a non-matching band row never copies its payload;
+    * only the ~4-per-pair hits materialize the arrays.
+    */
+  private def bandPayload(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until 4).map(r => element_at(col("m"), 4 * b + r + 1)): _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("m"), col("sarr"), col("n_shingles"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("m"), col("sarr"), col("n_shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** Near-dup pairs TOUCHING the batch: every (doc_a, doc_b, minhash_est,
@@ -120,41 +139,61 @@ object IncrementalDedupQueries {
     * (signature-position agreement, exact Jaccard over the distinct
     * shingle sets) is the same.
     */
-  def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
-    val bands = bandRows(index)
-    pairsFromBatchBands(index, bands,
-      bands.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-  }
+  def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame =
+    pairsFromBatchBands(index,
+      bandPayload(index)
+        .join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
 
   /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band
     * rows derive from its OWN signature rows — identical to the index's
     * copy, since the last-writer-wins upsert just wrote them — so finding
-    * the batch never scans the index. The index appears only where it
-    * must: as the candidate-join build side and the per-doc verify
-    * lookups. Same output by construction (IncrementalDedupSpec pins the
-    * id-based form; the gated q_dedup_incremental runs THIS form).
+    * the batch never scans the index. Same output by construction
+    * (IncrementalDedupSpec pins the id-based form; the gated
+    * q_dedup_incremental runs THIS form).
     */
   def pairsForBatchSigs(index: DataFrame, batchSigs: DataFrame): DataFrame =
-    pairsFromBatchBands(index, bandRows(index),
-      bandRows(batchSigs.select(col("doc_id"), col("m"))))
+    pairsFromBatchBands(index, bandPayload(batchSigs))
 
+  /** The verify rides IN the band join: the batch's band rows broadcast
+    * WITH their payload (a daily batch × ~1 KB — if a "batch" approaches
+    * corpus size, use the whole-corpus [[SketchDedupQueries]] path
+    * instead), the index's payload-carrying band rows STREAM through the
+    * probe, and est/jaccard are computed in-row at the join output. Band
+    * multiplicity (a pair sharing several of its 4 bands, and batch-batch
+    * pairs arriving in both orientations) dedups via a groupBy over slim
+    * verified rows — both measures are symmetric and identical per pair,
+    * so min() is a pure dedup with map-side partial aggregation.
+    *
+    * Why not join the index for the verify data (the pre-round-13
+    * shape)? The candidate set exceeds the broadcast threshold (1.09M
+    * pairs at the 1000× tier), so BOTH verify joins became sort-merge —
+    * the FULL standing index, shingle arrays included, shuffled twice
+    * per daily batch. On a 1000-executor cluster against a 100 TB index
+    * that is a network rewrite of the whole table, twice a day; this
+    * shape never shuffles an index row. Interleaved A/B at 1000×
+    * (IncProbe, 5M-doc index, 1k-doc batch, 1.08M pairs either way):
+    * min-of-6 13.6 → 8.8 s quiet, and under external load the gap
+    * widens (median 25 → 16 s) because there is no shuffle to contend
+    * on. The 4× per-hit verify arithmetic (vs once per distinct pair)
+    * is map-side and costs less than one index shuffle.
+    */
   private def pairsFromBatchBands(
-      index: DataFrame, bands: DataFrame, batchBands: DataFrame): DataFrame = {
-    val cand = batchBands.as("a")
-      .join(bands.as("b"),
+      index: DataFrame, batchBands: DataFrame): DataFrame =
+    broadcast(batchBands.as("a"))
+      .join(bandPayload(index).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") =!= col("b.doc_id"))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct() // several shared bands (and batch-batch both directions) → one pair
-    val sa = index.select(col("doc_id").as("doc_a"), col("m").as("ma"),
-      col("sarr").as("shka"), col("n_shingles").as("na"))
-    val sb = index.select(col("doc_id").as("doc_b"), col("m").as("mb"),
-      col("sarr").as("shkb"), col("n_shingles").as("nb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.m").as("ma"), col("b.m").as("mb"),
+        col("a.sarr").as("shka"), col("b.sarr").as("shkb"),
+        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
       .withColumn("common", size(array_intersect(col("shka"), col("shkb"))))
       .select(col("doc_a"), col("doc_b"),
+        // est/jaccard are symmetric, so the a/b orientation of ma/mb and
+        // shka/shkb (which crosses doc_a/doc_b when a.doc_id > b.doc_id)
+        // cannot change either value
         expr(s"""CAST(aggregate(zip_with(ma, mb,
                 |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
                 |  0, (acc, v) -> acc + v) AS DOUBLE) / $K""".stripMargin)
@@ -162,8 +201,10 @@ object IncrementalDedupQueries {
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
       .filter(col("jaccard") >= JaccardMin)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("minhash_est")).as("minhash_est"),
+        min(col("jaccard")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // ------------------------------------------------------- the gated query
   // A full incremental day simulated end-to-end against a real lake table:

@@ -27,7 +27,7 @@ object SketchDedupQueries {
   // are bit-identical to whole-corpus pairs
   private[graft] val P = 1000000007L
   private[graft] val K = 16          // minhash functions
-  private[queries] val Bands = 4       // 4 bands x 4 rows
+  private[graft] val Bands = 4       // 4 bands x 4 rows
   private[graft] val as: Seq[Long] = (1 to K).map(i => (123456789L * i + 987654321L) % P)
   private[graft] val bs: Seq[Long] = (1 to K).map(i => (362436069L * i + 521288629L) % P)
 

@@ -153,6 +153,15 @@ object SketchDedupQueries {
     // the shingle explode disappears from this detector entirely. A
     // zero-overlap candidate scores jaccard 0 and falls to the same
     // >= 0.5 filter that the old inner join on the counting agg implied.
+    //
+    // Deliberately NOT the payload-carrying band join the incremental
+    // path uses (IncrementalDedupQueries.pairsFromBatchBands): that shape
+    // wins there because the batch side BROADCASTS, making the index side
+    // shuffle-free. Here both band sides are the same full rep frame, so
+    // carrying sarr through the 4-band self-join would shuffle ~8x
+    // |reps|*sarr bytes versus ~3x for fetch-by-id (two rep shuffles plus
+    // the intermediate pair rows carrying one side's array) — join-back
+    // is the cheaper shape whenever neither side broadcasts.
     val repArr = reps.select(col("doc_id"), col("sarr"),
       size(col("sarr")).as("n_shingles"), col("set_hash"))
     val repPairs = cand

@@ -128,6 +128,40 @@ class IncrementalDedupSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(lake).getParent)
   }
 
+  test("operational edge days: empty batch and no-duplicate batch") {
+    // every real ingest loop eventually sees a day with nothing to load
+    // (the reference's gap semantics) and a day whose docs are all new
+    // content — neither may error or emit phantom pairs
+    val docs = documents(spark, sf)
+    val lake = java.nio.file.Files.createTempDirectory("inc-dedup-edge")
+      .resolve("sig").toString
+    IncrementalDedupQueries.updateIndex(
+      spark, IncrementalDedupQueries.signatures(docs.filter(col("doc_id") % 5 =!= 4)),
+      lake, ingestDate = Some("2026-08-11"))
+
+    // empty day: zero signature rows through upsert and pairing
+    val emptySigs = IncrementalDedupQueries.signatures(docs.filter(lit(false)))
+    IncrementalDedupQueries.updateIndex(
+      spark, emptySigs, lake, ingestDate = Some("2026-08-12"))
+    val index1 = spark.read.parquet(lake)
+    assert(IncrementalDedupQueries.pairsForBatchSigs(index1, emptySigs).count() == 0)
+
+    // a batch of genuinely new content (synthetic text no corpus doc
+    // shares a shingle with): lands in the index, pairs with nothing
+    import spark.implicits._
+    val novel = Seq((900000001L, "zzq wwx vvy uut rrs qqp oon mml"))
+      .toDF("doc_id", "text")
+    val novelSigs = IncrementalDedupQueries.signatures(novel)
+    IncrementalDedupQueries.updateIndex(
+      spark, novelSigs, lake, ingestDate = Some("2026-08-13"))
+    val index2 = spark.read.parquet(lake)
+    assert(index2.filter(col("doc_id") === 900000001L).count() == 1)
+    assert(IncrementalDedupQueries.pairsForBatchSigs(index2, novelSigs).count() == 0)
+
+    graft.etl.LakeFs.deleteRecursively(spark,
+      new org.apache.hadoop.fs.Path(lake).getParent)
+  }
+
   test("batch signatures equal the whole-corpus signature arithmetic") {
     // the in-row (map-only) signature path must reproduce the exploded
     // aggregate path bit-for-bit — same permutations, same md5 prefix mod

@@ -27,6 +27,27 @@ class TopKSpec extends SparkSpec {
     assert(got(0) == Seq("a", 1, 2L, 30.0) && got(1) == Seq("a", 2, 4L, 30.0))
   }
 
+  test("property: aggregator == window on generated data (heavy ties, k=1 and k=3)") {
+    // value domain of 5 forces ties constantly; 16 partitions force the
+    // merge path; seeded so failures replay
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(9)}", rnd.nextInt(5).toDouble, i.toLong)
+    }
+    val df = rows.toDF("grp", "v", "id").repartition(16)
+    Seq(1, 3).foreach { k =>
+      val got = TopK.topKPerGroup(df, "grp", "v", "id", k)
+        .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+      val want = df
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("grp").orderBy(col("v").desc, col("id"))))
+        .filter(col("rank") <= k)
+        .select(col("grp"), col("rank"), col("id"), col("v"))
+        .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("aggregator merge path: many partitions, k larger than some groups") {
     val df = spark.range(1000)
       .select((col("id") % 7).cast("string").as("grp"),

@@ -40,6 +40,7 @@ object PipelineProbe {
     spark.sparkContext.setLogLevel("WARN")
     mode match {
       case "pipeline" => runPipeline(spark, dir, baseDir)
+      case "stages" => runStages(spark, dir, baseDir)
       case "incremental" => runIncremental(spark, dir, baseDir)
       case "decontaminate" => runDecontaminate(spark, dir, baseDir)
       case "minimizers" => runMinimizers(spark, dir)
@@ -98,6 +99,50 @@ object PipelineProbe {
       .withSplit(trainPct = 90)
       .observeCount("s8_sampled_split")
     chain.chunks()
+  }
+
+  /** Prefix-cumulative decomposition: fold the chain after each stage
+    * prefix. A prefix's wall time includes any upstream recompute its
+    * terminal action triggers, so a stage whose DELTA far exceeds its
+    * row-count work is re-executing its inputs — the multi-consumer
+    * recompute trap this probe family exists to catch.
+    */
+  private def runStages(
+      spark: org.apache.spark.sql.SparkSession, dir: String, baseDir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val benchmark = Tables.documents(spark, baseDir)
+      .filter(col("doc_id") % 97 === 0)
+    def fold(df: org.apache.spark.sql.DataFrame): Long = {
+      val safe = df.toDF(df.columns.indices.map("c" + _): _*)
+      safe.select(xxhash64(struct(safe.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).collect().head.getLong(0)
+    }
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stages] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+    }
+    // each stage constructs exactly ONCE (construction can carry eager
+    // work and CacheScope persists); the timer covers construction plus
+    // one fold of the prefix
+    def stage(name: String)(f: => pipeline.CorpusPipeline): pipeline.CorpusPipeline = {
+      val t0 = System.nanoTime()
+      val p = f
+      val r = fold(p.df)
+      println(f"[stages] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($r)")
+      p
+    }
+    val p0 = pipeline.CorpusPipeline(docs)
+    val p1 = stage("s1_dedup_exact")(p0.dedupExact())
+    val p2 = stage("s2_span_clean")(p1.removeRepeatedSpans())
+    val p3 = stage("s3_dedup_near")(p2.dedupNearSimhash())
+    val p4 = stage("s4_decontaminate")(p3.decontaminate(benchmark))
+    val p5 = stage("s5_repetition")(p4.redactPii().filterRepetition())
+    val p6 = stage("s6_boilerplate")(p5.filterBoilerplate())
+    val p7 = stage("s7_quality")(p6.filterQualityEnsemble())
+    val p8 = stage("s8_sample_split")(
+      p7.sampleStratified(Map("en" -> 0.5), default = 0.2).withSplit(trainPct = 90))
+    time("s9_chunks")(fold(p8.chunks()))
   }
 
   private def runPipeline(

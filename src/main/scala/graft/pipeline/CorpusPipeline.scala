@@ -21,8 +21,12 @@ import graft.queries.IncrementalDedupQueries
   *
   * Every stage is a pure DataFrame -> DataFrame transform (no actions, no
   * driver materialization except dedupNear's bounded component loop), so
-  * the composed pipeline is ONE Catalyst plan: filters merge, column
+  * the composed pipeline stays lazy end-to-end: filters merge, column
   * pruning reaches the scan, and the whole chain benefits from AQE.
+  * Stages that FAN OUT their input (stats + rows, detect + rewrite,
+  * match + anti-join) persist it via [[graft.CacheScope]] so the
+  * upstream chain executes once per stage, not once per reference —
+  * see [[persistStage]] for the measured compounding this prevents.
   * Stage semantics match the oracle-gated queries one-to-one (the spec
   * pins pipeline output against q_dedup_apply / q_sample_stratified /
   * q_train_test_split on the shared testdata).
@@ -33,21 +37,47 @@ final class CorpusPipeline private (
 
   private def next(d: DataFrame): CorpusPipeline = new CorpusPipeline(d, idCol)
 
-  /** Exact dedup: keep the minimum-id document per identical text.
+  /** Exact dedup: keep the minimum-id document per identical text —
+    * `min_by(struct(row), id)` per md5(text) group, so the shuffle
+    * PARTIAL-AGGREGATES: each map partition ships at most one row per
+    * distinct text it saw, and no partition-wide sort happens at all.
+    * On a duplicate-heavy crawl that collapses the exchange to
+    * ~|distinct| rows; on a mostly-unique corpus it degrades gracefully
+    * to the same bytes the old window form always paid. Measured at the
+    * 1000× composed chain (5M docs, 99% dups): see SURVEY §10.20.
     *
-    * Recorded NEGATIVE result (round 11): a groupBy-winners + semi-join
-    * form — narrow (hash, min id) aggregation, broadcast back — measured
-    * consistently ~10% SLOWER end-to-end at the 100× composed chain
-    * (56.8/58.3 vs 51.3/52.4 s): it scans and hashes the corpus twice
-    * where the window form's single full-row shuffle is paid once and
-    * its exchange is reused by the chain. The window stays.
+    * History: round 11 A/B'd a groupBy-winners + semi-join form (~10%
+    * SLOWER end-to-end — it scans and hashes the corpus twice) and kept
+    * the `row_number` window; the window, however, shuffles EVERY
+    * full-text row (windows cannot map-side combine) and sorts each
+    * hash partition. The min_by form is the missing third shape: one
+    * scan, one combined shuffle, no sort.
     */
   def dedupExact(textCol: String = "text"): CorpusPipeline = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    next(df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn"))
+    val cols = df.columns
+    next(df
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_r"))
+      .select(cols.map(c => col("_r").getField(c).as(c)): _*))
   }
+
+  /** Materialization waist: CacheScope-persist the current frame so the
+    * plan subtree above it executes ONCE no matter how many times later
+    * stages reference their input. Several stages legitimately fan out
+    * (boilerplate needs stats + rows, decontaminate matches + anti-joins,
+    * span-removal detects + rewrites); a fan-out that re-inlines an
+    * uncached upstream RE-EXECUTES it, and the multiplicity compounds
+    * multiplicatively down the pipeline — at the 1000× probe the
+    * unwaisted post-filter prefixes re-ran the 5M-doc scan+dedup enough
+    * times to cost ~105 s for ~3k surviving rows, with planning itself
+    * at ~1 s, so it was execution, not Catalyst (SURVEY §10.20). Every
+    * fan-out stage therefore persists its own input internally; this
+    * public form remains for user-chosen extra waists (e.g. before a
+    * sequence of terminal probes over one prefix). At production scale
+    * the equivalent is writing survivors to the lake and continuing
+    * from that parquet.
+    */
+  def persistStage(): CorpusPipeline = next(graft.CacheScope.persist(df))
 
   /** Near-dedup application: given a pair list (two id columns) from any
     * detector (SimHash, MinHash, embedding blocking), resolve groups via
@@ -81,7 +111,11 @@ final class CorpusPipeline private (
       .filter(size(col("tk")) >= 3)
       .select(col(idc), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("_shingle"))
-    val corpus = shingled(df, idCol)
+    // fan-out stage: the input feeds both the shingle-match side and the
+    // final anti-join — persist it so the upstream chain executes once
+    // (see persistStage's scaladoc for the compounding this prevents)
+    val in = graft.CacheScope.persist(df)
+    val corpus = shingled(in, idCol)
     val bench = shingled(benchmark.withColumnRenamed(idCol, "_bench_id"), "_bench_id")
     val joined = strategy match {
       case CorpusPipeline.Broadcast => corpus.join(broadcast(bench), "_shingle")
@@ -103,7 +137,7 @@ final class CorpusPipeline private (
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minShared)
       .select(col(idCol)).distinct()
-    next(df.join(contaminated, Seq(idCol), "left_anti"))
+    next(in.join(contaminated, Seq(idCol), "left_anti"))
   }
 
   /** Self-contained SimHash near-dedup: detect band-blocked Hamming ≤ 3
@@ -119,10 +153,14 @@ final class CorpusPipeline private (
     * minimum representative — the id [[dedupExact]] already kept
     * (CorpusPipelineSpec pins the equality).
     */
-  def dedupNearSimhash(textCol: String = "text"): CorpusPipeline =
-    dedupNear(graft.queries.SketchDedupQueries
-      .simhashPairsOver(df, idCol, textCol)
+  def dedupNearSimhash(textCol: String = "text"): CorpusPipeline = {
+    // fan-out stage: the input feeds the detector AND dedupNear's
+    // anti-join — persist it so the upstream chain executes once
+    val in = persistStage()
+    in.dedupNear(graft.queries.SketchDedupQueries
+      .simhashPairsOver(in.df, idCol, textCol)
       .select(col("doc_a"), col("doc_b")))
+  }
 
   /** Incremental near-dedup: fingerprint THIS pipeline's documents (the
     * new batch) alone, merge their MinHash signatures into the persisted
@@ -175,7 +213,11 @@ final class CorpusPipeline private (
     * the pipeline plan.
     */
   def filterQualityEnsemble(textCol: String = "text"): CorpusPipeline = {
-    val scored = graft.queries.TextQueries.withEnsembleScore(df, textCol)
+    // fan-out stage: the scored frame feeds the boundary aggregate AND
+    // the row filter — persist it so scoring (and everything upstream)
+    // runs once
+    val scored = graft.CacheScope.persist(
+      graft.queries.TextQueries.withEnsembleScore(df, textCol))
     val bound = scored.agg(
       expr("percentile(score_ppm, 0.2)").as("_b0"))
     next(scored.crossJoin(broadcast(bound))
@@ -201,12 +243,16 @@ final class CorpusPipeline private (
     */
   def filterBoilerplate(
       maxFrac: Double = 0.5, textCol: String = "text"): CorpusPipeline = {
-    val shingled = df
+    // fan-out stage: the input feeds the hot-set aggregate, the per-doc
+    // fraction, the doc count, and the final anti-join — persist it so
+    // the upstream chain executes once
+    val in = graft.CacheScope.persist(df)
+    val shingled = in
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_tk"))
       .filter(size(col("_tk")) >= 3)
       .select(col(idCol), explode(graft.functions.ShinglesExpr.shingles(col("_tk")))
         .as("_shingle"))
-    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    val nDocs = in.agg(count(lit(1)).as("_n_docs"))
     val hot = shingled.groupBy(col("_shingle")).agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("_df") >= greatest(lit(4L), ceil(col("_n_docs") * 0.008)))
@@ -217,7 +263,7 @@ final class CorpusPipeline private (
         / count(lit(1)), 6).as("_frac"))
       .filter(col("_frac") > maxFrac)
       .select(col(idCol))
-    next(df.join(dropIds, Seq(idCol), "left_anti"))
+    next(in.join(dropIds, Seq(idCol), "left_anti"))
   }
 
   /** ExactSubstr-style repeated-span removal: rewrite each document with
@@ -229,11 +275,13 @@ final class CorpusPipeline private (
     * before fingerprint-based stages that should see the cleaned corpus.
     */
   def removeRepeatedSpans(n: Int = 5, textCol: String = "text"): CorpusPipeline = {
+    // fan-out stage: the input feeds span detection AND the rewrite join
+    val in = graft.CacheScope.persist(df)
     val cleaned = graft.queries.CorpusOpsQueries
-      .repeatedSpanClean(df, idCol, textCol, n)
+      .repeatedSpanClean(in, idCol, textCol, n)
       .select(col(idCol), col("clean_text"))
       .filter(length(col("clean_text")) > 0)
-    next(df.drop(textCol).join(cleaned, Seq(idCol))
+    next(in.drop(textCol).join(cleaned, Seq(idCol))
       .withColumnRenamed("clean_text", textCol))
   }
 

@@ -37,7 +37,10 @@ object IncProbe {
     // doc_id % 5 == 4 slice — NEW docs, so the steady-state upsert's
     // globalKeys scan finds no prior partition to rewrite
     val batchPred = col("doc_id") < 10000000L && col("doc_id") % 5 === 4
-    val lakeRoot = new org.apache.hadoop.fs.Path("/tmp/inc-probe-lake")
+    // one standing index per corpus (a 10000x run must not reuse the
+    // 1000x index)
+    val lakeRoot = new org.apache.hadoop.fs.Path(
+      s"/tmp/inc-probe-lake-${new java.io.File(dir).getName}")
     val lake = s"$lakeRoot/sig"
     val fs = lakeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(lake))) {

@@ -112,6 +112,29 @@ object Sinks {
       .drop("_rn", "_precedence")
   }
 
+  /** [[keepLast]], skipped when `merged` provably has no duplicate keys.
+    *
+    * The window dedup shuffles and SORTS the full-width merged frame
+    * even when every key is already unique — for an initial bulk load
+    * that is a whole-table shuffle bought for nothing (a 50M-row
+    * signature-index build spilled past 70 GB of local disk before this
+    * check existed; with it the load is a map-only streaming write).
+    * The pre-check is a keys-only aggregation — column-pruned to the
+    * key columns, combinable map-side, hundreds of MB where the window
+    * moves tens of GB — and it costs one extra narrow job per upsert,
+    * negligible for the daily-batch sizes the merge path serves. Any
+    * duplicate at all falls back to the exact window; skipping on a
+    * provably-clean frame returns identical rows by definition.
+    */
+  private def keepLastIfNeeded(
+      merged: DataFrame, keys: Seq[String], tiebreak: Option[String]): DataFrame = {
+    val hasDups = merged
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).count() > 0
+    if (hasDups) keepLast(merged, keys, tiebreak)
+    else merged.drop("_precedence")
+  }
+
   /** Sort rows within each write task so parquet row-group min/max
     * statistics become selective — the data-skipping layout knob: a scan
     * filtered on a `sortBy` column prunes row groups instead of reading
@@ -191,7 +214,7 @@ object Sinks {
             .unionByName(newRows, allowMissingColumns = true)
       }
       val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-      val w = capped(sorted(keepLast(merged, keys, tiebreak), sortBy)
+      val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
         .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
       swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
@@ -234,7 +257,7 @@ object Sinks {
               case (c, v) => col(c) === lit(v)
             }.reduce(_ && _)
           }.reduce(_ || _)
-        val merged = keepLast(
+        val merged = keepLastIfNeeded(
           existing.filter(partPred).withColumn("_precedence", lit(0))
             .unionByName(newRows, allowMissingColumns = true),
           keys, tiebreak)

@@ -37,6 +37,24 @@ final class CorpusPipeline private (
 
   private def next(d: DataFrame): CorpusPipeline = new CorpusPipeline(d, idCol)
 
+  /** Conditional materialization for a fan-out stage's input: persist
+    * only when the upstream plan is nontrivial. For a scan/filter/
+    * project-only input, executing it twice costs two scans — cheaper
+    * than materialize+re-read, and at 100 TB persisting a raw corpus
+    * would spill the whole table to local disk for no benefit. Anything
+    * carrying a join, aggregate, window, generate, or dedup upstream
+    * recomputes real work per reference, so it persists (via
+    * [[graft.CacheScope]], so bench/verify drain it per query).
+    */
+  private def waist(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val expensive = d.queryExecution.logical.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: Generate => (); case _: Deduplicate => ()
+    }.isDefined
+    if (expensive) graft.CacheScope.persist(d) else d
+  }
+
   /** Exact dedup: keep the minimum-id document per identical text —
     * `min_by(struct(row), id)` per md5(text) group, so the shuffle
     * PARTIAL-AGGREGATES: each map partition ships at most one row per
@@ -112,9 +130,9 @@ final class CorpusPipeline private (
       .select(col(idc), explode(graft.functions.ShinglesExpr.shingles(col("tk")))
         .as("_shingle"))
     // fan-out stage: the input feeds both the shingle-match side and the
-    // final anti-join — persist it so the upstream chain executes once
+    // final anti-join — waist it so a nontrivial upstream executes once
     // (see persistStage's scaladoc for the compounding this prevents)
-    val in = graft.CacheScope.persist(df)
+    val in = waist(df)
     val corpus = shingled(in, idCol)
     val bench = shingled(benchmark.withColumnRenamed(idCol, "_bench_id"), "_bench_id")
     val joined = strategy match {
@@ -155,8 +173,8 @@ final class CorpusPipeline private (
     */
   def dedupNearSimhash(textCol: String = "text"): CorpusPipeline = {
     // fan-out stage: the input feeds the detector AND dedupNear's
-    // anti-join — persist it so the upstream chain executes once
-    val in = persistStage()
+    // anti-join — waist it so a nontrivial upstream executes once
+    val in = next(waist(df))
     in.dedupNear(graft.queries.SketchDedupQueries
       .simhashPairsOver(in.df, idCol, textCol)
       .select(col("doc_a"), col("doc_b")))
@@ -216,7 +234,7 @@ final class CorpusPipeline private (
     // fan-out stage: the scored frame feeds the boundary aggregate AND
     // the row filter — persist it so scoring (and everything upstream)
     // runs once
-    val scored = graft.CacheScope.persist(
+    val scored = waist(
       graft.queries.TextQueries.withEnsembleScore(df, textCol))
     val bound = scored.agg(
       expr("percentile(score_ppm, 0.2)").as("_b0"))
@@ -244,9 +262,9 @@ final class CorpusPipeline private (
   def filterBoilerplate(
       maxFrac: Double = 0.5, textCol: String = "text"): CorpusPipeline = {
     // fan-out stage: the input feeds the hot-set aggregate, the per-doc
-    // fraction, the doc count, and the final anti-join — persist it so
-    // the upstream chain executes once
-    val in = graft.CacheScope.persist(df)
+    // fraction, the doc count, and the final anti-join — waist it so a
+    // nontrivial upstream executes once
+    val in = waist(df)
     val shingled = in
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_tk"))
       .filter(size(col("_tk")) >= 3)
@@ -276,7 +294,7 @@ final class CorpusPipeline private (
     */
   def removeRepeatedSpans(n: Int = 5, textCol: String = "text"): CorpusPipeline = {
     // fan-out stage: the input feeds span detection AND the rewrite join
-    val in = graft.CacheScope.persist(df)
+    val in = waist(df)
     val cleaned = graft.queries.CorpusOpsQueries
       .repeatedSpanClean(in, idCol, textCol, n)
       .select(col(idCol), col("clean_text"))

@@ -112,6 +112,22 @@ object Sinks {
       .drop("_rn", "_precedence")
   }
 
+  /** Plan-stats size of a frame — no action, no job. Unknown sizes
+    * (e.g. a V2 source without statistics) report huge, which routes
+    * them to the conservative big-frame path.
+    */
+  private def statsBytes(df: DataFrame): BigInt =
+    BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+
+  /** Below this, dedup directly: the window on a small frame costs less
+    * than the pre-check's extra job dispatch. Above it, one narrow
+    * keys-only job is noise next to the full-width shuffle it can skip.
+    * A system property overrides for tests (set to 0 to force the
+    * pre-check path onto the row-scale law fixtures).
+    */
+  private def DedupPrecheckMinBytes: BigInt = BigInt(
+    sys.props.getOrElse("graft.dedup.precheck.min.bytes", (256L << 20).toString))
+
   /** [[keepLast]], skipped when `merged` provably has no duplicate keys.
     *
     * The window dedup shuffles and SORTS the full-width merged frame
@@ -121,13 +137,18 @@ object Sinks {
     * check existed; with it the load is a map-only streaming write).
     * The pre-check is a keys-only aggregation — column-pruned to the
     * key columns, combinable map-side, hundreds of MB where the window
-    * moves tens of GB — and it costs one extra narrow job per upsert,
-    * negligible for the daily-batch sizes the merge path serves. Any
-    * duplicate at all falls back to the exact window; skipping on a
-    * provably-clean frame returns identical rows by definition.
+    * moves tens of GB. It costs one extra job per upsert, which is NOT
+    * noise for the reference's row-scale daily tables (the bench's
+    * upsert-family queries regressed 20–30% when the check ran
+    * unconditionally), so frames under [[DedupPrecheckMinBytes]] by
+    * plan stats keep the old direct-window path. Any duplicate at all
+    * falls back to the exact window; skipping on a provably-clean
+    * frame returns identical rows by definition.
     */
   private def keepLastIfNeeded(
       merged: DataFrame, keys: Seq[String], tiebreak: Option[String]): DataFrame = {
+    if (statsBytes(merged) < DedupPrecheckMinBytes)
+      return keepLast(merged, keys, tiebreak)
     val hasDups = merged
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).limit(1).count() > 0
@@ -202,8 +223,9 @@ object Sinks {
             "for a partition-scoped merge, or raise maxFullRewriteBytes to " +
             "opt in to the full rewrite.")
       }
+      val lake = readLake(spark, path)
       val newRows = batch.withColumn("_precedence", lit(1))
-      val merged = readLake(spark, path) match {
+      val merged = lake match {
         case None => newRows
         case Some(existing) =>
           // schema evolution: a batch may add columns (existing rows
@@ -213,11 +235,25 @@ object Sinks {
           existing.withColumn("_precedence", lit(0))
             .unionByName(newRows, allowMissingColumns = true)
       }
-      val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-      val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
-        .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-      swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
+      // when the dup pre-check will run (big frame), it adds an action
+      // before the write and the batch plan would execute twice. In the
+      // MERGE case (lake exists — ongoing writes, possibly straight off
+      // an HTTP source) persist the batch so the source is pulled once;
+      // cache substitution is plan-based, so the merged plan reads it.
+      // On a FIRST write the batch may be a huge bulk load — skip the
+      // persist and let the column-pruned pre-check recompute it, the
+      // cheaper side for exactly the loads big enough to care. Small
+      // frames skip the check entirely and keep the old one-action path.
+      val willCheck = statsBytes(merged) >= DedupPrecheckMinBytes
+      val persistBatch = willCheck && lake.isDefined
+      if (persistBatch) batch.persist()
+      try {
+        val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+        val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
+          .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+        swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
+      } finally if (persistBatch) batch.unpersist()
     } else {
       // partition-scoped merge: touch only the partitions in the batch
       // (one or MORE partition columns — e.g. year/month). The batch plan
@@ -356,20 +392,34 @@ object Sinks {
       tiebreak: Option[String] = None,
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): Unit = {
-    // batch-internal dedup: keep-first by tiebreak asc (stable)
-    val order = tiebreak.map(c => col(c).asc).toSeq :+ lit(1).asc
-    val dedupedBatch = batch
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-    val fresh = readLake(spark, path) match {
-      case None => dedupedBatch
-      case Some(existing) =>
-        dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
-    }
-    val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
-      maxRecordsPerFile)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    // batch-internal dedup: keep-first by tiebreak asc (stable). On a
+    // big batch (plan stats), a keys-only pre-check first — the window
+    // shuffles and sorts the full batch, bought for nothing on a clean
+    // bulk pull; the batch persists across check+write so an HTTP
+    // source is pulled once. Small daily batches keep the old direct
+    // one-action path.
+    val willCheck = statsBytes(batch) >= DedupPrecheckMinBytes
+    if (willCheck) batch.persist()
+    try {
+      val hasDups = willCheck && batch
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).count() > 0
+      val order = tiebreak.map(c => col(c).asc).toSeq :+ lit(1).asc
+      val dedupedBatch =
+        if (willCheck && !hasDups) batch
+        else batch
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+          .filter(col("_rn") === 1)
+          .drop("_rn")
+      val fresh = readLake(spark, path) match {
+        case None => dedupedBatch
+        case Some(existing) =>
+          dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
+      }
+      val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
+        maxRecordsPerFile)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    } finally if (willCheck) batch.unpersist()
   }
 }

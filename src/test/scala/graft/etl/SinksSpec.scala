@@ -69,6 +69,45 @@ class SinksSpec extends SparkSpec {
     assert(read(path).count() == 2)
   }
 
+  test("big-batch path (dedup pre-check forced): all core laws hold") {
+    // the size-gated keys-only pre-check lets a provably-clean bulk load
+    // skip the full-width dedup window (the 50M-row index build that
+    // blew local disk); force it onto the row-scale fixtures so both
+    // branches carry the same semantics
+    val prop = "graft.dedup.precheck.min.bytes"
+    sys.props(prop) = "0"
+    try {
+      val p1 = tmpDir()
+      // clean batches: check runs, window skipped — rows identical
+      Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),
+        p1, Seq("violation_id"), tiebreak = Some("seq"))
+      Sinks.upsert(spark, batch(("b", 20.0, 1, "2024-09"), ("c", 3.0, 1, "2024-10")),
+        p1, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(asMap(p1) == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+      // dirty batch: check detects, window dedups by tiebreak
+      val p2 = tmpDir()
+      Sinks.upsert(spark,
+        batch(("a", 1.0, 0, "2024-09"), ("a", 9.0, 1, "2024-09")),
+        p2, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(asMap(p2) == Map("a" -> 9.0))
+      // insert-ignore, both shapes
+      val p3 = tmpDir()
+      Sinks.insertIgnore(spark,
+        batch(("a", 1.0, 0, "2024-09"), ("a", 9.0, 1, "2024-09"), ("b", 2.0, 0, "2024-09")),
+        p3, Seq("violation_id"), tiebreak = Some("seq"))
+      Sinks.insertIgnore(spark, batch(("b", 99.0, 1, "2024-09"), ("c", 3.0, 1, "2024-10")),
+        p3, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(asMap(p3) == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0))
+      // partition-scoped merge with a clean batch
+      val p4 = tmpDir()
+      Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("c", 3.0, 0, "2024-10")),
+        p4, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      Sinks.upsert(spark, batch(("a", 5.0, 1, "2024-09")),
+        p4, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      assert(asMap(p4) == Map("a" -> 5.0, "c" -> 3.0))
+    } finally sys.props.remove(prop)
+  }
+
   test("partitioned upsert keeps the month lake layout") {
     val path = tmpDir()
     Sinks.upsert(spark,

@@ -170,6 +170,16 @@ object Sentinel {
     // run before a release or after changing a gated plan shape
     "1000x" -> Tier("1000x", "/tmp/docs1000x", 1000, Set("documents"),
       Seq("dedup_components", "dedup_group_bundle", "exact_substr",
+        "langid_nb", "lm_quality", "pipeline_composed", "incremental_daily")),
+    // another decade up (50M docs): every op here is collapse-carrying
+    // or scan-shaped, so output stays bounded while the corpus grows —
+    // the tier exists to keep proving exactly that. ~30-40 min including
+    // incremental_daily's untimed 50M-row index build; run before a
+    // major release, never per-commit. This tier only became runnable
+    // at all after the round-13 sink fix (the index bulk load's
+    // unconditional dedup window blew 70 GB of local disk).
+    "10000x" -> Tier("10000x", "/tmp/docs10000x", 10000, Set("documents"),
+      Seq("dedup_components", "dedup_group_bundle", "exact_substr",
         "langid_nb", "lm_quality", "pipeline_composed", "incremental_daily")))
 
   /** The tier's ops node inside a parsed sentinels.json, or null. */

@@ -39,6 +39,21 @@ import org.apache.spark.sql.functions._
   *  - batch-internal duplicates resolve before the merge (keep-last for
   *    upsert / keep-first for insert-ignore by a stable tiebreak), making
   *    both ops idempotent: same batch twice ≡ once (DEPLOYMENT.md:244-249).
+  *
+  * Execution-consistency invariant: every path evaluates the batch plan
+  * EXACTLY ONCE, so the key-uniqueness guarantee holds even for a
+  * non-deterministic source (an HTTP pull that could return different
+  * rows on re-execution). Small batches run a single action (the dedup
+  * window rides the write); merge-path big batches persist across the
+  * dup pre-check and the write; and big FIRST writes (bulk loads too
+  * large to persist without re-creating the disk blowout the pre-check
+  * exists to avoid) use write-then-verify — the batch is written once,
+  * map-only, and the duplicate check runs against the WRITTEN parquet,
+  * so the verdict is about the bytes that actually landed, never about
+  * a different execution of the plan. Only when duplicates actually
+  * landed does a keep-last/keep-first rewrite (reading the written tmp,
+  * not the source) swap in. SinksExecOnceSpec pins the once-only
+  * execution with a counting batch plan.
   */
 object Sinks {
 
@@ -156,6 +171,50 @@ object Sinks {
     else merged.drop("_precedence")
   }
 
+  /** Write-then-verify for a big FIRST write (no existing lake): write
+    * `batch` once to a fresh tmp dir (map-only — no window, no persist),
+    * run the keys-only duplicate check against the WRITTEN parquet, and
+    * only when duplicates actually landed rewrite tmp through `dedup`
+    * (which reads the written data — deterministic by construction) into
+    * a second tmp. Returns the directory the caller swaps in.
+    *
+    * This is what makes the pre-check skip sound for non-deterministic
+    * sources: a persisted-batch pre-check verdict describes ONE
+    * execution, but an unpersisted batch recomputed for the write could
+    * contain different rows. Checking the written bytes removes the gap
+    * at the cost of one column-pruned parquet scan of the keys — noise
+    * next to the bulk write itself — while the clean path stays exactly
+    * the map-only shape that replaced the 70 GB window spill (round 13).
+    */
+  private def writeVerified(
+      spark: SparkSession, batch: DataFrame, path: String, keys: Seq[String],
+      partitionBy: Seq[String], sortBy: Seq[String], maxRecordsPerFile: Long,
+      dedup: DataFrame => DataFrame): Path = {
+    val fs = fsFor(spark, path)
+    def write(df: DataFrame): Path = {
+      val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+      val w = capped(sorted(df, sortBy).write.mode(SaveMode.Overwrite),
+        maxRecordsPerFile)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+      new Path(tmp)
+    }
+    val first = write(batch)
+    // an empty batch writes no data files (nothing to dedup, and the
+    // schema-less dir can't be read back)
+    if (!LakeFs.nonEmptyDataDir(spark, first.toString)) return first
+    val written = readRaw(spark, first.toString, mergeSchema = false)
+    val hasDups = written
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).count() > 0
+    if (!hasDups) first
+    else {
+      val second = write(dedup(written))
+      if (!fs.delete(first, true))
+        throw new java.io.IOException(s"delete failed: $first")
+      second
+    }
+  }
+
   /** Sort rows within each write task so parquet row-group min/max
     * statistics become selective — the data-skipping layout knob: a scan
     * filtered on a `sortBy` column prunes row groups instead of reading
@@ -224,36 +283,44 @@ object Sinks {
             "opt in to the full rewrite.")
       }
       val lake = readLake(spark, path)
-      val newRows = batch.withColumn("_precedence", lit(1))
-      val merged = lake match {
-        case None => newRows
-        case Some(existing) =>
-          // schema evolution: a batch may add columns (existing rows
-          // null-fill them) or omit columns the lake has (batch rows
-          // null-fill — the upserted row carries exactly what the batch
-          // declared, like ON DUPLICATE KEY UPDATE of every batch column)
-          existing.withColumn("_precedence", lit(0))
-            .unionByName(newRows, allowMissingColumns = true)
+      if (lake.isEmpty && statsBytes(batch) >= DedupPrecheckMinBytes) {
+        // big FIRST write (bulk load): write-then-verify — one execution
+        // of the batch plan, dup check on the written bytes, rewrite only
+        // if duplicates actually landed (see writeVerified)
+        val tmp = writeVerified(spark, batch, path, keys, partitionBy,
+          sortBy, maxRecordsPerFile,
+          w => keepLast(w.withColumn("_precedence", lit(1)), keys, tiebreak))
+        swapDirs(fs, tableRoot, tmp, tableRoot.getParent)
+      } else {
+        val newRows = batch.withColumn("_precedence", lit(1))
+        val merged = lake match {
+          case None => newRows
+          case Some(existing) =>
+            // schema evolution: a batch may add columns (existing rows
+            // null-fill them) or omit columns the lake has (batch rows
+            // null-fill — the upserted row carries exactly what the batch
+            // declared, like ON DUPLICATE KEY UPDATE of every batch column)
+            existing.withColumn("_precedence", lit(0))
+              .unionByName(newRows, allowMissingColumns = true)
+        }
+        // when the dup pre-check will run (big merged frame), it adds an
+        // action before the write and the batch plan would execute twice.
+        // Persist the batch so the source (possibly straight off an HTTP
+        // pull) evaluates once and the check's verdict describes the same
+        // rows the write ships; cache substitution is plan-based, so the
+        // merged plan reads it. Small frames (incl. any small first
+        // write) skip the check entirely and keep the one-action path.
+        val persistBatch = lake.isDefined &&
+          statsBytes(merged) >= DedupPrecheckMinBytes
+        if (persistBatch) batch.persist()
+        try {
+          val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
+          val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
+            .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
+          (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
+          swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
+        } finally if (persistBatch) batch.unpersist()
       }
-      // when the dup pre-check will run (big frame), it adds an action
-      // before the write and the batch plan would execute twice. In the
-      // MERGE case (lake exists — ongoing writes, possibly straight off
-      // an HTTP source) persist the batch so the source is pulled once;
-      // cache substitution is plan-based, so the merged plan reads it.
-      // On a FIRST write the batch may be a huge bulk load — skip the
-      // persist and let the column-pruned pre-check recompute it, the
-      // cheaper side for exactly the loads big enough to care. Small
-      // frames skip the check entirely and keep the old one-action path.
-      val willCheck = statsBytes(merged) >= DedupPrecheckMinBytes
-      val persistBatch = willCheck && lake.isDefined
-      if (persistBatch) batch.persist()
-      try {
-        val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
-        val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
-          .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-        swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
-      } finally if (persistBatch) batch.unpersist()
     } else {
       // partition-scoped merge: touch only the partitions in the batch
       // (one or MORE partition columns — e.g. year/month). The batch plan
@@ -395,31 +462,45 @@ object Sinks {
     // batch-internal dedup: keep-first by tiebreak asc (stable). On a
     // big batch (plan stats), a keys-only pre-check first — the window
     // shuffles and sorts the full batch, bought for nothing on a clean
-    // bulk pull; the batch persists across check+write so an HTTP
-    // source is pulled once. Small daily batches keep the old direct
-    // one-action path.
-    val willCheck = statsBytes(batch) >= DedupPrecheckMinBytes
-    if (willCheck) batch.persist()
-    try {
-      val hasDups = willCheck && batch
-        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1).limit(1).count() > 0
+    // bulk pull. Against an existing lake the batch persists across
+    // check+write so an HTTP source is pulled once and the verdict
+    // describes the rows that ship; a big FIRST write skips the persist
+    // (materializing a corpus-scale frame is its own disk blowout) and
+    // uses write-then-verify instead — the check runs on the written
+    // bytes, so non-determinism cannot slip duplicates past the skip.
+    // Small daily batches keep the old direct one-action path.
+    def keepFirst(df: DataFrame): DataFrame = {
       val order = tiebreak.map(c => col(c).asc).toSeq :+ lit(1).asc
-      val dedupedBatch =
-        if (willCheck && !hasDups) batch
-        else batch
-          .withColumn("_rn", row_number().over(
-            Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
-          .filter(col("_rn") === 1)
-          .drop("_rn")
-      val fresh = readLake(spark, path) match {
-        case None => dedupedBatch
-        case Some(existing) =>
-          dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
-      }
-      val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
-        maxRecordsPerFile)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-    } finally if (willCheck) batch.unpersist()
+      df.withColumn("_rn", row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+    }
+    val willCheck = statsBytes(batch) >= DedupPrecheckMinBytes
+    val lake = readLake(spark, path)
+    if (willCheck && lake.isEmpty) {
+      val fs = fsFor(spark, path)
+      val tableRoot = new Path(path)
+      val tmp = writeVerified(spark, batch, path, keys, partitionBy,
+        sortBy, maxRecordsPerFile, keepFirst)
+      swapDirs(fs, tableRoot, tmp, tableRoot.getParent)
+    } else {
+      if (willCheck) batch.persist()
+      try {
+        val hasDups = willCheck && batch
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).limit(1).count() > 0
+        val dedupedBatch =
+          if (willCheck && !hasDups) batch else keepFirst(batch)
+        val fresh = lake match {
+          case None => dedupedBatch
+          case Some(existing) =>
+            dedupedBatch.join(existing.select(keys.map(col): _*), keys, "left_anti")
+        }
+        val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
+          maxRecordsPerFile)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      } finally if (willCheck) batch.unpersist()
+    }
   }
 }

@@ -1,0 +1,108 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Generator-law coverage of the sinks' key semantics — the round-13
+  * lesson applied to `keepLastIfNeeded` and the write-then-verify
+  * first-write path: fixtures and corpus pins can miss boundary key
+  * patterns nobody wrote down, so both sinks are checked against an
+  * in-memory model over GENERATED duplicate patterns, across the full
+  * branch grid: {pre-check forced, pre-check off} × {unpartitioned,
+  * partitioned} × {first write, merge} × {clean, dirty} batches (the
+  * generator's key domain is small enough that all four dup shapes
+  * appear across the seeds; a zero-dup batch exercises the skip branch,
+  * a dup-heavy one the window fallback).
+  *
+  * Model: upsert = last batch wins, within a batch keep-last by
+  * tiebreak; insert-ignore = first batch wins, within a batch
+  * keep-first by tiebreak — the reference's ON DUPLICATE KEY UPDATE /
+  * INSERT IGNORE semantics (SURVEY.md §8.3).
+  */
+class SinksLawSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Row4 = (String, Double, Int, String)
+
+  /** Batches over a tiny key domain (dup collisions near-certain) with
+    * a per-key STABLE partition value — partition-scoped upsert without
+    * globalKeys requires it, same as the reference's month-from-id
+    * layout. seq is the within-batch tiebreak (unique per row).
+    */
+  private val batchGen: Gen[Seq[Row4]] = for {
+    n <- Gen.choose(0, 14)
+    keys <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(1, 5).map(i => s"k$i"),
+      Gen.const("k1"), // extra weight: dup-heavy shapes
+      Gen.const("kX")))
+    vals <- Gen.listOfN(n, Gen.choose(0, 1000))
+  } yield keys.zip(vals).zipWithIndex.map { case ((k, v), i) =>
+    (k, v.toDouble, i, if (k.hashCode % 2 == 0) "2024-09" else "2024-10")
+  }
+
+  private val seqGen: Gen[Seq[Seq[Row4]]] =
+    Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, batchGen))
+
+  private def modelUpsert(batches: Seq[Seq[Row4]]): Map[String, Double] =
+    batches.foldLeft(Map.empty[String, Double]) { (acc, b) =>
+      acc ++ b.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._3)._2 }
+    }
+
+  private def modelInsertIgnore(batches: Seq[Seq[Row4]]): Map[String, Double] =
+    batches.foldLeft(Map.empty[String, Double]) { (acc, b) =>
+      b.groupBy(_._1).map { case (k, rows) => k -> rows.minBy(_._3)._2 }
+        .filterNot { case (k, _) => acc.contains(k) } ++ acc
+    }
+
+  private def run(
+      batches: Seq[Seq[Row4]],
+      partitioned: Boolean,
+      op: (org.apache.spark.sql.DataFrame, String, Seq[String]) => Unit)
+      : Map[String, Double] = {
+    val path = Files.createTempDirectory("graft-sink-law").resolve("t").toString
+    val pby = if (partitioned) Seq("month") else Nil
+    batches.foreach { b =>
+      op(b.toDF("violation_id", "fine_amount", "seq", "month"), path, pby)
+    }
+    if (!LakeFs.nonEmptyDataDir(spark, path)) Map.empty
+    else spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("violation_id") -> r.getAs[Double]("fine_amount"))
+      .toMap
+  }
+
+  private def checkGrid(seedBase: Long, runs: Int): Unit =
+    (0 until runs).foreach { i =>
+      val batches = seqGen.pureApply(
+        Gen.Parameters.default.withSize(20), Seed(seedBase + i))
+      for (partitioned <- Seq(false, true)) {
+        val up = run(batches, partitioned, (df, p, pby) =>
+          Sinks.upsert(spark, df, p, Seq("violation_id"),
+            partitionBy = pby, tiebreak = Some("seq")))
+        assert(up == modelUpsert(batches),
+          s"upsert seed=${seedBase + i} partitioned=$partitioned: " +
+            s"$up != ${modelUpsert(batches)}")
+        val ii = run(batches, partitioned, (df, p, pby) =>
+          Sinks.insertIgnore(spark, df, p, Seq("violation_id"),
+            partitionBy = pby, tiebreak = Some("seq")))
+        assert(ii == modelInsertIgnore(batches),
+          s"insertIgnore seed=${seedBase + i} partitioned=$partitioned: " +
+            s"$ii != ${modelInsertIgnore(batches)}")
+      }
+    }
+
+  test("generated key patterns match the model (pre-check off: default gate)") {
+    checkGrid(seedBase = 0x51A0L, runs = 6)
+  }
+
+  test("generated key patterns match the model (pre-check FORCED: " +
+    "write-then-verify first writes, persisted-check merges)") {
+    val prop = "graft.dedup.precheck.min.bytes"
+    sys.props(prop) = "0"
+    try checkGrid(seedBase = 0x51B0L, runs = 6)
+    finally sys.props.remove(prop)
+  }
+}

@@ -73,9 +73,18 @@ final class CorpusPipeline private (
     */
   def dedupExact(textCol: String = "text"): CorpusPipeline = {
     val cols = df.columns
+    // ordering key wraps the id in (isNull, id): min_by skips NULL
+    // ordering keys entirely, so a bare null id would make an all-null-id
+    // group collapse to a single all-null ROW (min_by of no valid key is
+    // null) instead of keeping a document. The struct key is never null,
+    // non-null ids order before null ones (false < true), and an
+    // all-null-id group keeps one real row. Note the struct round-trip
+    // makes every output column nullable in the SCHEMA (values are
+    // unchanged) — relevant if the output's written schema is compared.
     next(df
       .groupBy(md5(col(textCol)).as("_h"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_r"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(idCol).isNull.as("_null"), col(idCol).as("_id"))).as("_r"))
       .select(cols.map(c => col("_r").getField(c).as(c)): _*))
   }
 

@@ -43,6 +43,30 @@ object IncrementalDedupQueries {
 
   private val JaccardMin = 0.5
 
+  /** Ceiling (plan-stats bytes of the batch's payload-carrying band
+    * rows) past which [[pairsFromBatchBands]] refuses to BROADCAST the
+    * batch side and fails fast instead of OOMing the driver. The verify
+    * payload rides the broadcast by design — O(daily batch), ~4 band
+    * rows/doc each carrying the signature and shingle arrays — so a
+    * "batch" approaching corpus size is a contract violation, not a
+    * tuning problem: the whole-corpus [[SketchDedupQueries]] path is
+    * the right tool there (banded self-join, nothing broadcast).
+    * Measured: the 1000×-tier daily shape estimates 1.54 MB (sentinel
+    * run, 2026-08-16, SPARK_GRAFT_INC_STATS), so the default gives
+    * daily batches three orders of magnitude of headroom while a
+    * corpus-scale input (stats scale with the scan) trips it. Note
+    * Generate's basic stats scale from the PRE-explode child, so the
+    * estimate undercounts the ~4-band fan-out — 2 GiB estimated keeps
+    * the true broadcast under Spark's 8 GB hard limit.
+    * `graft.inc.broadcast.max.bytes` overrides for tests and deliberate
+    * opt-ins.
+    */
+  val DefaultMaxBatchBroadcastBytes: Long = 2L << 30 // 2 GiB
+
+  private def maxBatchBroadcastBytes: Long = sys.props
+    .get("graft.inc.broadcast.max.bytes").map(_.toLong)
+    .getOrElse(DefaultMaxBatchBroadcastBytes)
+
   /** Per-document signature rows for the index: one narrow map-only plan
     * (doc_id, m, sarr, n_shingles). Documents under 3 tokens carry no
     * 3-shingle and are excluded, matching the whole-corpus query.
@@ -139,10 +163,17 @@ object IncrementalDedupQueries {
     * (signature-position agreement, exact Jaccard over the distinct
     * shingle sets) is the same.
     */
-  def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame =
-    pairsFromBatchBands(index,
-      bandPayload(index)
-        .join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+  def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
+    // materialize the batch's signature rows (the index must be scanned
+    // to fetch them anyway): basic stats put a semi-join at its LEFT
+    // side's size — O(index) — which would spuriously trip the broadcast
+    // guard for every daily batch against a big index; the cached frame
+    // reports its REAL O(batch) bytes
+    val batchSigs = graft.CacheScope.persist(
+      index.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    batchSigs.count()
+    pairsFromBatchBands(index, bandPayload(batchSigs))
+  }
 
   /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band
     * rows derive from its OWN signature rows — identical to the index's
@@ -155,8 +186,9 @@ object IncrementalDedupQueries {
     pairsFromBatchBands(index, bandPayload(batchSigs))
 
   /** The verify rides IN the band join: the batch's band rows broadcast
-    * WITH their payload (a daily batch × ~1 KB — if a "batch" approaches
-    * corpus size, use the whole-corpus [[SketchDedupQueries]] path
+    * WITH their payload (a daily batch × ~1 KB — a "batch" approaching
+    * corpus size trips the [[DefaultMaxBatchBroadcastBytes]] guard and
+    * must use the whole-corpus [[SketchDedupQueries]] path
     * instead), the index's payload-carrying band rows STREAM through the
     * probe, and est/jaccard are computed in-row at the join output. Band
     * multiplicity (a pair sharing several of its 4 bands, and batch-batch
@@ -178,7 +210,21 @@ object IncrementalDedupQueries {
     * is map-side and costs less than one index shuffle.
     */
   private def pairsFromBatchBands(
-      index: DataFrame, batchBands: DataFrame): DataFrame =
+      index: DataFrame, batchBands: DataFrame): DataFrame = {
+    // structural form of the "daily batch" contract above: refuse to
+    // broadcast a corpus-sized batch instead of OOMing the driver
+    val est = BigInt(
+      batchBands.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    if (sys.env.contains("SPARK_GRAFT_INC_STATS"))
+      System.err.println(s"[inc-guard] batch-side estimate $est bytes " +
+        s"(ceiling $maxBatchBroadcastBytes)")
+    if (est > maxBatchBroadcastBytes) throw new IllegalStateException(
+      s"incremental-dedup batch side estimates $est bytes " +
+        s"(> ceiling $maxBatchBroadcastBytes): a batch this close to corpus " +
+        "size would OOM the driver broadcasting its verify payload. Dedup " +
+        "corpus-scale inputs with the whole-corpus SketchDedupQueries path " +
+        "(banded self-join, nothing broadcast), or raise " +
+        "graft.inc.broadcast.max.bytes to opt in.")
     broadcast(batchBands.as("a"))
       .join(bandPayload(index).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -205,6 +251,7 @@ object IncrementalDedupQueries {
       .agg(min(col("minhash_est")).as("minhash_est"),
         min(col("jaccard")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   // ------------------------------------------------------- the gated query
   // A full incremental day simulated end-to-end against a real lake table:

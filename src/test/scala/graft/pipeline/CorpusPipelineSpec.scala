@@ -248,4 +248,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(chain.select(col("split")).distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("train", "test")))
   }
+
+  test("dedupExact null ids: non-null canonical wins; all-null groups keep a real row") {
+    // min_by skips NULL ordering keys — without the (isNull, id) struct
+    // key an all-null-id group collapses to one all-null ROW and a mixed
+    // group's winner is decided by ignoring its null-id member entirely
+    import spark.implicits._
+    val in = Seq(
+      (Option(5L), "same text", "en"),
+      (Option.empty[Long], "same text", "fr"),
+      (Option.empty[Long], "only nulls", "de"),
+      (Option.empty[Long], "only nulls", "it"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline(in).dedupExact().df.collect()
+    assert(out.length == 2)
+    val byText = out.map(r => r.getAs[String]("text") ->
+      ((if (r.isNullAt(0)) None else Some(r.getLong(0))),
+        r.getAs[String]("lang"))).toMap
+    assert(byText("same text") == ((Some(5L), "en")))
+    val (nid, nlang) = byText("only nulls")
+    assert(nid.isEmpty && Set("de", "it").contains(nlang),
+      s"all-null-id group must keep one REAL row, got ($nid, $nlang)")
+  }
 }

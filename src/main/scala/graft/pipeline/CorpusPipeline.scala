@@ -220,7 +220,15 @@ final class CorpusPipeline private (
       indexPath: String, textCol: String = "text"): CorpusPipeline = {
     val spark = df.sparkSession
     val batch = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val sigs = IncrementalDedupQueries.signatures(batch)
+    // sigs feeds BOTH the index merge and the pair detection — persist
+    // so both see ONE evaluation (a non-deterministic batch source would
+    // otherwise index one execution and detect pairs over another,
+    // breaking pairsForBatchSigs' the-index-holds-these-rows premise).
+    // O(daily batch) by the broadcast-guard contract, so the cache is
+    // small; the gated qDedupIncremental and the sentinel op pin the
+    // same persist-before-use shape.
+    val sigs = graft.CacheScope.persist(
+      IncrementalDedupQueries.signatures(batch))
     IncrementalDedupQueries.updateIndex(spark, sigs, indexPath)
     val pairs = IncrementalDedupQueries.pairsForBatchSigs(
         spark.read.parquet(indexPath), sigs)

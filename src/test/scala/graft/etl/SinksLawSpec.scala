@@ -105,4 +105,64 @@ class SinksLawSpec extends SparkSpec {
     try checkGrid(seedBase = 0x51B0L, runs = 6)
     finally sys.props.remove(prop)
   }
+
+  // ---- globalKeys: keys MOVE partitions (the directory-swap surface) ----
+
+  /** Batches where month is NOT key-stable: any key may reappear under a
+    * different (possibly null) month, so the partition-scoped merge must
+    * find and drop the stale copy (globalKeys) and delete partitions the
+    * moves emptied. Fixtures pin four handwritten shapes; this generates
+    * the move patterns nobody wrote down.
+    */
+  private val movingBatchGen: Gen[Seq[(String, Double, Int, Option[String])]] =
+    for {
+      n <- Gen.choose(1, 10)
+      keys <- Gen.listOfN(n, Gen.choose(1, 4).map(i => s"k$i"))
+      months <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.oneOf("2024-08", "2024-09", "2024-10").map(Option(_)),
+        1 -> Gen.const(Option.empty[String])))
+      vals <- Gen.listOfN(n, Gen.choose(0, 1000))
+    } yield keys.lazyZip(months).lazyZip(vals).toList.zipWithIndex.map {
+      case ((k, m, v), i) => (k, v.toDouble, i, m)
+    }
+
+  test("globalKeys upsert: generated partition moves keep one copy per key " +
+    "and no zombie partitions") {
+    (0 until 6).foreach { i =>
+      val batches = Gen.choose(2, 3).flatMap(m => Gen.listOfN(m, movingBatchGen))
+        .pureApply(Gen.Parameters.default.withSize(20), Seed(0x61C0L + i))
+      val path = Files.createTempDirectory("graft-sink-gk").resolve("t").toString
+      batches.foreach { b =>
+        val df = b.map { case (k, v, s, m) => (k, v, s, m.orNull) }
+          .toDF("violation_id", "fine_amount", "seq", "month")
+        Sinks.upsert(spark, df, path, Seq("violation_id"),
+          partitionBy = Seq("month"), tiebreak = Some("seq"), globalKeys = true)
+      }
+      // model: last batch wins per key (within batch keep-last by seq),
+      // carrying its month — a moved key has exactly ONE copy, in the
+      // partition of its final month
+      val model = batches.foldLeft(
+          Map.empty[String, (Double, Option[String])]) { (acc, b) =>
+        acc ++ b.groupBy(_._1).map { case (k, rows) =>
+          val w = rows.maxBy(_._3); k -> (w._2, w._4)
+        }
+      }
+      val got = spark.read.parquet(path).collect()
+        .map(r => r.getAs[String]("violation_id") ->
+          ((r.getAs[Double]("fine_amount"),
+            Option(r.getAs[String]("month"))))).toMap
+      assert(got == model, s"seed=${0x61C0L + i}: $got != $model")
+      // exactly one row per key (the moved key's stale copy is gone)
+      assert(spark.read.parquet(path).count() == model.size.toLong)
+      // no zombie partition dirs: every month directory on disk holds a
+      // surviving row
+      val liveMonths = model.values.map {
+        case (_, Some(m)) => s"month=$m"
+        case (_, None) => "month=__HIVE_DEFAULT_PARTITION__"
+      }.toSet
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == liveMonths, s"seed=${0x61C0L + i}: dirs $dirs != $liveMonths")
+    }
+  }
 }

@@ -165,4 +165,43 @@ class SinksLawSpec extends SparkSpec {
       assert(dirs == liveMonths, s"seed=${0x61C0L + i}: dirs $dirs != $liveMonths")
     }
   }
+
+  // ---- compaction: content-preserving under generated append patterns ----
+
+  test("compact preserves content exactly and enforces the file policy " +
+    "for generated append sequences") {
+    (0 until 4).foreach { i =>
+      val batches = Gen.choose(3, 8).flatMap(m => Gen.listOfN(m, batchGen))
+        .pureApply(Gen.Parameters.default.withSize(20), Seed(0x71D0L + i))
+      val path = Files.createTempDirectory("graft-compact-law").resolve("t").toString
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        // disambiguate keys per batch so every append lands rows (an
+        // all-duplicate append writes no file and the file-count
+        // pressure this law needs never builds)
+        val rows = b.map { case (k, v, s, m) => (s"$k-$bi", v, s, m) }
+        Sinks.insertIgnore(spark, rows.toDF("violation_id", "fine_amount", "seq", "month"),
+          path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      }
+      if (LakeFs.nonEmptyDataDir(spark, path)) {
+        val before = spark.read.parquet(path).collect()
+          .map(r => (r.getAs[String]("violation_id"), r.getAs[Double]("fine_amount"),
+            r.getAs[String]("month"))).toSet
+        Sinks.compact(spark, path, partitioned = true, maxFiles = 2, targetFiles = 1)
+        val after = spark.read.parquet(path).collect()
+          .map(r => (r.getAs[String]("violation_id"), r.getAs[Double]("fine_amount"),
+            r.getAs[String]("month"))).toSet
+        assert(after == before, s"seed=${0x71D0L + i}: content changed")
+        // every partition dir now holds at most max(2, target) files,
+        // and no tmp/aside leftovers exist anywhere near the table
+        val root = new java.io.File(path)
+        root.listFiles().filter(_.isDirectory).foreach { d =>
+          val n = d.listFiles().count(f => f.getName.endsWith(".parquet"))
+          assert(n <= 2, s"seed=${0x71D0L + i}: ${d.getName} has $n files")
+        }
+        val strays = root.getParentFile.listFiles().map(_.getName)
+          .filter(n => n.contains("._compact_") || n.contains("._old_"))
+        assert(strays.isEmpty, s"seed=${0x71D0L + i}: strays $strays")
+      }
+    }
+  }
 }

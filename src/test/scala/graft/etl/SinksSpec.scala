@@ -284,6 +284,26 @@ class SinksSpec extends SparkSpec {
     assert(asMap(path) == Map("a" -> 2.0, "b" -> 3.0))
   }
 
+  test("numeric-looking partition strings survive the dirty first-write rewrite") {
+    // write-then-verify's DIRTY branch reads the written tmp back and
+    // rewrites it partitioned: if that read inferred month "09" as int 9
+    // the rewrite would land under month=9 — a renamed partition on the
+    // very first load. The tmp read runs with inference off (readRaw);
+    // pin the round trip through the forced big-batch path.
+    val prop = "graft.dedup.precheck.min.bytes"
+    sys.props(prop) = "0"
+    try {
+      val path = tmpDir()
+      Sinks.upsert(spark,
+        batch(("a", 1.0, 0, "09"), ("a", 9.0, 1, "09"), ("b", 2.0, 0, "10")),
+        path, Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("month=09", "month=10"), s"partition renamed: $dirs")
+      assert(asMap(path) == Map("a" -> 9.0, "b" -> 2.0))
+    } finally sys.props.remove(prop)
+  }
+
   test("whole-table upsert refuses an O(history) rewrite past the size ceiling") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09"), ("b", 2.0, 0, "2024-09")),

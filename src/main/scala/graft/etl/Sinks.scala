@@ -134,6 +134,29 @@ object Sinks {
   private def statsBytes(df: DataFrame): BigInt =
     BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
 
+  /** Persist `df` unless the CALLER already holds it cached, returning
+    * whether THIS call persisted (and so owns the unpersist). Spark's
+    * cache has no refcount: an unconditional persist/unpersist pair
+    * here would silently CLOBBER a caller's cache of the same plan —
+    * e.g. CorpusPipeline.dedupNearIncremental persists its signature
+    * frame across updateIndex (which lands in this sink) AND the pair
+    * detection that follows; the sink dropping that cache re-executes
+    * the batch source downstream, exactly the double evaluation the
+    * caller persisted to prevent.
+    */
+  private def persistIfNotCached(df: DataFrame): Boolean =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(); true
+    } else false
+
+  /** True when any key occurs more than once — the keys-only duplicate
+    * pre-check shared by every skip gate (column-pruned, map-side
+    * combinable, one narrow job).
+    */
+  private def hasDupKeys(df: DataFrame, keys: Seq[String]): Boolean = df
+    .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    .filter(col("_n") > 1).limit(1).count() > 0
+
   /** Below this, dedup directly: the window on a small frame costs less
     * than the pre-check's extra job dispatch. Above it, one narrow
     * keys-only job is noise next to the full-width shuffle it can skip.
@@ -164,10 +187,7 @@ object Sinks {
       merged: DataFrame, keys: Seq[String], tiebreak: Option[String]): DataFrame = {
     if (statsBytes(merged) < DedupPrecheckMinBytes)
       return keepLast(merged, keys, tiebreak)
-    val hasDups = merged
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).limit(1).count() > 0
-    if (hasDups) keepLast(merged, keys, tiebreak)
+    if (hasDupKeys(merged, keys)) keepLast(merged, keys, tiebreak)
     else merged.drop("_precedence")
   }
 
@@ -203,11 +223,12 @@ object Sinks {
     // schema-less dir can't be read back)
     if (!LakeFs.nonEmptyDataDir(spark, first.toString)) return first
     val written = readRaw(spark, first.toString, mergeSchema = false)
-    val hasDups = written
-      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1).limit(1).count() > 0
-    if (!hasDups) first
+    if (!hasDupKeys(written, keys)) first
     else {
+      // peak disk on this (rare: dirty BULK load) path is 2x the batch —
+      // the rewrite must read `first` so it cannot be deleted earlier,
+      // and a crash between the two writes orphans `first` beside the
+      // table (same leftover class as any interrupted tmp write here)
       val second = write(dedup(written))
       if (!fs.delete(first, true))
         throw new java.io.IOException(s"delete failed: $first")
@@ -283,7 +304,14 @@ object Sinks {
             "opt in to the full rewrite.")
       }
       val lake = readLake(spark, path)
-      if (lake.isEmpty && statsBytes(batch) >= DedupPrecheckMinBytes) {
+      val newRows = batch.withColumn("_precedence", lit(1))
+      // the first-write gate reads the SAME frame keepLastIfNeeded would
+      // gate on (merged == newRows when the lake is absent): gating on
+      // bare `batch` left a stats band (batch under the threshold,
+      // merged over it) where a big first write slipped into the else
+      // branch unpersisted and keepLastIfNeeded's pre-check became a
+      // second execution of the batch plan
+      if (lake.isEmpty && statsBytes(newRows) >= DedupPrecheckMinBytes) {
         // big FIRST write (bulk load): write-then-verify — one execution
         // of the batch plan, dup check on the written bytes, rewrite only
         // if duplicates actually landed (see writeVerified)
@@ -292,7 +320,6 @@ object Sinks {
           w => keepLast(w.withColumn("_precedence", lit(1)), keys, tiebreak))
         swapDirs(fs, tableRoot, tmp, tableRoot.getParent)
       } else {
-        val newRows = batch.withColumn("_precedence", lit(1))
         val merged = lake match {
           case None => newRows
           case Some(existing) =>
@@ -310,24 +337,26 @@ object Sinks {
         // rows the write ships; cache substitution is plan-based, so the
         // merged plan reads it. Small frames (incl. any small first
         // write) skip the check entirely and keep the one-action path.
-        val persistBatch = lake.isDefined &&
-          statsBytes(merged) >= DedupPrecheckMinBytes
-        if (persistBatch) batch.persist()
+        // A batch the CALLER already persisted is left alone either way.
+        val ownPersist = lake.isDefined &&
+          statsBytes(merged) >= DedupPrecheckMinBytes &&
+          persistIfNotCached(batch)
         try {
           val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
           val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
             .write.mode(SaveMode.Overwrite), maxRecordsPerFile)
           (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
           swapDirs(fs, tableRoot, new Path(tmp), tableRoot.getParent)
-        } finally if (persistBatch) batch.unpersist()
+        } finally if (ownPersist) batch.unpersist()
       }
     } else {
       // partition-scoped merge: touch only the partitions in the batch
       // (one or MORE partition columns — e.g. year/month). The batch plan
       // feeds both the affected-partition probe and the merge write —
       // persist so an expensive upstream (API fetch + transform)
-      // evaluates once.
-      val b = batch.persist()
+      // evaluates once. A caller-held cache is reused, never clobbered.
+      val b = batch
+      val ownPersist = persistIfNotCached(b)
       try {
         val newRows = b.withColumn("_precedence", lit(1))
         val pcols = partitionBy.map(col)
@@ -402,7 +431,7 @@ object Sinks {
         }
         fs.delete(new Path(tmp), true)
         fs.delete(asideRoot, true)
-      } finally b.unpersist()
+      } finally if (ownPersist) b.unpersist()
     }
   }
 
@@ -485,11 +514,9 @@ object Sinks {
         sortBy, maxRecordsPerFile, keepFirst)
       swapDirs(fs, tableRoot, tmp, tableRoot.getParent)
     } else {
-      if (willCheck) batch.persist()
+      val ownPersist = willCheck && persistIfNotCached(batch)
       try {
-        val hasDups = willCheck && batch
-          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-          .filter(col("_n") > 1).limit(1).count() > 0
+        val hasDups = willCheck && hasDupKeys(batch, keys)
         val dedupedBatch =
           if (willCheck && !hasDups) batch else keepFirst(batch)
         val fresh = lake match {
@@ -500,7 +527,7 @@ object Sinks {
         val w = capped(sorted(fresh, sortBy).write.mode(SaveMode.Append),
           maxRecordsPerFile)
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-      } finally if (willCheck) batch.unpersist()
+      } finally if (ownPersist) batch.unpersist()
     }
   }
 }

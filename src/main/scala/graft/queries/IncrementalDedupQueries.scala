@@ -51,17 +51,28 @@ object IncrementalDedupQueries {
     * "batch" approaching corpus size is a contract violation, not a
     * tuning problem: the whole-corpus [[SketchDedupQueries]] path is
     * the right tool there (banded self-join, nothing broadcast).
-    * Measured: the 1000×-tier daily shape estimates 1.54 MB (sentinel
-    * run, 2026-08-16, SPARK_GRAFT_INC_STATS), so the default gives
-    * daily batches three orders of magnitude of headroom while a
-    * corpus-scale input (stats scale with the scan) trips it. Note
-    * Generate's basic stats scale from the PRE-explode child, so the
-    * estimate undercounts the ~4-band fan-out — 2 GiB estimated keeps
-    * the true broadcast under Spark's 8 GB hard limit.
+    * The compared estimate is POST-explode: Generate's basic stats
+    * scale from the pre-explode child, so the guard multiplies by the
+    * [[Bands]] fan-out before comparing — a batch passing the ceiling
+    * really broadcasts ≤ ~2 GiB, 4× under Spark's 8 GB hard limit
+    * instead of landing on it at the boundary. Measured: the
+    * 1000×-tier daily shape estimates 1.54 MB pre-explode → ~6 MB
+    * compared (sentinel run, 2026-08-16, SPARK_GRAFT_INC_STATS), so
+    * daily batches keep two-plus orders of magnitude of headroom while
+    * a corpus-scale input (stats scale with the scan) trips.
     * `graft.inc.broadcast.max.bytes` overrides for tests and deliberate
     * opt-ins.
     */
   val DefaultMaxBatchBroadcastBytes: Long = 2L << 30 // 2 GiB
+
+  private def refuseBroadcast(est: BigInt): Nothing =
+    throw new IllegalStateException(
+      s"incremental-dedup batch side estimates $est bytes " +
+        s"(> ceiling $maxBatchBroadcastBytes): a batch this close to corpus " +
+        "size would OOM the driver broadcasting its verify payload. Dedup " +
+        "corpus-scale inputs with the whole-corpus SketchDedupQueries path " +
+        "(banded self-join, nothing broadcast), or raise " +
+        "graft.inc.broadcast.max.bytes to opt in.")
 
   private def maxBatchBroadcastBytes: Long = sys.props
     .get("graft.inc.broadcast.max.bytes").map(_.toLong)
@@ -164,6 +175,21 @@ object IncrementalDedupQueries {
     * shingle sets) is the same.
     */
   def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
+    // cheap refusal BEFORE materializing anything: a corpus-sized id
+    // list would otherwise get its full signature rows CACHED below
+    // (the storage blowout arriving via the cache instead of the
+    // broadcast) before the byte-accurate guard could throw. Estimate =
+    // id count × the index's average per-row payload (plan stats /
+    // row count — metadata-cheap on the parquet lake this form reads)
+    // × the band fan-out.
+    val nBatch = batchIds.select(col("doc_id")).count()
+    val nIndex = index.count()
+    if (nIndex > 0) {
+      val perRow = BigInt(
+        index.queryExecution.optimizedPlan.stats.sizeInBytes.toString) / nIndex
+      val estPre = perRow * nBatch * Bands
+      if (estPre > maxBatchBroadcastBytes) refuseBroadcast(estPre)
+    }
     // materialize the batch's signature rows (the index must be scanned
     // to fetch them anyway): basic stats put a semi-join at its LEFT
     // side's size — O(index) — which would spuriously trip the broadcast
@@ -212,19 +238,16 @@ object IncrementalDedupQueries {
   private def pairsFromBatchBands(
       index: DataFrame, batchBands: DataFrame): DataFrame = {
     // structural form of the "daily batch" contract above: refuse to
-    // broadcast a corpus-sized batch instead of OOMing the driver
+    // broadcast a corpus-sized batch instead of OOMing the driver.
+    // Generate's stats scale from the pre-explode child, so compare the
+    // post-explode bytes (× Bands) the broadcast will actually carry.
     val est = BigInt(
-      batchBands.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+      batchBands.queryExecution.optimizedPlan.stats.sizeInBytes.toString) *
+      Bands
     if (sys.env.contains("SPARK_GRAFT_INC_STATS"))
       System.err.println(s"[inc-guard] batch-side estimate $est bytes " +
-        s"(ceiling $maxBatchBroadcastBytes)")
-    if (est > maxBatchBroadcastBytes) throw new IllegalStateException(
-      s"incremental-dedup batch side estimates $est bytes " +
-        s"(> ceiling $maxBatchBroadcastBytes): a batch this close to corpus " +
-        "size would OOM the driver broadcasting its verify payload. Dedup " +
-        "corpus-scale inputs with the whole-corpus SketchDedupQueries path " +
-        "(banded self-join, nothing broadcast), or raise " +
-        "graft.inc.broadcast.max.bytes to opt in.")
+        s"post-explode (ceiling $maxBatchBroadcastBytes)")
+    if (est > maxBatchBroadcastBytes) refuseBroadcast(est)
     broadcast(batchBands.as("a"))
       .join(bandPayload(index).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")

@@ -112,6 +112,50 @@ class SinksExecOnceSpec extends SparkSpec {
     }
   }
 
+  test("sinks never clobber a CALLER-held cache of the batch") {
+    // Spark's cache has no refcount: the sinks' internal persist/
+    // unpersist must leave a batch the caller already persisted cached
+    // afterwards — dedupNearIncremental persists its signatures across
+    // updateIndex AND the pair detection, and an unconditional sink
+    // unpersist silently re-executed the batch source downstream
+    import org.apache.spark.storage.StorageLevel
+    withForcedCheck {
+      // unpartitioned merge path
+      val p = tmpDir()
+      Sinks.upsert(spark, countingBatch(10, keyMod = 1000), p,
+        Seq("violation_id"), tiebreak = Some("seq"))
+      val b = countingBatch(30, keyMod = 1000).persist()
+      b.count()
+      Sinks.upsert(spark, b, p, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(b.storageLevel != StorageLevel.NONE,
+        "merge upsert dropped the caller's cache")
+      b.unpersist()
+
+      // partitioned merge path (persists the batch for its probe)
+      val q = tmpDir()
+      Sinks.upsert(spark, countingBatch(10, keyMod = 1000), q,
+        Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      val b2 = countingBatch(30, keyMod = 1000).persist()
+      b2.count()
+      Sinks.upsert(spark, b2, q, Seq("violation_id"),
+        partitionBy = Seq("month"), tiebreak = Some("seq"))
+      assert(b2.storageLevel != StorageLevel.NONE,
+        "partitioned upsert dropped the caller's cache")
+      b2.unpersist()
+
+      // insert-ignore merge path
+      val r = tmpDir()
+      Sinks.insertIgnore(spark, countingBatch(10, keyMod = 1000), r,
+        Seq("violation_id"), tiebreak = Some("seq"))
+      val b3 = countingBatch(30, keyMod = 1000).persist()
+      b3.count()
+      Sinks.insertIgnore(spark, b3, r, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(b3.storageLevel != StorageLevel.NONE,
+        "insert-ignore dropped the caller's cache")
+      b3.unpersist()
+    }
+  }
+
   test("small batches keep the one-action path (no extra evaluation)") {
     // default threshold: no pre-check, the window rides the single write
     SinksExecOnceSpec.evals.set(0)

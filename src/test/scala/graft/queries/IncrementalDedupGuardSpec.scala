@@ -57,11 +57,12 @@ class IncrementalDedupGuardSpec extends SparkSpec {
     val index = spark.read.parquet(lake)
     val indexBytes = new java.io.File(lake).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.length).sum
-    // a ceiling well under the on-disk index size but far above a
-    // 3-doc batch: an O(index) estimate would throw, O(batch) passes
-    val ceiling = math.max(indexBytes / 2, 32L * 1024)
-    assert(indexBytes > ceiling,
-      s"fixture too small to discriminate: index $indexBytes <= ceiling $ceiling")
+    // a ceiling that an O(index) estimate would blow (the guard compares
+    // post-explode bytes, so a buggy index-sized estimate reads as
+    // ~4x indexBytes) but a 3-doc batch clears with margin
+    assert(indexBytes > 64L * 1024,
+      s"fixture too small to discriminate: index only $indexBytes bytes")
+    val ceiling = 2L * indexBytes
     sys.props(prop) = ceiling.toString
     try {
       val tiny = index.select(col("doc_id")).limit(3)

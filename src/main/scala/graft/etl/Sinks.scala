@@ -475,6 +475,40 @@ object Sinks {
     }
   }
 
+  /** Delete leftover scratch directories an INTERRUPTED sink call left
+    * beside the table: `<table>._tmp_*` (a write that never swapped in),
+    * `<table>._aside_*` (a partition-swap aside whose delete was cut
+    * short), `<table>._compact_*` (an unfinished compaction rewrite),
+    * and `<table>._old_*` (an unpartitioned swap's aside). None of
+    * these are ever scanned as table data — they live OUTSIDE the table
+    * root by design — so correctness never needs this; disk does: a
+    * crashed bulk load orphans a batch-sized tmp, and at 100 TB scale
+    * leftovers compound per incident. Only entries older than
+    * `minAgeMs` are removed (default 1 h), so a concurrently RUNNING
+    * sink call's live scratch is never swept; with the no-concurrent-
+    * writers contract the sinks already carry, any older leftover is
+    * garbage by definition. Returns the deleted paths.
+    */
+  def sweepLeftovers(
+      spark: SparkSession, path: String,
+      minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val prefixes = Seq("._tmp_", "._aside_", "._compact_", "._old_")
+      .map(root.getName + _)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    fs.listStatus(parent).toSeq
+      .filter(s => prefixes.exists(s.getPath.getName.startsWith))
+      .filter(_.getModificationTime < cutoff)
+      .map { s =>
+        if (!fs.delete(s.getPath, true))
+          throw new java.io.IOException(s"delete failed: ${s.getPath}")
+        s.getPath.toString
+      }
+  }
+
   /** First-writer-wins append: rows whose key already exists in the lake
     * are dropped (left-anti join on the key), the rest append as new
     * files — nothing existing is ever rewritten.

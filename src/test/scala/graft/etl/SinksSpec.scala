@@ -458,6 +458,29 @@ class SinksSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS violations_s9")
   }
 
+  test("sweepLeftovers removes only STALE scratch dirs beside the table") {
+    val path = tmpDir()
+    Sinks.upsert(spark, batch(("a", 1.0, 0, "2024-09")),
+      path, Seq("violation_id"), tiebreak = Some("seq"))
+    val parent = new java.io.File(path).getParentFile
+    val name = new java.io.File(path).getName
+    // simulate an interrupted write (old) and a live one (fresh)
+    val stale = new java.io.File(parent, name + "._tmp_deadbeef")
+    val fresh = new java.io.File(parent, name + "._aside_cafe1234")
+    val unrelated = new java.io.File(parent, "other_table._tmp_ffff")
+    Seq(stale, fresh, unrelated).foreach(d => assert(d.mkdirs()))
+    assert(stale.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    val deleted = Sinks.sweepLeftovers(spark, path)
+    assert(deleted.exists(_.endsWith("._tmp_deadbeef")) && deleted.size == 1,
+      s"deleted: $deleted")
+    assert(!stale.exists(), "stale tmp not removed")
+    assert(fresh.exists(), "fresh scratch must survive (could be a live write)")
+    assert(unrelated.exists(), "another table's scratch must survive")
+    // the table itself is untouched
+    assert(asMap(path) == Map("a" -> 1.0))
+    fresh.delete(); unrelated.delete()
+  }
+
   test("upsert and insert-ignore preserve full row content") {
     val path = tmpDir()
     Sinks.upsert(spark, batch(("a", 1.0, 5, "2024-09")), path,

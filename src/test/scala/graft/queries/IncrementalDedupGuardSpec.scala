@@ -48,6 +48,32 @@ class IncrementalDedupGuardSpec extends SparkSpec {
     pairs.count() // executes the broadcast for real
   }
 
+  test("id-based entry refuses a corpus-sized id list BEFORE caching anything") {
+    val docs = documents(spark, sf)
+    val lake = java.nio.file.Files.createTempDirectory("inc-preguard")
+      .resolve("sig").toString
+    IncrementalDedupQueries.updateIndex(
+      spark, IncrementalDedupQueries.signatures(docs), lake)
+    val index = spark.read.parquet(lake)
+    sys.props(prop) = "1"
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val e = intercept[IllegalStateException] {
+        IncrementalDedupQueries.pairsAgainstIndex(
+          index, index.select(col("doc_id")))
+      }
+      assert(e.getMessage.contains("SketchDedupQueries"))
+      // the refusal must come from the metadata pre-guard, before the
+      // batch signature rows were persisted — nothing new in the cache
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "corpus-sized batch was cached before the guard threw")
+    } finally {
+      sys.props.remove(prop)
+      graft.etl.LakeFs.deleteRecursively(spark,
+        new org.apache.hadoop.fs.Path(lake).getParent)
+    }
+  }
+
   test("id-based entry reports O(batch) bytes, not O(index)") {
     val docs = documents(spark, sf)
     val lake = java.nio.file.Files.createTempDirectory("inc-guard")

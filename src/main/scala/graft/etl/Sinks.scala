@@ -54,6 +54,16 @@ import org.apache.spark.sql.functions._
   * landed does a keep-last/keep-first rewrite (reading the written tmp,
   * not the source) swap in. SinksExecOnceSpec pins the once-only
   * execution with a counting batch plan.
+  *
+  * Corpus-scale batches merged into an EXISTING lake are the one shape
+  * that still materializes the batch (a persist, spilling linearly to
+  * executor disk — bounded by batch size, unlike the round-13 sort
+  * blowout, but real at multi-TB). If even that is too much, stage the
+  * batch yourself: one map-only parquet write, then call the sink on
+  * the staged SCAN — deterministic and cache-free by construction (the
+  * sink detects the replayable scan and skips its own persist entirely;
+  * the write-then-verify path does exactly this internally for first
+  * writes).
   */
 object Sinks {
 
@@ -148,6 +158,41 @@ object Sinks {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(); true
     } else false
+
+  /** True when re-executing `df` is deterministic AND cheap: every leaf
+    * reads files (or an existing cache), every expression is
+    * deterministic, and no shuffle-producing operator sits upstream.
+    * Two executions of such a plan read the same immutable bytes
+    * through the same pure projections, so the multi-action merge paths
+    * need no consistency persist for it — and skipping the persist is
+    * also the FASTER choice: the extra actions (dup pre-check,
+    * partition probe) are column-pruned, so they re-scan only the
+    * columns they read (the CorpusPipeline.waist receipt), while a
+    * persist materializes every column of a possibly corpus-scale
+    * batch to executor storage. This is what makes the "stage the bulk
+    * batch to parquet, then sink the scan" pattern genuinely
+    * cache-free. Anything non-file (HTTP source RDDs, local batches,
+    * mapPartitions lambdas) or non-deterministic keeps the persist.
+    */
+  private def replayableScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val plan = df.queryExecution.optimizedPlan
+    val shapeOk = plan.collectFirst {
+      case _: lp.Join => (); case _: lp.Aggregate => ()
+      case _: lp.Window => (); case _: lp.Generate => ()
+      case _: lp.Sort => (); case _: lp.Deduplicate => ()
+    }.isEmpty
+    def leafOk(l: lp.LogicalPlan): Boolean = l match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case other =>
+        val n = other.getClass.getSimpleName
+        n == "DataSourceV2ScanRelation" || n == "InMemoryRelation"
+    }
+    shapeOk &&
+      plan.collect { case p => p }
+        .forall(_.expressions.forall(_.deterministic)) &&
+      plan.collectLeaves().forall(leafOk)
+  }
 
   /** True when any key occurs more than once — the keys-only duplicate
     * pre-check shared by every skip gate (column-pruned, map-side
@@ -340,7 +385,7 @@ object Sinks {
         // A batch the CALLER already persisted is left alone either way.
         val ownPersist = lake.isDefined &&
           statsBytes(merged) >= DedupPrecheckMinBytes &&
-          persistIfNotCached(batch)
+          !replayableScan(batch) && persistIfNotCached(batch)
         try {
           val tmp = path + "._tmp_" + java.util.UUID.randomUUID.toString.take(8)
           val w = capped(sorted(keepLastIfNeeded(merged, keys, tiebreak), sortBy)
@@ -356,7 +401,7 @@ object Sinks {
       // persist so an expensive upstream (API fetch + transform)
       // evaluates once. A caller-held cache is reused, never clobbered.
       val b = batch
-      val ownPersist = persistIfNotCached(b)
+      val ownPersist = !replayableScan(b) && persistIfNotCached(b)
       try {
         val newRows = b.withColumn("_precedence", lit(1))
         val pcols = partitionBy.map(col)
@@ -456,13 +501,20 @@ object Sinks {
       fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
     def rewrite(dir: Path): Unit = {
-      // tmp lives OUTSIDE the table root (sibling of it), like the asides
-      val tmp = new Path(root.getParent,
-        root.getName + "._compact_" + java.util.UUID.randomUUID.toString.take(8))
+      // tmp AND the swap aside live OUTSIDE the table root (siblings of
+      // it) under table-prefixed names: a partition dir's aside named
+      // after the PARTITION ("month=09._old_*") would be invisible to
+      // sweepLeftovers' <table>-prefix match, so a crash between the
+      // aside rename and its delete would leak it forever
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(root.getParent, root.getName + "._compact_" + tag)
+      val asideRoot = new Path(root.getParent, root.getName + "._aside_" + tag)
       spark.read.parquet(dir.toString)
         .coalesce(targetFiles)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      swapDirs(fs, dir, tmp, root.getParent)
+      swapDirs(fs, dir, tmp, asideRoot)
+      fs.delete(asideRoot, true) // empty (or absent) after a clean swap
+      ()
     }
 
     if (!partitioned) {
@@ -483,11 +535,20 @@ object Sinks {
     * these are ever scanned as table data — they live OUTSIDE the table
     * root by design — so correctness never needs this; disk does: a
     * crashed bulk load orphans a batch-sized tmp, and at 100 TB scale
-    * leftovers compound per incident. Only entries older than
-    * `minAgeMs` are removed (default 1 h), so a concurrently RUNNING
-    * sink call's live scratch is never swept; with the no-concurrent-
-    * writers contract the sinks already carry, any older leftover is
-    * garbage by definition. Returns the deleted paths.
+    * leftovers compound per incident.
+    *
+    * Staleness is judged by the NEWEST modification time anywhere
+    * inside the entry (one recursive listing of a scratch-sized dir,
+    * not the table): an in-flight long write keeps bumping leaf mtimes
+    * under `_temporary` even though the tmp ROOT's mtime goes stale
+    * minutes after job start, so a root-mtime filter would sweep a
+    * live >`minAgeMs` bulk load mid-job. Only entries whose newest
+    * mtime is older than `minAgeMs` (default 1 h) are removed. Run it
+    * when no writer is active on the table (the sinks' existing
+    * no-concurrent-writers contract); the age filter is a belt, not a
+    * lock — and on object stores whose mtimes are unreliable, the
+    * no-active-writer rule is the ONLY protection. Returns the deleted
+    * paths.
     */
   def sweepLeftovers(
       spark: SparkSession, path: String,
@@ -499,9 +560,15 @@ object Sinks {
     val prefixes = Seq("._tmp_", "._aside_", "._compact_", "._old_")
       .map(root.getName + _)
     val cutoff = System.currentTimeMillis() - minAgeMs
+    def newestMtime(p: Path): Long = {
+      val self = fs.getFileStatus(p)
+      if (!self.isDirectory) self.getModificationTime
+      else (self.getModificationTime +:
+        fs.listStatus(p).toSeq.map(s => newestMtime(s.getPath))).max
+    }
     fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
-      .filter(_.getModificationTime < cutoff)
+      .filter(s => newestMtime(s.getPath) < cutoff)
       .map { s =>
         if (!fs.delete(s.getPath, true))
           throw new java.io.IOException(s"delete failed: ${s.getPath}")
@@ -548,7 +615,8 @@ object Sinks {
         sortBy, maxRecordsPerFile, keepFirst)
       swapDirs(fs, tableRoot, tmp, tableRoot.getParent)
     } else {
-      val ownPersist = willCheck && persistIfNotCached(batch)
+      val ownPersist = willCheck &&
+        !replayableScan(batch) && persistIfNotCached(batch)
       try {
         val hasDups = willCheck && hasDupKeys(batch, keys)
         val dedupedBatch =

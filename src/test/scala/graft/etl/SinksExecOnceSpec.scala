@@ -156,6 +156,44 @@ class SinksExecOnceSpec extends SparkSpec {
     }
   }
 
+  test("a STAGED batch (parquet scan) merges cache-free through every path") {
+    // the recommended corpus-scale pattern: land the batch to parquet,
+    // sink the scan — replayableScan detects it and the merge paths skip
+    // their consistency persist (deterministic files, column-pruned
+    // re-scans beat materializing every column)
+    withForcedCheck {
+      val stage = tmpDir()
+      countingBatch(50, keyMod = 1000).write.parquet(stage)
+      val staged = spark.read.parquet(stage)
+
+      val p = tmpDir()
+      Sinks.upsert(spark, countingBatch(10, keyMod = 1000), p,
+        Seq("violation_id"), tiebreak = Some("seq"))
+      val before = spark.sparkContext.getPersistentRDDs.size
+      Sinks.upsert(spark, staged, p, Seq("violation_id"), tiebreak = Some("seq"))
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "staged merge upsert cached the batch")
+      assert(spark.read.parquet(p).count() == 50)
+
+      val q = tmpDir()
+      Sinks.upsert(spark, countingBatch(10, keyMod = 1000), q,
+        Seq("violation_id"), partitionBy = Seq("month"), tiebreak = Some("seq"))
+      Sinks.upsert(spark, staged, q, Seq("violation_id"),
+        partitionBy = Seq("month"), tiebreak = Some("seq"))
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "staged partitioned upsert cached the batch")
+
+      val r = tmpDir()
+      Sinks.insertIgnore(spark, countingBatch(10, keyMod = 1000), r,
+        Seq("violation_id"), tiebreak = Some("seq"))
+      Sinks.insertIgnore(spark, staged, r, Seq("violation_id"),
+        tiebreak = Some("seq"))
+      assert(spark.sparkContext.getPersistentRDDs.size == before,
+        "staged insert-ignore cached the batch")
+      assert(spark.read.parquet(r).count() == 50)
+    }
+  }
+
   test("small batches keep the one-action path (no extra evaluation)") {
     // default threshold: no pre-check, the window rides the single write
     SinksExecOnceSpec.evals.set(0)

@@ -174,31 +174,54 @@ object IncrementalDedupQueries {
     * (signature-position agreement, exact Jaccard over the distinct
     * shingle sets) is the same.
     */
+  /** Generous in-memory bound on one doc's post-explode broadcast
+    * payload (Bands copies of the 16-long signature + the distinct
+    * shingle strings). A batch whose id count × this clears the ceiling
+    * is accepted with NO index job at all — the common daily case.
+    */
+  private val PreGuardBytesPerDoc: Long = 16 * 1024
+
+  /** Parquet bytes undercount the in-memory arrays the broadcast
+    * actually carries (dictionary/RLE on shingle strings) — the
+    * pre-guard's per-row estimate scales by this before comparing, so
+    * a batch passing the cheap gate cannot be off by a compression
+    * factor from the byte-accurate in-memory guard downstream.
+    */
+  private val ParquetToMemoryMargin: Long = 8
+
   def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
     // cheap refusal BEFORE materializing anything: a corpus-sized id
     // list would otherwise get its full signature rows CACHED below
     // (the storage blowout arriving via the cache instead of the
-    // broadcast) before the byte-accurate guard could throw. Estimate =
-    // id count × the index's average per-row payload (plan stats /
-    // row count — metadata-cheap on the parquet lake this form reads)
-    // × the band fan-out.
+    // broadcast) before the byte-accurate guard could throw. Small
+    // batches accept on the generous per-doc bound alone (one id-only
+    // count, no index job); larger ones estimate from the index's
+    // average parquet row size × the compression margin × the band
+    // fan-out.
     val nBatch = batchIds.select(col("doc_id")).count()
-    val nIndex = index.count()
-    if (nIndex > 0) {
-      val perRow = BigInt(
-        index.queryExecution.optimizedPlan.stats.sizeInBytes.toString) / nIndex
-      val estPre = perRow * nBatch * Bands
-      if (estPre > maxBatchBroadcastBytes) refuseBroadcast(estPre)
+    if (BigInt(nBatch) * PreGuardBytesPerDoc > maxBatchBroadcastBytes) {
+      val nIndex = index.count()
+      if (nIndex > 0) {
+        val perRow = BigInt(
+          index.queryExecution.optimizedPlan.stats.sizeInBytes.toString) / nIndex
+        val estPre = perRow * ParquetToMemoryMargin * nBatch * Bands
+        if (estPre > maxBatchBroadcastBytes) refuseBroadcast(estPre)
+      }
     }
     // materialize the batch's signature rows (the index must be scanned
     // to fetch them anyway): basic stats put a semi-join at its LEFT
     // side's size — O(index) — which would spuriously trip the broadcast
     // guard for every daily batch against a big index; the cached frame
-    // reports its REAL O(batch) bytes
+    // reports its REAL O(batch) bytes. If the byte-accurate guard still
+    // refuses, drop the cache on the way out — a refusal must not leave
+    // batch-scale storage resident until the next drain.
     val batchSigs = graft.CacheScope.persist(
       index.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     batchSigs.count()
-    pairsFromBatchBands(index, bandPayload(batchSigs))
+    try pairsFromBatchBands(index, bandPayload(batchSigs))
+    catch {
+      case e: IllegalStateException => batchSigs.unpersist(); throw e
+    }
   }
 
   /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band

@@ -173,9 +173,11 @@ object Sentinel {
         "langid_nb", "lm_quality", "pipeline_composed", "incremental_daily")),
     // another decade up (50M docs): every op here is collapse-carrying
     // or scan-shaped, so output stays bounded while the corpus grows —
-    // the tier exists to keep proving exactly that. ~30-40 min including
-    // incremental_daily's untimed 50M-row index build; run before a
-    // major release, never per-commit. This tier only became runnable
+    // the tier exists to keep proving exactly that. ~30-40 min + 74 GB
+    // including incremental_daily's untimed 50M-row index build.
+    // Cadence contract (VERDICT r14 item 4): gate-mode run before a
+    // major release AND after any change to a sink write path or a
+    // gated op's plan shape — never per-commit. This tier only became runnable
     // at all after the round-13 sink fix (the index bulk load's
     // unconditional dedup window blew 70 GB of local disk).
     "10000x" -> Tier("10000x", "/tmp/docs10000x", 10000, Set("documents"),

@@ -110,12 +110,19 @@ object Sinks {
     * aside (under `asideParent` — NEVER inside a directory Spark scans as
     * a table, or the leftover reads as a duplicate partition after a
     * crash), rename replacement in, delete the aside copy. At no point is
-    * the data absent without a recoverable copy.
+    * the data absent without a recoverable copy — and [[sweepLeftovers]]
+    * preserves that copy after a crash: it refuses to delete an aside
+    * whose target dir is missing. `asideBase` names the aside for that
+    * check (defaults to the target's last path component; nested
+    * partition swaps pass the FULL relative path with `/` escaped as
+    * `%2F`, so the sweeper can locate the exact target dir).
     */
   private def swapDirs(
-      fs: FileSystem, target: Path, replacement: Path, asideParent: Path): Unit = {
+      fs: FileSystem, target: Path, replacement: Path, asideParent: Path,
+      asideBase: Option[String] = None): Unit = {
     val aside = new Path(asideParent,
-      target.getName + "._old_" + java.util.UUID.randomUUID.toString.take(8))
+      asideBase.getOrElse(target.getName) +
+        "._old_" + java.util.UUID.randomUUID.toString.take(8))
     val hadOld = fs.exists(target)
     if (hadOld) {
       fs.mkdirs(asideParent)
@@ -174,7 +181,7 @@ object Sinks {
     * cache-free. Anything non-file (HTTP source RDDs, local batches,
     * mapPartitions lambdas) or non-deterministic keeps the persist.
     */
-  private def replayableScan(df: DataFrame): Boolean = {
+  private[etl] def replayableScan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
     val plan = df.queryExecution.optimizedPlan
     val shapeOk = plan.collectFirst {
@@ -182,11 +189,20 @@ object Sinks {
       case _: lp.Window => (); case _: lp.Generate => ()
       case _: lp.Sort => (); case _: lp.Deduplicate => ()
     }.isEmpty
+    // typed matches, not getSimpleName strings: a Spark upgrade renaming
+    // either class is a compile error here, never a silent fall-through
+    // to the conservative (persist-everything) branch
     def leafOk(l: lp.LogicalPlan): Boolean = l match {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case other =>
-        val n = other.getClass.getSimpleName
-        n == "DataSourceV2ScanRelation" || n == "InMemoryRelation"
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        true
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        // a MEMORY_ONLY cache can evict blocks and recompute them from
+        // the ORIGINAL source between the dup pre-check and the write —
+        // reintroducing the two-execution inconsistency this predicate
+        // exists to rule out. Only a disk-backed cache replays stably.
+        r.cacheBuilder.storageLevel.useDisk
+      case _ => false
     }
     shapeOk &&
       plan.collect { case p => p }
@@ -459,7 +475,12 @@ object Sinks {
             }
         val producedRels = leafRels(new Path(tmp), partitionBy, "")
         producedRels.foreach { rel =>
-          swapDirs(fs, new Path(path, rel), new Path(tmp, rel), asideRoot)
+          // aside carries the FULL rel ("year=2020%2Fmonth=09._old_*"),
+          // not just the leaf name: after a crash mid-swap sweepLeftovers
+          // must find the exact target dir to decide whether the aside is
+          // the only surviving copy
+          swapDirs(fs, new Path(path, rel), new Path(tmp, rel), asideRoot,
+            Some(rel.replace("/", "%2F")))
         }
         // globalKeys: an affected partition whose rows ALL moved elsewhere
         // produces no output dir — its stale directory is deleted outright
@@ -549,10 +570,26 @@ object Sinks {
     * lock — and on object stores whose mtimes are unreliable, the
     * no-active-writer rule is the ONLY protection. Returns the deleted
     * paths.
+    *
+    * Crash-recovery guard: a crash BETWEEN swapDirs' rename-aside and
+    * rename-in leaves the target (table or partition dir) ABSENT, with
+    * the data living only in the aside and its replacement only in a
+    * tmp — the one state where these entries are recovery copies, not
+    * garbage. Sweeping them would destroy every copy of that data, so
+    * an entry holding data is deleted only when the directory it
+    * duplicates still exists with data: `._old_*`/`._tmp_*`/
+    * `._compact_*` require the table root alive; each `<rel>._old_*`
+    * child of an `._aside_*` requires its partition dir `<rel>` alive
+    * (`%2F` in the name decodes to `/` for nested partitions). Entries
+    * failing the check are skipped with a warning — recover by renaming
+    * the aside (old version) or the tmp (merged version) back in, after
+    * which the next sweep clears the rest. `force = true` bypasses the
+    * guard for deliberate abandon-the-data cleanup.
     */
   def sweepLeftovers(
       spark: SparkSession, path: String,
-      minAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+      minAgeMs: Long = 60L * 60 * 1000,
+      force: Boolean = false): Seq[String] = {
     val fs = fsFor(spark, path)
     val root = new Path(path)
     val parent = root.getParent
@@ -566,13 +603,63 @@ object Sinks {
       else (self.getModificationTime +:
         fs.listStatus(p).toSeq.map(s => newestMtime(s.getPath))).max
     }
+    // any real payload anywhere inside (metadata like _SUCCESS/_temporary
+    // markers is not worth protecting)
+    def hasData(p: Path): Boolean = {
+      val self = fs.getFileStatus(p)
+      if (!self.isDirectory)
+        !p.getName.startsWith("_") && !p.getName.startsWith(".")
+      else fs.listStatus(p).exists(s =>
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
+          (s.isFile || hasData(s.getPath)))
+    }
+    lazy val rootAlive = LakeFs.nonEmptyDataDir(spark, path)
+    // the dir this aside duplicates, from its name: "<base>._old_*" where
+    // base is the table name (whole-table swap) or the Hive-style rel of
+    // a partition leaf ("month=09", nested "year=2020%2Fmonth=09")
+    def targetAlive(asideName: String): Boolean = {
+      val base = asideName.substring(0, asideName.indexOf("._old_"))
+      if (base == root.getName) rootAlive
+      else {
+        val rel = base.replace("%2F", "/")
+        val target = new Path(root, rel)
+        fs.exists(target) && hasData(target)
+      }
+    }
+    def safeToSweep(entry: Path): Boolean = {
+      val n = entry.getName
+      if (!hasData(entry)) true
+      else if (n.startsWith(root.getName + "._aside_"))
+        fs.listStatus(entry).forall { c =>
+          !hasData(c.getPath) ||
+            (c.getPath.getName.contains("._old_") && targetAlive(c.getPath.getName))
+        }
+      else if (n.startsWith(root.getName + "._old_")) targetAlive(n)
+      else rootAlive // ._tmp_/._compact_: a replacement copy — only
+                     // redundant while the original still exists
+    }
+    // a concurrent sink/compact legitimately creates AND removes its own
+    // scratch while a sweep runs (different tools, same table — allowed;
+    // only concurrent WRITERS are excluded): an entry vanishing between
+    // the listing and its stat/delete is simply no longer ours to sweep
     fs.listStatus(parent).toSeq
       .filter(s => prefixes.exists(s.getPath.getName.startsWith))
-      .filter(s => newestMtime(s.getPath) < cutoff)
-      .map { s =>
-        if (!fs.delete(s.getPath, true))
-          throw new java.io.IOException(s"delete failed: ${s.getPath}")
-        s.getPath.toString
+      .flatMap { s =>
+        try {
+          if (newestMtime(s.getPath) >= cutoff) None
+          else if (!force && !safeToSweep(s.getPath)) {
+            System.err.println(
+              s"[sweepLeftovers] skipping ${s.getPath}: it may hold the only " +
+                "surviving copy of table data (its target dir is missing or " +
+                "empty — a crashed swap). Recover by renaming it back in, or " +
+                "pass force = true to abandon it.")
+            None
+          } else {
+            if (!fs.delete(s.getPath, true) && fs.exists(s.getPath))
+              throw new java.io.IOException(s"delete failed: ${s.getPath}")
+            Some(s.getPath.toString)
+          }
+        } catch { case _: java.io.FileNotFoundException => None }
       }
   }
 

@@ -190,38 +190,49 @@ object IncrementalDedupQueries {
   private val ParquetToMemoryMargin: Long = 8
 
   def pairsAgainstIndex(index: DataFrame, batchIds: DataFrame): DataFrame = {
-    // cheap refusal BEFORE materializing anything: a corpus-sized id
-    // list would otherwise get its full signature rows CACHED below
-    // (the storage blowout arriving via the cache instead of the
-    // broadcast) before the byte-accurate guard could throw. Small
-    // batches accept on the generous per-doc bound alone (one id-only
-    // count, no index job); larger ones estimate from the index's
-    // average parquet row size × the compression margin × the band
-    // fan-out.
-    val nBatch = batchIds.select(col("doc_id")).count()
-    if (BigInt(nBatch) * PreGuardBytesPerDoc > maxBatchBroadcastBytes) {
-      val nIndex = index.count()
-      if (nIndex > 0) {
-        val perRow = BigInt(
-          index.queryExecution.optimizedPlan.stats.sizeInBytes.toString) / nIndex
-        val estPre = perRow * ParquetToMemoryMargin * nBatch * Bands
-        if (estPre > maxBatchBroadcastBytes) refuseBroadcast(estPre)
+    // the id projection persists FIRST and feeds both the pre-guard
+    // count and the semi-join below, so batchIds evaluates exactly once:
+    // a non-deterministic id source cannot show the guard different ids
+    // than the join consumes, and no extra job runs per call. The cache
+    // is ids-only — O(batch) narrow rows, orders of magnitude under the
+    // signature rows the guard protects against caching.
+    // plain persist (not CacheScope): the cache is released in the
+    // finally below, before the caller ever sees the returned plan, so
+    // registering it for a later drain would only leave a stale entry
+    val ids = batchIds.select(col("doc_id")).persist()
+    // cheap refusal BEFORE materializing the signature rows: a
+    // corpus-sized id list would otherwise get its full signature rows
+    // CACHED below (the storage blowout arriving via the cache instead
+    // of the broadcast) before the byte-accurate guard could throw.
+    // Small batches accept on the generous per-doc bound alone (one
+    // id-only count, no index job); larger ones estimate from the
+    // index's average parquet row size × the compression margin × the
+    // band fan-out. A refusal unpersists on the way out — it must not
+    // leave batch-scale storage resident until the next drain.
+    try {
+      val nBatch = ids.count()
+      if (BigInt(nBatch) * PreGuardBytesPerDoc > maxBatchBroadcastBytes) {
+        val nIndex = index.count()
+        if (nIndex > 0) {
+          val perRow = BigInt(
+            index.queryExecution.optimizedPlan.stats.sizeInBytes.toString) / nIndex
+          val estPre = perRow * ParquetToMemoryMargin * nBatch * Bands
+          if (estPre > maxBatchBroadcastBytes) refuseBroadcast(estPre)
+        }
       }
-    }
-    // materialize the batch's signature rows (the index must be scanned
-    // to fetch them anyway): basic stats put a semi-join at its LEFT
-    // side's size — O(index) — which would spuriously trip the broadcast
-    // guard for every daily batch against a big index; the cached frame
-    // reports its REAL O(batch) bytes. If the byte-accurate guard still
-    // refuses, drop the cache on the way out — a refusal must not leave
-    // batch-scale storage resident until the next drain.
-    val batchSigs = graft.CacheScope.persist(
-      index.join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    batchSigs.count()
-    try pairsFromBatchBands(index, bandPayload(batchSigs))
-    catch {
-      case e: IllegalStateException => batchSigs.unpersist(); throw e
-    }
+      // materialize the batch's signature rows (the index must be scanned
+      // to fetch them anyway): basic stats put a semi-join at its LEFT
+      // side's size — O(index) — which would spuriously trip the broadcast
+      // guard for every daily batch against a big index; the cached frame
+      // reports its REAL O(batch) bytes.
+      val batchSigs = graft.CacheScope.persist(
+        index.join(ids, Seq("doc_id"), "left_semi"))
+      batchSigs.count()
+      try pairsFromBatchBands(index, bandPayload(batchSigs))
+      catch {
+        case e: IllegalStateException => batchSigs.unpersist(); throw e
+      }
+    } finally ids.unpersist()
   }
 
   /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band

@@ -48,7 +48,7 @@ class IncrementalDedupGuardSpec extends SparkSpec {
     pairs.count() // executes the broadcast for real
   }
 
-  test("id-based entry refuses a corpus-sized id list BEFORE caching anything") {
+  test("id-based entry refuses a corpus-sized id list with nothing left cached") {
     val docs = documents(spark, sf)
     val lake = java.nio.file.Files.createTempDirectory("inc-preguard")
       .resolve("sig").toString
@@ -64,9 +64,12 @@ class IncrementalDedupGuardSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("SketchDedupQueries"))
       // the refusal must come from the metadata pre-guard, before the
-      // batch signature rows were persisted — nothing new in the cache
+      // batch SIGNATURE rows were persisted, and the ids-only probe
+      // cache (which feeds both the guard count and the semi-join, so
+      // batchIds evaluates once) must be released on the refusal path —
+      // nothing left in the cache
       assert(spark.sparkContext.getPersistentRDDs.size == before,
-        "corpus-sized batch was cached before the guard threw")
+        "refusal left batch-scale storage cached")
     } finally {
       sys.props.remove(prop)
       graft.etl.LakeFs.deleteRecursively(spark,

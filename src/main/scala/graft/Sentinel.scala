@@ -193,6 +193,7 @@ object Sentinel {
   def main(args: Array[String]): Unit = {
     var record = false
     var tierName = "100x"
+    var onlyOps: Option[Set[String]] = None
     val pos = scala.collection.mutable.Buffer[String]()
     var i = 0
     while (i < args.length) {
@@ -202,12 +203,21 @@ object Sentinel {
           require(i + 1 < args.length, "--tier requires a value " +
             s"(have tiers: ${Tiers.keys.mkString(", ")})")
           tierName = args(i + 1); i += 1
+        // targeted breach re-runs (the gate's own "re-run once" policy):
+        // gate only the named ops against their recorded ceilings instead
+        // of paying the full tier again. Gate mode only — a RECORDED
+        // receipt set must always come from one whole-tier run.
+        case "--ops" =>
+          require(i + 1 < args.length, "--ops requires a comma-separated list")
+          onlyOps = Some(args(i + 1).split(",").map(_.trim).toSet); i += 1
         case a if a.startsWith("--") =>
-          sys.error(s"unknown flag '$a' (known: --record, --tier <name>)")
+          sys.error(s"unknown flag '$a' (known: --record, --tier <name>, --ops <a,b>)")
         case a => pos += a
       }
       i += 1
     }
+    require(!(record && onlyOps.nonEmpty),
+      "--ops is gate-only: recorded receipts must come from a whole-tier run")
     val tier = Tiers.getOrElse(tierName,
       sys.error(s"unknown tier '$tierName' (have: ${Tiers.keys.mkString(", ")})"))
     val corpus = pos.headOption.getOrElse(tier.defaultCorpus)
@@ -249,7 +259,8 @@ object Sentinel {
     Tables.documents(spark, corpus).count()
 
     var breaches = List.empty[(String, Double, Double)]
-    val tierOps = ops.filter { case (n, _) => tier.opNames.contains(n) }
+    val tierOps = ops.filter { case (n, _) =>
+      tier.opNames.contains(n) && onlyOps.forall(_(n)) }
     val results = tierOps
       .filter { case (n, _) => record || ceilings.contains(n) }
       .map { case (name, op) =>

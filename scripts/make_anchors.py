@@ -34,6 +34,11 @@ def main(bench_path: str, out_path: str) -> int:
         # metrics are not comparable per-query
         "action": b.get("action", "count"),
         "total_min": round(b.get("total_min", -1), 1),
+        # host-health stamp of the sweep the anchors came from (present
+        # since round 15): a future reader comparing against these
+        # anchors can check the BASELINE they derive from was taken on
+        # a healthy box (pre ctx_switch_us <= ~6, steal ~0)
+        "box": b.get("box"),
         "anchors": anchors,
     }
     with open(out_path, "w") as f:

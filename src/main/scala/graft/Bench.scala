@@ -23,6 +23,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt.max(1)
+    // host health before the JVM warms anything: lets a reader of the
+    // emitted artifact tell box degradation from code regression without
+    // any external context (thresholds in HostProbe/BASELINE.md)
+    val boxPre = HostProbe.measure()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -166,10 +170,22 @@ object Bench {
         val lg = largeOf(rs)
         s""""anchors_file":"$anchorsPath","anchored_count":${rs.size},"ratios":$ratios,"ratio_sum":${ratioSumOf(rs)},"ratio_sum_large":${ratioSumOf(lg)},"n_large":${lg.size}"""
     }
+    // host health again after the passes: a burst that arrived mid-sweep
+    // shows as pre-healthy/post-degraded (or vice versa). Measured after
+    // spark.stop() plus a short settle so the session's draining thread
+    // pools don't pollute the wakeup-latency reading (they inflate it
+    // ~7x; even settled, an in-JVM post reads somewhat above a cold
+    // probe — compare post against pre directionally, pre against the
+    // BASELINE.md thresholds absolutely).
+    spark.stop()
+    Thread.sleep(1000)
+    val boxPost = HostProbe.measure()
+    val boxBlock =
+      s""""box":{"pre":${boxPre.json},"post":${boxPost.json}}"""
     // The driver stores only the TAIL of bench output, so the gate-relevant
     // numbers (errors, totals, anchor ratios, ratio_sum) go LAST — the big
     // per-query maps are what truncation may cut, never the gate block.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"action":"fold","sf":"$sfDir","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"total_min":$totalMin,$anchorBlock}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"action":"fold","sf":"$sfDir","queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"errors":$errs,"total_min":$totalMin,$boxBlock,$anchorBlock}""")
     // Compact SUMMARY as the FINAL line: BENCH_r09/r10 proved the big line
     // gets head-truncated to `parsed: null` in the driver's artifact, so
     // the gate numbers also ship in one short self-contained JSON object
@@ -181,11 +197,10 @@ object Bench {
           .map { case (n, r) => "\"" + n + "\":" + f"$r%.3f" }
           .mkString("{", ",", "}")
         val lg = largeOf(rs)
-        s"""{"bench_summary":1,"ratio_sum":${ratioSumOf(rs)},"ratio_sum_large":${ratioSumOf(lg)},"n_large":${lg.size},"max_ratio":${f"${withRatio.map(_._2).max}%.3f"},"n_over_2x":${withRatio.count(_._2 > 2.0)},"worst":$worst,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
+        s"""{"bench_summary":1,"ratio_sum":${ratioSumOf(rs)},"ratio_sum_large":${ratioSumOf(lg)},"n_large":${lg.size},"max_ratio":${f"${withRatio.map(_._2).max}%.3f"},"n_over_2x":${withRatio.count(_._2 > 2.0)},"worst":$worst,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,$boxBlock,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
       case _ =>
-        s"""{"bench_summary":1,"ratio_sum":null,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
+        s"""{"bench_summary":1,"ratio_sum":null,"n_queries":${results.size},"n_failed":${failed.size},"total_min":$totalMin,$boxBlock,"samples":$samples,"action":"fold","sf":"$sfDir"}"""
     }
     println(summary)
-    spark.stop()
   }
 }

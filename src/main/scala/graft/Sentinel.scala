@@ -258,6 +258,11 @@ object Sentinel {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.documents(spark, corpus).count()
 
+    // host health bracketing the gated ops: a breach line that carries
+    // ctx_switch_us 30+ is a box reading, not an op regression — the
+    // artifact says so itself (thresholds in HostProbe/BASELINE.md)
+    val boxPre = HostProbe.measure()
+
     var breaches = List.empty[(String, Double, Double)]
     val tierOps = ops.filter { case (n, _) =>
       tier.opNames.contains(n) && onlyOps.forall(_(n)) }
@@ -277,6 +282,14 @@ object Sentinel {
         println(f"[sentinel] $name%-20s $secs%8.2f s   rows=$rows%-10d $status")
         (name, secs, rows)
       }
+
+    // post reading after spark.stop() plus a short settle so the
+    // session's draining thread pools don't pollute the wakeup-latency
+    // number (~7x inflation unsettled; see Bench for the read rule)
+    spark.stop()
+    Thread.sleep(1000)
+    val boxPost = HostProbe.measure()
+    println(s"[sentinel] box pre=${boxPre.json} post=${boxPost.json}")
 
     if (record) {
       // merge fresh receipts for THIS TIER into the existing file and
@@ -315,9 +328,8 @@ object Sentinel {
       val summary = breaches.map { case (n, s, c) =>
         f""""$n": {"sec": $s%.1f, "ceiling_sec": $c%.1f}""" }
         .mkString("{", ",", "}")
-      println(s"""{"sentinel":1,"tier":"${tier.name}","corpus":"$corpus","n_ops":${results.size},"n_breach":${breaches.size},"breaches":$summary}""")
+      println(s"""{"sentinel":1,"tier":"${tier.name}","corpus":"$corpus","n_ops":${results.size},"n_breach":${breaches.size},"breaches":$summary,"box":{"pre":${boxPre.json},"post":${boxPost.json}}}""")
     }
-    spark.stop()
     if (breaches.nonEmpty) sys.exit(1)
   }
 }

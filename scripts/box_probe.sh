@@ -30,7 +30,10 @@
 # 2x-of-quiet-receipt ceilings instead, and re-run the sweep when this
 # probe reads healthy. See BASELINE.md "headline-instrument policy".
 set -euo pipefail
-read -r _ u1 _ s1 i1 w1 _ _ st1 _ < <(grep -m1 '^cpu ' /proc/stat)
+# all 8 tick fields (user nice system idle iowait irq softirq steal) so
+# the denominator matches HostProbe.scala's — dropping irq/softirq would
+# overstate steal exactly on interrupt-heavy degraded boxes
+read -r _ u1 n1 s1 i1 w1 q1 sq1 st1 _ < <(grep -m1 '^cpu ' /proc/stat)
 CTX=$(python3 - <<'EOF'
 import os, time
 r1, w1 = os.pipe(); r2, w2 = os.pipe()
@@ -55,11 +58,17 @@ for _ in range(1000):
 print(round(1000 / (time.time() - t)))
 EOF
 )
+# dd prints SI units (GB=1000MB, kB=1/1000MB) — handle every suffix so a
+# severe stall printing "850 kB/s" can't read as a healthy 850 MB/s
 DISK=$(dd if=/dev/zero of=/tmp/.box_probe_dd bs=1M count=1024 conv=fdatasync 2>&1 |
-  awk '/copied/ { mbs = $(NF-1); if ($NF ~ /^GB/) mbs *= 1024; print int(mbs) }')
+  awk '/copied/ { v = $(NF-1)
+    if ($NF ~ /^GB/) v *= 1000
+    else if ($NF ~ /^kB/) v /= 1000
+    else if ($NF ~ /^B\//) v /= 1000000
+    print int(v) }')
 rm -f /tmp/.box_probe_dd
-read -r _ u2 _ s2 i2 w2 _ _ st2 _ < <(grep -m1 '^cpu ' /proc/stat)
+read -r _ u2 n2 s2 i2 w2 q2 sq2 st2 _ < <(grep -m1 '^cpu ' /proc/stat)
 STEAL=$(python3 -c "
-d = [$u2-$u1, $s2-$s1, $i2-$i1, $w2-$w1, $st2-$st1]
-print(round(100.0 * d[4] / max(1, sum(d)), 2))")
+d = [$u2-$u1, $n2-$n1, $s2-$s1, $i2-$i1, $w2-$w1, $q2-$q1, $sq2-$sq1, $st2-$st1]
+print(round(100.0 * d[7] / max(1, sum(d)), 2))")
 echo "{\"box_probe\":1,\"ctx_switch_us\":$CTX,\"steal_pct\":$STEAL,\"disk_mb_s\":$DISK,\"sha_mb_s\":$SHA,\"load1\":\"$(awk '{print $1}' /proc/loadavg)\"}"

@@ -225,6 +225,24 @@ object Sentinel {
     val sentinelsPath = sys.env.getOrElse("SPARK_GRAFT_SENTINELS", "sentinels.json")
     val mapper = new ObjectMapper()
 
+    // host health BEFORE the Spark JVM warms anything, like Bench's pre:
+    // a breach line that carries pre ctx_switch_us over the BASELINE.md
+    // threshold is a box reading, not an op regression — the artifact
+    // says so itself. (Measured pre-session so the cold-probe absolute
+    // thresholds apply; an in-session probe reads high from the
+    // session's own thread pools.)
+    val boxPre = HostProbe.measure()
+
+    // --ops names must resolve to gated ops of THIS tier: a typo (or an
+    // op with no recorded ceiling) would otherwise filter the run to
+    // zero ops and exit 0 — a clean gate for an op that never ran
+    onlyOps.foreach { sel =>
+      val unknown = sel.filterNot(tier.opNames.contains)
+      require(unknown.isEmpty,
+        s"--ops names not in tier ${tier.name}: ${unknown.mkString(", ")} " +
+          s"(tier ops: ${tier.opNames.mkString(", ")})")
+    }
+
     val spark = Tables.localSession(cores = 32, probeSplits = true)
     if (!new java.io.File(s"$corpus/documents.parquet").exists()) {
       println(s"[sentinel] corpus $corpus missing — regenerating ${tier.copies}x from $baseDir")
@@ -258,14 +276,18 @@ object Sentinel {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.documents(spark, corpus).count()
 
-    // host health bracketing the gated ops: a breach line that carries
-    // ctx_switch_us 30+ is a box reading, not an op regression — the
-    // artifact says so itself (thresholds in HostProbe/BASELINE.md)
-    val boxPre = HostProbe.measure()
-
     var breaches = List.empty[(String, Double, Double)]
     val tierOps = ops.filter { case (n, _) =>
       tier.opNames.contains(n) && onlyOps.forall(_(n)) }
+    // in gate mode every selected op must actually gate: an --ops name
+    // whose ceiling is missing from sentinels.json would silently drop
+    // out of `results` below and read as a pass
+    onlyOps.foreach { sel =>
+      val ungated = sel.filterNot(n => record || ceilings.contains(n))
+      require(ungated.isEmpty,
+        s"--ops names have no recorded ceiling for tier ${tier.name}: " +
+          s"${ungated.mkString(", ")} (record the tier first)")
+    }
     val results = tierOps
       .filter { case (n, _) => record || ceilings.contains(n) }
       .map { case (name, op) =>

@@ -100,6 +100,22 @@ object Sinks {
       Some(readRaw(spark, path, mergeSchema = true))
     else None
 
+  /** Encode a partition rel path ("year=2020/month=09") into one path
+    * component for an aside name. `%` is escaped BEFORE `/` becomes
+    * `%2F`: Hive's own path escaping writes a literal `/` inside a
+    * partition VALUE as `%2F` too (e.g. value "2024/09" → dir
+    * "month=2024%2F09"), so without the `%`→`%25` step the separator
+    * would be indistinguishable from value bytes and [[sweepLeftovers]]
+    * would decode a value-escape as a path split, look up a nonexistent
+    * target, and refuse a legitimately sweepable aside forever.
+    */
+  private def encodeRel(rel: String): String =
+    rel.replace("%", "%25").replace("/", "%2F")
+
+  /** Inverse of [[encodeRel]] (separators first, then the `%` escape). */
+  private def decodeRel(encoded: String): String =
+    encoded.replace("%2F", "/").replace("%25", "%")
+
   private def renameOrThrow(fs: FileSystem, from: Path, to: Path): Unit =
     // Hadoop reports most rename failures by returning false; proceeding
     // after a false would nest the replacement inside the stale target
@@ -114,8 +130,8 @@ object Sinks {
     * preserves that copy after a crash: it refuses to delete an aside
     * whose target dir is missing. `asideBase` names the aside for that
     * check (defaults to the target's last path component; nested
-    * partition swaps pass the FULL relative path with `/` escaped as
-    * `%2F`, so the sweeper can locate the exact target dir).
+    * partition swaps pass the FULL relative path through [[encodeRel]],
+    * so the sweeper can locate the exact target dir).
     */
   private def swapDirs(
       fs: FileSystem, target: Path, replacement: Path, asideParent: Path,
@@ -480,7 +496,7 @@ object Sinks {
           // must find the exact target dir to decide whether the aside is
           // the only surviving copy
           swapDirs(fs, new Path(path, rel), new Path(tmp, rel), asideRoot,
-            Some(rel.replace("/", "%2F")))
+            Some(encodeRel(rel)))
         }
         // globalKeys: an affected partition whose rows ALL moved elsewhere
         // produces no output dir — its stale directory is deleted outright
@@ -615,14 +631,18 @@ object Sinks {
     }
     lazy val rootAlive = LakeFs.nonEmptyDataDir(spark, path)
     // the dir this aside duplicates, from its name: "<base>._old_*" where
-    // base is the table name (whole-table swap) or the Hive-style rel of
-    // a partition leaf ("month=09", nested "year=2020%2Fmonth=09")
+    // base is the table name (whole-table swap) or the encoded rel of a
+    // partition leaf ("month=09", nested "year=2020%2Fmonth=09").
+    // lastIndexOf, not indexOf: Hive escaping leaves '.' and '_' raw, so
+    // a partition VALUE may itself contain the literal "._old_" — only
+    // the FINAL occurrence (ours, followed by the uuid) splits correctly;
+    // splitting at an earlier one would test the wrong target and could
+    // approve deleting the only surviving copy.
     def targetAlive(asideName: String): Boolean = {
-      val base = asideName.substring(0, asideName.indexOf("._old_"))
+      val base = asideName.substring(0, asideName.lastIndexOf("._old_"))
       if (base == root.getName) rootAlive
       else {
-        val rel = base.replace("%2F", "/")
-        val target = new Path(root, rel)
+        val target = new Path(root, decodeRel(base))
         fs.exists(target) && hasData(target)
       }
     }

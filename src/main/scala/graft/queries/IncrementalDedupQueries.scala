@@ -196,10 +196,12 @@ object IncrementalDedupQueries {
     // than the join consumes, and no extra job runs per call. The cache
     // is ids-only — O(batch) narrow rows, orders of magnitude under the
     // signature rows the guard protects against caching.
-    // plain persist (not CacheScope): the cache is released in the
-    // finally below, before the caller ever sees the returned plan, so
-    // registering it for a later drain would only leave a stale entry
-    val ids = batchIds.select(col("doc_id")).persist()
+    // CacheScope, not a persist released before return: batchSigs below
+    // is cached from ids' lineage, and if its blocks were ever dropped
+    // (storage pressure, an early drain) a recompute would re-evaluate
+    // batchIds — so ids must stay cached for as long as the returned
+    // plan can execute, i.e. until the caller's own drain.
+    val ids = graft.CacheScope.persist(batchIds.select(col("doc_id")))
     // cheap refusal BEFORE materializing the signature rows: a
     // corpus-sized id list would otherwise get its full signature rows
     // CACHED below (the storage blowout arriving via the cache instead
@@ -207,8 +209,8 @@ object IncrementalDedupQueries {
     // Small batches accept on the generous per-doc bound alone (one
     // id-only count, no index job); larger ones estimate from the
     // index's average parquet row size × the compression margin × the
-    // band fan-out. A refusal unpersists on the way out — it must not
-    // leave batch-scale storage resident until the next drain.
+    // band fan-out. A refusal unpersists everything on the way out — it
+    // must not leave batch-scale storage resident until the next drain.
     try {
       val nBatch = ids.count()
       if (BigInt(nBatch) * PreGuardBytesPerDoc > maxBatchBroadcastBytes) {
@@ -232,7 +234,9 @@ object IncrementalDedupQueries {
       catch {
         case e: IllegalStateException => batchSigs.unpersist(); throw e
       }
-    } finally ids.unpersist()
+    } catch {
+      case e: Throwable => ids.unpersist(); throw e
+    }
   }
 
   /** Steady-state daily form of [[pairsAgainstIndex]]: the batch's band

@@ -120,4 +120,40 @@ class SinksRecoverySpec extends SparkSpec {
     assert(Sinks.sweepLeftovers(spark, path, force = true).size == 1)
     assert(!asideRoot.exists())
   }
+
+  test("partition values spelling %2F or ._old_ cannot confuse the aside guard") {
+    // Hive's own path escaping writes a literal '/' inside a partition
+    // VALUE as %2F (value "2024/09" -> dir "month=2024%2F09"), and '.'
+    // and '_' are not escaped at all — so the aside naming escapes '%'
+    // first (rel -> "month=2024%252F09") and the target split takes the
+    // LAST "._old_", or the guard would test the wrong directory.
+    val path = tmpDir()
+    val table = new java.io.File(path)
+    putData(new java.io.File(table, "month=2024%2F09"))
+    val parent = table.getParentFile
+    val asideRoot = new java.io.File(parent, table.getName + "._aside_crash04")
+    putData(new java.io.File(asideRoot, "month=2024%252F09._old_crash04"))
+    ageTree(parent)
+    // target alive -> redundant aside sweeps (decode resolves the VALUE
+    // escape back to the real dir name, not to a bogus nested path)
+    assert(Sinks.sweepLeftovers(spark, path).size == 1)
+
+    // a value containing the literal "._old_": only the FINAL "._old_"
+    // (ours, before the uuid) splits the name. A decoy partition matching
+    // the WRONG split must not make the guard approve the sweep.
+    putData(new java.io.File(table, "month=x")) // decoy: first-split target
+    putData(new java.io.File(asideRoot, "month=x._old_y._old_crash04"))
+    ageTree(parent)
+    // real target "month=x._old_y" is absent -> aside may be the only
+    // copy -> skipped (the pre-fix indexOf split read the alive decoy
+    // "month=x" and swept it)
+    assert(Sinks.sweepLeftovers(spark, path).isEmpty)
+    assert(asideRoot.exists())
+
+    // restore the real target: now the aside is redundant and sweeps
+    putData(new java.io.File(table, "month=x._old_y"))
+    ageTree(parent)
+    assert(Sinks.sweepLeftovers(spark, path).size == 1)
+    assert(!asideRoot.exists())
+  }
 }

@@ -31,6 +31,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (optimization r15): see Tables.localSession —
+      // keeps small-byte compute-dense post-shuffle stages (verify joins,
+      // pair expansion) at full parallelism; scale-neutral because the
+      // floor only binds when an exchange carries less than
+      // cores×minPartitionSize bytes.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

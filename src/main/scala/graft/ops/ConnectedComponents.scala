@@ -60,17 +60,19 @@ object ConnectedComponents {
     val verts = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id")))
       .distinct()
-    // canonical high→low orientation; self-loops carry no connectivity
+    // canonical high→low orientation; self-loops carry no connectivity.
+    // |e| rides the SAME job that materializes the initial edge set (an
+    // `observe` metric on the checkpoint pass — the round-loop pattern
+    // below, applied here too so no separate count job runs; one job per
+    // CC invocation saved, optimization r15).
+    val obs0 = org.apache.spark.sql.Observation()
     var e = raw.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    // |e| tracked across rounds so the fixpoint test needs no second job:
-    // counting the checkpointed RDD is a cheap one-off here, and every
-    // later round reads the count from the SAME job that materializes the
-    // next edge set (an `observe` metric on the checkpoint pass).
-    var prevCount = e.count()
+    var prevCount = obs0.get("n").asInstanceOf[Long]
     var changed = 1L
     while (changed > 0) {
       // large-star over both directions: m(u) = min(N(u) ∪ {u}); every

@@ -775,10 +775,20 @@ object CorpusOpsQueries {
       .select(col("doc_id"), col("sarr"), size(col("sarr")).as("n_shingles"),
         md5(concat_ws("\n", sort_array(col("sarr")))).as("set_hash"))
       .transform(graft.CacheScope.persist)
+    // min/min_by aggregate, not a row_number window (optimization r15 —
+    // the same swap minhashRepPairs/ngramRepPairs got in round 13: no
+    // per-set_hash sort, and partial aggregation ships one sarr per
+    // distinct set per map partition instead of every member's).
+    // Row-identical output (min_by keyed on the unique doc_id picks
+    // exactly the rn=1 member). Not persisted — same recorded negative
+    // as the sibling detectors (caching the sarr-fat frame costs more
+    // than the duplicate aggregation it saves).
     val reps = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("set_hash")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("set_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("sarr"), col("doc_id")).as("sarr"),
+        min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
+      .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
       .transform(graft.CacheScope.persist)
@@ -1050,8 +1060,16 @@ object CorpusOpsQueries {
     for (_ <- 1 to 5) {
       val w = cells.join(v, Seq("j"))
         .groupBy(col("i")).agg(sum(col("c6") * col("vj")).as("w"))
-      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
-      v = w.crossJoin(broadcast(m))
+      // normalizer via a global window, NOT agg + crossJoin(broadcast):
+      // the crossJoin form referenced w TWICE per iteration, doubling
+      // the logical plan each round (measured: 187 Exchange nodes and
+      // ~1.4 s of planning for 5 iterations at 64 dims). The window
+      // references w once, so the plan grows linearly; the frame is 64
+      // rows, so the single-partition window exchange is free. Same
+      // m = max(|w|, 1) value, same rescale arithmetic — bit-identical.
+      v = w
+        .withColumn("m", greatest(max(abs(col("w"))).over(
+          Window.partitionBy()), lit(1L)))
         .select(col("i").as("j"),
           expr("""CASE WHEN w >= 0
                  |  THEN CAST(CAST(w AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)

@@ -72,7 +72,14 @@ object CurationQueries {
       .agg(sum(col("gsz")).as("c_big"))
     val cCtx = big.groupBy(col("lang"), col("w1"))
       .agg(sum(col("gsz")).as("c_ctx"))
-    val vocab = grp.select(col("lang"), explode(col("t")).as("w"))
+    // vocabulary from the PERSISTED bigram stream, not a second pass over
+    // grp (optimization r15): for a >= 2-token doc, w1 covers positions
+    // 1..n-1 and w2 position n (w2s = t[2..n]), so w1 ∪ w2 is exactly the
+    // doc's token set and the per-lang DISTINCT count is unchanged —
+    // while grp (scan + md5 group-collapse + tokenize) no longer runs a
+    // second time for the vocab branch (stage-metrics probe receipt).
+    val vocab = big.select(col("lang"), col("w1").as("w"))
+      .unionByName(big.select(col("lang"), col("w2").as("w")))
       .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
     val logp = cBig
       .join(cCtx, Seq("lang", "w1"))
@@ -540,6 +547,12 @@ object CurationQueries {
       .groupBy(col("d_node"))
       .agg(min_by(col("m_node"), struct(col("dist"), col("m_node")))
         .as("entity_id"))
+      // persisted (optimization r15): `members` (canon + the final agg)
+      // references this subtree twice with different downstream prunings,
+      // so the variant-index join + levenshtein verify ran twice per
+      // execution (stage-metrics probe: two ~identical heavy stages).
+      // One row per matched dirty-name group — metadata-scale.
+      .transform(graft.CacheScope.persist)
     val members = dirty.join(dGroups, Seq("name"))
       .join(best, Seq("d_node"))
       .select(col("entity_id"), col("record_id"), col("name"))

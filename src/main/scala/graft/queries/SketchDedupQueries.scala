@@ -114,6 +114,11 @@ object SketchDedupQueries {
       .agg(min(col("doc_id")).as("doc_id"),
         min_by(col("sarr"), col("doc_id")).as("sarr"))
       .select(col("doc_id"), col("sarr"), col("set_hash"))
+    // NOT persisted (optimization r15, recorded negative): reps is
+    // referenced by the signature chain and the verify join-back, but an
+    // A/B showed caching the sarr-fat frame costs more than the saved
+    // re-aggregation (columnar encoding of string arrays dominates;
+    // q_dedup_agreement execSum 80 s -> 125 s with the persist)
     // all K permutation minima per document in ONE compiled row-grain pass
     // (MinHashSigExpr — the same expression the incremental index uses, so
     // batch-vs-index pairs stay bit-identical) instead of exploding and

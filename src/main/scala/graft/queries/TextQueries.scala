@@ -148,10 +148,18 @@ object TextQueries {
         graft.functions.CharNgramCountsExpr.charNgramCounts(col("s")).as("gm"))
       .filter(size(col("gm")) > 0) // <3-char docs contribute nothing
       .transform(graft.CacheScope.persist) // feeds training counts and scoring
+    // persisted (optimization r15): the training chain references cGl
+    // FOUR times (cL, vocab→vSize, and logp's left join) and each
+    // reference re-ran the map-explode + aggregate over the cached gmap
+    // — a stage-metrics probe showed 4 near-identical heavy stages per
+    // fold. cGl is |langs|×|vocab| rows (charset-bounded, not
+    // corpus-bounded), so the persist is metadata-scale while the
+    // explode-agg it saves is corpus-scale.
     val cGl = gmap
       .select(col("lang").as("l"), col("gsz"),
         explode(col("gm")).as(Seq("g", "cnt")))
       .groupBy(col("l"), col("g")).agg(sum(col("cnt") * col("gsz")).as("c_gl"))
+      .transform(graft.CacheScope.persist)
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vocab = cGl.select(col("g")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
@@ -286,10 +294,15 @@ object TextQueries {
         graft.functions.CharNgramCountsExpr.charNgramCounts(col("s")).as("gm"))
       .filter(size(col("gm")) > 0)
       .transform(graft.CacheScope.persist)
+    // persisted (optimization r15): cL, vSize, and logp all reference
+    // cGl — without the persist each re-ran the map-explode + aggregate
+    // over the cached grp (same finding as q_langid_nb; charset-bounded
+    // rows, corpus-scale recompute saved)
     val cGl = grp
       .select(col("lang").as("l"), col("gsz"),
         explode(col("gm")).as(Seq("g", "cnt")))
       .groupBy(col("l"), col("g")).agg(sum(col("cnt") * col("gsz")).as("c_gl"))
+      .transform(graft.CacheScope.persist)
     val cL = cGl.groupBy(col("l")).agg(sum(col("c_gl")).as("c_l"))
     val vSize = cGl.select(col("g")).distinct().agg(count(lit(1)).as("v"))
     val logp = cGl
@@ -477,6 +490,9 @@ object TextQueries {
         min_by(col("sarr"), col("doc_id")).as("sarr"),
         min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
       .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
+    // NOT persisted (optimization r15, recorded negative): same A/B as
+    // minhashRepPairs — caching the sarr-fat rep frame cost more than
+    // the duplicate aggregation it saved
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
       .transform(graft.CacheScope.persist)

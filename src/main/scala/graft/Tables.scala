@@ -62,6 +62,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Round-robin-spread a scan across the session's cores when the source
+    * collapses to fewer splits than half the available parallelism — the
+    * optimization guide's §2.5 remedy for unsplittable input applied
+    * scale-conditionally. The driver testdata is one parquet file with
+    * ONE row group, so every scan stage is effectively one task and any
+    * compute-dense per-row work (explode + hash, expand for multiple
+    * count-distincts, per-replica fan-out) serializes on one core; a
+    * production table spans many splits, `getNumPartitions` exceeds the
+    * threshold, and this is a no-op. Catalyst pushes column pruning below
+    * Repartition, so the shuffle carries only the columns the consumer
+    * reads. Apply ONLY where the scan stage itself is the measured
+    * bottleneck — the shuffle is not free on cheap queries.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   /** Local session with the same settings the driver uses, for tests/bench.
     *
     * `probeSplits = true` (probe/sentinel entry points only) adds

@@ -74,7 +74,9 @@ object ConnectedComponents {
       .localCheckpoint(true)
     var prevCount = obs0.get("n").asInstanceOf[Long]
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       // large-star over both directions: m(u) = min(N(u) ∪ {u}); every
       // neighbor v > u re-attaches to m. Each undirected edge {a,b}, a<b,
       // is emitted exactly once (from a's star as (b, m(a))), already in
@@ -82,10 +84,16 @@ object ConnectedComponents {
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NO distinct here (optimization r15): duplicates in `large` are
+      // bounded — each bidir row emits at most one (v, m) row, so
+      // |large| <= 2|e| with or without the dedup — mins2's min is
+      // duplicate-insensitive, and the small-star output is distinct'ed
+      // below, so the round's edge SET (and hence the round count and
+      // the result) is identical while a full exchange + aggregate per
+      // round disappears.
       val large = bidir.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star on the high→low output: the group of u holds exactly
       // its smaller neighbors; all of them plus u re-attach to the min.
       val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -121,6 +129,8 @@ object ConnectedComponents {
       e = marked
       prev.unpersist()
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$rounds edges=$prevCount")
     // fixpoint is a star forest centered at component minima: leaves take
     // their center's id, centers (and isolated vertices) take their own
     verts.join(e.select(col("u").as("id"), col("v").as("comp")),

@@ -1097,8 +1097,12 @@ object AnalyticsQueries {
   // declarative form of the one-pass update a streaming implementation
   // would fuse.
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val reps = events(spark, dir)
-      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // spread (optimization r15): the 32-replica fan-out and its per-
+    // (row, replica) md5 ran inside the single-split scan stage — one
+    // core for ~3.2M hashes (probe: 4 tasks, wall ≈ exec). Scale-
+    // conditional no-op on multi-split sources.
+    val reps = spread(events(spark, dir)
+      .select(col("event_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
       .select(col("event_id"), col("cents"),
         explode(expr("sequence(0, 31)")).as("b"))
       .withColumn("u", graft.functions.Md5Hash60Expr.of(concat(

@@ -433,7 +433,11 @@ object CurationQueries {
   // probe output carries est - true per token (>= 0 by construction,
   // asserted in spec).
   def qCountmin(spark: SparkSession, dir: String): DataFrame = {
-    val toksDf = documents(spark, dir)
+    // spread (optimization r15): the token explode feeds both the sketch
+    // cells (one md5 per occurrence) and the truth counts, and ran
+    // inside the single-split scan stage — one core, twice. Scale-
+    // conditional no-op on multi-split sources.
+    val toksDf = spread(documents(spark, dir).select(col("text")))
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     // one md5 per occurrence; hash row r reads digest hex [8r+1, 8r+8]

@@ -469,6 +469,10 @@ object LakeOpsQueries {
   // string-typed so the min/max stringification is engine-portable
   // (doubles would format differently).
   def qProfile(spark: SparkSession, dir: String): DataFrame =
+    // NOT spread (optimization r15, recorded negative): the expand for
+    // the three count-distincts runs in the single-split scan stage, but
+    // a round-robin spread A/B'd 1.15x WORSE solo — the shuffle costs
+    // more than the warm single-threaded expand at this size.
     orders(spark, dir)
       .agg(
         count(lit(1)).as("n"),

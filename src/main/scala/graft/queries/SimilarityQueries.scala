@@ -255,15 +255,23 @@ object SimilarityQueries {
         .agg(max_by(struct(col("cid"), col("v")),
           struct(col("ccos"), negate(col("cid")))).as("best"))
         .select(col("best.cid").as("cid"), col("best.v").as("v"))
+      // re-average in ONE aggregation pass (optimization r15 —
+      // VecMicroSum): the posexplode → groupBy(cid, pos) → sum →
+      // groupBy(cid) collect_list chain shuffled 64 rows per vector
+      // through TWO exchanges per iteration; the array-buffer aggregate
+      // ships one partial per (centroid, map partition) through one.
+      // Arithmetic identical: per-dim micro-unit long sums are the exact
+      // decimal sums, `_2` counts exactly the rows summed, and
+      // cx = round(CAST(sx AS DOUBLE) / n, 6) is the same expression the
+      // per-pos form computed — VecMicroSumSpec pins centroid equality
+      // against the old chain on the real corpus.
+      val vms = udaf(new graft.functions.VecMicroSum(SrcDims))
       cents = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(expr("CAST(round(x, 6) AS DECIMAL(28,6))")).as("sx"),
-          count(lit(1)).as("n"))
-        .withColumn("cx", round(col("sx").cast("double") / col("n"), 6))
         .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
-          .as("cv"))
+        .agg(vms(col("v")).as("s"))
+        .select(col("cid"),
+          expr("transform(s._1, sx -> round(CAST(sx AS DOUBLE) / s._2, 6))")
+            .as("cv"))
     }
     cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
   }

@@ -41,7 +41,8 @@ object StreamingQueries {
 
   private def withStreamConfs[A](spark: SparkSession)(f: => A): A =
     withScopedConf(spark,
-      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.shuffle.partitions" ->
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")(f)
 
   /** Events as a STREAM with `ts` normalized to raw epoch NANOS (long)

@@ -1341,6 +1341,9 @@ object TextQueries {
   // aggregations over one token scan; the c_x/c_y attachments are
   // vocabulary-keyed equi-joins.
   def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (optimization r15, recorded negative): a round-robin
+    // spread of the single-split scan A/B'd 1.43x WORSE solo — the
+    // shuffle outweighs the warm tokenize at this size.
     val t = documents(spark, dir)
       .select(col("doc_id"), toks(lower(col("text"))).as("tk"))
       .withColumn("n", size(col("tk")))

@@ -87,6 +87,20 @@ object SketchDedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** One representative per distinct shingle set, as ONE canonical
+    * aggregate shape — `(doc_id, sarr, n_shingles, set_hash)`, doc_id =
+    * min member, arrays from that member. Shared by minhashRepPairs and
+    * ngramRepPairs so that q_dedup_agreement's two shingle detectors
+    * produce byte-identical subplans over the shared base and the
+    * planner computes the collapse once (ReuseExchange).
+    */
+  private[queries] def setReps(base: DataFrame): DataFrame = base
+    .groupBy(col("set_hash"))
+    .agg(min(col("doc_id")).as("doc_id"),
+      min_by(col("sarr"), col("doc_id")).as("sarr"),
+      min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
+    .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
+
   /** The detector's pre-reassembly pair BLOCKS — `(ha, hb, minhash_est,
     * jaccard)` over distinct-shingle-set hashes, LSH-banded candidates
     * verified at jaccard >= 0.5. Shared by the pair query and the
@@ -109,16 +123,19 @@ object SketchDedupQueries {
     // unique doc_id picks exactly the member rn=1 kept. Measured at
     // 100x from the cached base: 1.05 -> 0.87 s; the real payoff is the
     // shuffle-byte shape under heavy duplication.
-    val reps = base
-      .groupBy(col("set_hash"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("sarr"), col("doc_id")).as("sarr"))
-      .select(col("doc_id"), col("sarr"), col("set_hash"))
+    // setReps, the aggregate SHARED canonically with ngramRepPairs
+    // (optimization r15): q_dedup_agreement runs both detectors over one
+    // persisted base, and when the two rep selections are the identical
+    // expression tree the physical planner reuses one exchange + map-
+    // side aggregate for both instead of re-collapsing the base twice.
+    // (The minhash chain ignores n_shingles; carrying it costs one
+    // min_by(int) partial.)
     // NOT persisted (optimization r15, recorded negative): reps is
     // referenced by the signature chain and the verify join-back, but an
     // A/B showed caching the sarr-fat frame costs more than the saved
     // re-aggregation (columnar encoding of string arrays dominates;
     // q_dedup_agreement execSum 80 s -> 125 s with the persist)
+    val reps = setReps(base)
     // all K permutation minima per document in ONE compiled row-grain pass
     // (MinHashSigExpr — the same expression the incremental index uses, so
     // batch-vs-index pairs stay bit-identical) instead of exploding and
@@ -167,8 +184,11 @@ object SketchDedupQueries {
     // |reps|*sarr bytes versus ~3x for fetch-by-id (two rep shuffles plus
     // the intermediate pair rows carrying one side's array) — join-back
     // is the cheaper shape whenever neither side broadcasts.
+    // n_shingles now rides reps (setReps carries the base's size column,
+    // same value as size(sarr) by construction) — keeps this subtree
+    // canonically identical to ngramRepPairs' repArr for exchange reuse
     val repArr = reps.select(col("doc_id"), col("sarr"),
-      size(col("sarr")).as("n_shingles"), col("set_hash"))
+      col("n_shingles"), col("set_hash"))
     val repPairs = cand
       .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
         col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")

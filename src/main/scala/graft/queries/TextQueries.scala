@@ -484,15 +484,13 @@ object TextQueries {
     // aggregation ships one sarr per distinct set per map partition
     // instead of every member's. Row-identical (min_by on unique doc_id
     // = the rn=1 member).
-    val reps = docs
-      .groupBy(col("set_hash"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("sarr"), col("doc_id")).as("sarr"),
-        min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
-      .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
-    // NOT persisted (optimization r15, recorded negative): same A/B as
-    // minhashRepPairs — caching the sarr-fat rep frame cost more than
-    // the duplicate aggregation it saved
+    // SketchDedupQueries.setReps — the canonical shared rep collapse, so
+    // q_dedup_agreement's two shingle detectors plan byte-identical
+    // subtrees over the shared base and the collapse computes once
+    // (optimization r15). NOT persisted (recorded negative): caching the
+    // sarr-fat rep frame cost more than the duplicate aggregation it
+    // saved.
+    val reps = SketchDedupQueries.setReps(docs)
     val shingles = reps
       .select(col("doc_id"), col("n_shingles"), explode(col("sarr")).as("shingle"))
       .transform(graft.CacheScope.persist)

@@ -25,14 +25,9 @@ object QueryStatsProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val samples = sys.env.getOrElse("SPARK_GRAFT_PROBE_SAMPLES", "1").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the bench's session settings (incl. the AQE coalescing floor) so
+    // stage shapes here match what the bench actually runs
+    val spark = Tables.localSession(cores = cpus.toInt)
 
     // same warmup as Bench so the first probed query isn't charged JVM/
     // codegen startup

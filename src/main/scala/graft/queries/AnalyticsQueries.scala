@@ -823,6 +823,12 @@ object AnalyticsQueries {
       .orderBy(col("ts"), col("event_id"))
     val wDesc = Window.partitionBy(col("user_id"), col("k"))
       .orderBy(col("ts").desc, col("event_id").desc)
+    // convTouch and convs are each referenced FOUR times downstream —
+    // persist those two (per-(user, k) rows, metadata-scale). tagged and
+    // ranked are deliberately NOT persisted (optimization r15, recorded
+    // negative): with all four persisted the cache builds serialized the
+    // DAG and the query read 1.09x WORSE than letting the two window
+    // recomputes overlap; the big win is collapsing the 4x fan-outs.
     val ranked = touches
       .withColumn("rn_first", row_number().over(wAsc))
       .withColumn("rn_last", row_number().over(wDesc))
@@ -830,10 +836,12 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_t"),
         max(when(col("rn_first") === 1, col("event_type"))).as("first_ch"),
         max(when(col("rn_last") === 1, col("event_type"))).as("last_ch"))
+      .transform(graft.CacheScope.persist)
     val chanCounts = ranked.groupBy(col("user_id"), col("k"), col("event_type"))
       .agg(count(lit(1)).as("n_ch"))
     val convs = tagged.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("k"))
+      .transform(graft.CacheScope.persist)
     val firstC = convs.join(convTouch, Seq("user_id", "k"))
       .groupBy(col("first_ch").as("channel"))
       .agg(count(lit(1)).as("first_touch"))

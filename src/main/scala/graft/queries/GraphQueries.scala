@@ -181,9 +181,13 @@ object GraphQueries {
       .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
       .transform(graft.CacheScope.persist)
+    // persisted (optimization r15): deg is joined once per endpoint and
+    // the union + count re-ran per reference (stage-metrics probe:
+    // paired heavy stages); one long per node — metadata-scale
     val deg = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .transform(graft.CacheScope.persist)
     edges
       .join(deg.select(col("node").as("src"), col("deg").as("xd")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("yd")), "dst")

@@ -1118,9 +1118,17 @@ object TextQueries {
         sum(when(col("boundary"), 1L).otherwise(0L)).over(
           Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(!col("boundary"))
-    val plen = ph.groupBy(col("doc_id"), col("phrase_id"))
-      .agg(count(lit(1)).as("plen"))
-    ph.join(plen, Seq("doc_id", "phrase_id"))
+    // plen attached per ROW via an unbounded count window over
+    // (doc_id, phrase_id) — NOT groupBy + join back (optimization r15):
+    // the join form re-ran the whole tokenize + posexplode + running-sum
+    // chain for the plen side (stage-metrics probe: two ~identical ~10 s
+    // stages), while the window reuses the doc_id hash partitioning the
+    // phrase_id window already established (hash on a subset of the
+    // clustering keys satisfies the distribution), so it adds one sort,
+    // no exchange, no second pass. plen per row = the phrase's count —
+    // identical to the joined value.
+    ph.withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("phrase_id"))))
       .groupBy(col("tok").as("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .select(col("word"), col("freq"), col("degree"),

@@ -230,6 +230,48 @@ object SimilarityQueries {
   private[queries] val IvfIters = 2
   private[queries] val IvfNprobe = 2
 
+  /** The centroid table as ONE row holding the cid-sorted
+    * `array<struct<cid, cv, cnorm>>` — the broadcastable form the
+    * per-row argmax/probe expressions fold over. sort_array pins the
+    * collect_list order (cids are distinct, so the struct order is the
+    * cid order and deterministic).
+    */
+  private[queries] def centArray(cents: DataFrame): DataFrame =
+    cents
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv"), col("cnorm"))))
+        .as("cs"))
+
+  /** Per-row argmax centroid over the single-row [[centArray]] column —
+    * the assignment step WITHOUT a shuffle (optimization r16): the old
+    * broadcast-join + groupBy(vec_id).agg(max_by) form shuffled one row
+    * PER VECTOR per use (vec_id is unique, so partial aggregation cannot
+    * collapse anything — a full-corpus exchange each Lloyd iteration,
+    * another in the index build). Folding the argmax over the broadcast
+    * centroid array keeps assignment entirely map-side.
+    *
+    * Ordering is bit-identical to `max_by(struct(ccos, -cid))`: the fold
+    * walks cids ASCENDING (centArray sorts) and replaces only on a STRICT
+    * ccos improvement, so ties keep the smaller cid; NaN (zero-norm
+    * embedding) ranks LARGEST exactly like Spark's struct max ordering —
+    * the explicit isnan branches say so rather than falling through to
+    * `>` (which is false for NaN on either side).
+    */
+  private def argmaxCid(cs: Column, v: Column, norm: Column): Column = {
+    val scored = transform(cs, c => struct(
+      round(dot(v, c.getField("cv")) / (norm * c.getField("cnorm")), 5).as("ccos"),
+      c.getField("cid").as("cid")))
+    aggregate(
+      scored,
+      struct(lit(Double.NegativeInfinity).as("ccos"), lit(Long.MinValue).as("cid")),
+      (acc, x) => {
+        val xc = x.getField("ccos"); val ac = acc.getField("ccos")
+        when((isnan(xc) && !isnan(ac)) || (!isnan(xc) && !isnan(ac) && xc > ac), x)
+          .otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+  }
+
   /** Lloyd refinement: `iters` rounds of assign + decimal-mean update
     * starting from the vec_id < IvfCentroidSample sample. Returns
     * (cid, cv, cnorm); a centroid whose list empties drops out (its
@@ -239,22 +281,11 @@ object SimilarityQueries {
     var cents = e.filter(col("vec_id") < IvfCentroidSample)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      val cn = cents.withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
-      // argmax centroid as ONE map-side-combinable aggregate: the 16-way
-      // crossed frame collapses to a row per vector BEFORE the shuffle
-      // (partial max_by in the scan stage), so assignment shuffles N rows
-      // per iteration — the window-rank form it replaced shuffled the full
-      // 16N crossed frame. Tiebreak min-cid is encoded as max of
-      // (ccos, -cid), the exact order the window's (ccos DESC, cid ASC) had.
-      val assigned = e.as("a")
-        .join(broadcast(cn).as("b"), lit(true))
-        .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"),
-          col("b.cid").as("cid"),
-          round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cid"), col("v")),
-          struct(col("ccos"), negate(col("cid")))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.v").as("v"))
+      // per-row argmax over the broadcast centroid array — assignment is
+      // map-side only; the re-average below is the iteration's ONE
+      // exchange (16 partial arrays per map partition)
+      val assigned = e.crossJoin(broadcast(centArray(cents)))
+        .select(argmaxCid(col("cs"), col("v"), col("norm")).as("cid"), col("v"))
       // re-average in ONE aggregation pass (optimization r15 —
       // VecMicroSum): the posexplode → groupBy(cid, pos) → sum →
       // groupBy(cid) collect_list chain shuffled 64 rows per vector
@@ -277,21 +308,15 @@ object SimilarityQueries {
   }
 
   /** Index side: top-1 trained-centroid assignment per vector —
-    * (vec_id, cid, v, norm) — with the same map-side `max_by` collapse as
-    * training (the 16-way crossed frame reduces to one row per vector
-    * BEFORE the shuffle). Shared by the IVF search and SemDeDup.
+    * (vec_id, cid, v, norm) — via the same shuffle-free per-row argmax
+    * as training (optimization r16: the broadcast-join + groupBy(vec_id)
+    * form shuffled the whole corpus once more just to pick each row's
+    * max). Shared by the IVF search and SemDeDup.
     */
   private[queries] def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.as("a")
-      .join(broadcast(centroids).as("b"), lit(true))
-      .select(col("a.vec_id").as("vec_id"), col("a.v").as("v"), col("a.norm").as("norm"),
-        col("b.cid").as("cid"),
-        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("v"), col("norm")),
-        struct(col("ccos"), negate(col("cid")))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"),
-        col("best.v").as("v"), col("best.norm").as("norm"))
+    e.crossJoin(broadcast(centArray(centroids)))
+      .select(col("vec_id"), argmaxCid(col("cs"), col("v"), col("norm")).as("cid"),
+        col("v"), col("norm"))
 
   def qSimIvfWith(iters: Int, nprobe: Int = IvfNprobe)(
       spark: SparkSession, dir: String): DataFrame = {
@@ -301,29 +326,31 @@ object SimilarityQueries {
     // multi-probe: each query searches its `nprobe` highest-cosine lists,
     // the standard IVF recall lever (a true neighbor often sits just over
     // a Voronoi boundary in the SECOND-nearest list). The probe pick is a
-    // collect_list + comparator sort over the 16 centroid candidates —
-    // still map-side combinable, and queries are a vanishing fraction of
-    // the corpus. Explicit CASE comparator, not a negated double sort key,
-    // so ordering matches the oracle's (ccos DESC, cid ASC) exactly —
-    // including NaN (a zero-norm embedding): both Spark's struct ordering
-    // and DuckDB's sort treat NaN as LARGEST, so NaN sorts first under
-    // DESC; the comparator says so explicitly rather than falling through
-    // to the cid tiebreak.
-    val probes = e.filter(col("vec_id") % 400 === 0).as("a")
-      .join(broadcast(centroids).as("b"), lit(true))
-      .select(col("a.vec_id").as("query_id"), col("b.cid").as("cid"),
-        round(dot(col("a.v"), col("b.cv")) / (col("a.norm") * col("b.cnorm")), 5).as("ccos"))
-      .groupBy(col("query_id"))
-      .agg(collect_list(struct(col("ccos"), col("cid"))).as("cands"))
-      .select(col("query_id"), explode(expr(
+    // per-row comparator sort over the broadcast centroid array
+    // (optimization r16: the collect_list + groupBy(query_id) form
+    // shuffled one row per (query, centroid) just to regroup what each
+    // row already had; the in-row form also keeps v/norm on the row, so
+    // the join-back that re-fetched them is gone). `cands` holds the
+    // same (ccos, cid) structs the collect_list built. Explicit CASE
+    // comparator, not a negated double sort key, so ordering matches the
+    // oracle's (ccos DESC, cid ASC) exactly — including NaN (a zero-norm
+    // embedding): both Spark's struct ordering and DuckDB's sort treat
+    // NaN as LARGEST, so NaN sorts first under DESC; the comparator says
+    // so explicitly rather than falling through to the cid tiebreak.
+    val queriesSet = e.filter(col("vec_id") % 400 === 0)
+      .crossJoin(broadcast(centArray(centroids)))
+      .select(col("vec_id").as("query_id"), col("v"), col("norm"),
+        transform(col("cs"), c => struct(
+          round(dot(col("v"), c.getField("cv")) / (col("norm") * c.getField("cnorm")), 5)
+            .as("ccos"),
+          c.getField("cid").as("cid"))).as("cands"))
+      .select(col("query_id"), col("v"), col("norm"), explode(expr(
         s"""transform(slice(array_sort(cands, (l, r) -> CASE
            |  WHEN isnan(l.ccos) AND NOT isnan(r.ccos) THEN -1
            |  WHEN isnan(r.ccos) AND NOT isnan(l.ccos) THEN 1
            |  WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
            |  WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1
            |  ELSE 0 END), 1, $nprobe), c -> c.cid)""".stripMargin)).as("pcid"))
-    val queriesSet = probes.join(
-      e.select(col("vec_id").as("query_id"), col("v"), col("norm")), "query_id")
     queriesSet.as("a")
       .join(assigned.as("b"),
         col("a.pcid") === col("b.cid") && col("a.query_id") =!= col("b.vec_id"))

@@ -66,6 +66,24 @@ object CacheScope {
     df
   }
 
+  /** [[persist]] + immediate materialization (`count()` populates every
+    * cached partition). For frames consumed by SEVERAL independent
+    * exchange subtrees of one query: AQE materializes those subtrees
+    * CONCURRENTLY, and concurrent first readers of a lazily-persisted
+    * frame each recompute its partitions from source (the storage layer
+    * keeps one copy — "Block rdd already exists" — but the compute is
+    * paid per reader; measured 2-4 duplicate corpus passes inside
+    * q_dedup_agreement, optimization r16). Eager population runs the
+    * build exactly once, before the branches fan out. Still inside the
+    * per-execution cache scope — drained like every other persist, so
+    * nothing survives across bench samples.
+    */
+  def persistEager(df: DataFrame): DataFrame = {
+    val out = persist(df)
+    out.count()
+    out
+  }
+
   /** Unpersist (blocking, so storage accounting is deterministic) every
     * frame registered for `spark` and forget them.
     */

@@ -101,12 +101,46 @@ object SketchDedupQueries {
       min_by(col("n_shingles"), col("doc_id")).as("n_shingles"))
     .select(col("doc_id"), col("sarr"), col("n_shingles"), col("set_hash"))
 
+  /** Exact-Jaccard verification of candidate representative pairs: fetch
+    * both sides' shingle arrays by rep doc id, one `array_intersect` per
+    * pair. `cand` must carry `doc_a`/`doc_b` (rep doc ids from the same
+    * [[setReps]] collapse); any extra cand columns ride through. Emits
+    * cand's columns plus (ha, hb, common, jaccard) — the caller applies
+    * its own threshold. Shared by both shingle detectors AND by
+    * q_dedup_agreement's cross-detector candidate union (optimization
+    * r16), so the audit pays the join-back + intersection once per
+    * distinct candidate pair instead of once per detector.
+    */
+  private[queries] def verifyShingleCand(
+      cand: DataFrame, reps: DataFrame): DataFrame = {
+    val repArr = reps.select(col("doc_id"), col("sarr"), col("n_shingles"),
+      col("set_hash"))
+    cand
+      .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
+        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
+      .join(repArr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"),
+        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+  }
+
   /** The detector's pre-reassembly pair BLOCKS — `(ha, hb, minhash_est,
     * jaccard)` over distinct-shingle-set hashes, LSH-banded candidates
     * verified at jaccard >= 0.5. Shared by the pair query and the
     * block-grain agreement audit.
     */
-  private[queries] def minhashRepPairs(base: DataFrame): DataFrame = {
+  private[queries] def minhashRepPairs(base: DataFrame): DataFrame =
+    verifyShingleCand(minhashCand(base), setReps(base))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("ha"), col("hb"), col("minhash_est"), col("jaccard"))
+
+  /** The LSH-banded candidate pairs `(doc_a, doc_b, minhash_est)` over
+    * [[setReps]] representatives — the detector's own generation stage,
+    * split from verification so the agreement audit can verify a
+    * cross-detector candidate union once.
+    */
+  private[queries] def minhashCand(base: DataFrame): DataFrame = {
     // identical-set collapse (same technique as qDedupNgramJaccard): the
     // signature/banding/verify pipeline runs on one representative per
     // distinct shingle set — k exact copies of a doc would otherwise
@@ -159,47 +193,23 @@ object SketchDedupQueries {
     val estExpr = ((0 until K)
       .map(i => when(m("a", i) === m("b", i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / K).as("minhash_est")
-    val cand = bands.as("a")
+    // The verify stage this feeds (verifyShingleCand) fetches arrays by
+    // rep id — deliberately NOT the payload-carrying band join the
+    // incremental path uses (IncrementalDedupQueries.pairsFromBatchBands):
+    // that shape wins there because the batch side BROADCASTS, making the
+    // index side shuffle-free. Here both band sides are the same full rep
+    // frame, so carrying sarr through the 4-band self-join would shuffle
+    // ~8x |reps|*sarr bytes versus ~3x for fetch-by-id — join-back is the
+    // cheaper shape whenever neither side broadcasts. A zero-overlap
+    // candidate scores jaccard 0 and falls to the detector's >= 0.5
+    // filter.
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), estExpr)
       .distinct()
       .transform(graft.CacheScope.persist) // joined twice in the verify stage
-
-    // verify stage: exact Jaccard, restricted to LSH candidates
-    // (representatives only). The overlap is size(array_intersect) of the
-    // two (distinct) shingle arrays fetched per candidate pair — one
-    // per-row set intersection instead of a posting-list self-join plus a
-    // counting shuffle; with the signature also computed at row grain,
-    // the shingle explode disappears from this detector entirely. A
-    // zero-overlap candidate scores jaccard 0 and falls to the same
-    // >= 0.5 filter that the old inner join on the counting agg implied.
-    //
-    // Deliberately NOT the payload-carrying band join the incremental
-    // path uses (IncrementalDedupQueries.pairsFromBatchBands): that shape
-    // wins there because the batch side BROADCASTS, making the index side
-    // shuffle-free. Here both band sides are the same full rep frame, so
-    // carrying sarr through the 4-band self-join would shuffle ~8x
-    // |reps|*sarr bytes versus ~3x for fetch-by-id (two rep shuffles plus
-    // the intermediate pair rows carrying one side's array) — join-back
-    // is the cheaper shape whenever neither side broadcasts.
-    // n_shingles now rides reps (setReps carries the base's size column,
-    // same value as size(sarr) by construction) — keeps this subtree
-    // canonically identical to ngramRepPairs' repArr for exchange reuse
-    val repArr = reps.select(col("doc_id"), col("sarr"),
-      col("n_shingles"), col("set_hash"))
-    val repPairs = cand
-      .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
-        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
-      .join(repArr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"),
-        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("ha"), col("hb"), col("minhash_est"), col("jaccard"))
-    repPairs
   }
 
   val qDedupMinhashLshOracle: String = minhashPairsSql("")
@@ -931,19 +941,62 @@ object SketchDedupQueries {
     // block frames the attempt extracted (ngramRepPairs /
     // minhashRepPairs / simhashSigAndRepPairs) stay, since the pair
     // queries now share them.
-    val base = shingleBase(documents(spark, dir)).transform(graft.CacheScope.persist)
-    val tagged = Seq(
-      "truth" -> TextQueries.ngramJaccardPairsFrom(base),
-      "minhash_lsh" -> minhashPairsFrom(base),
-      "simhash" -> qDedupSimhash(spark, dir))
-      .map { case (src, df) =>
-        df.select(col("doc_a"), col("doc_b"), lit(src).as("src")) }
-      .reduce(_ unionByName _)
-    val flags = tagged.groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        max(when(col("src") === "truth", 1L).otherwise(0L)).as("t"),
-        max(when(col("src") === "minhash_lsh", 1L).otherwise(0L)).as("l"),
-        max(when(col("src") === "simhash", 1L).otherwise(0L)).as("s"))
+    // persistEager, not persist (optimization r16): the three detector
+    // branches materialize concurrently under AQE, and each concurrent
+    // first reader of the lazily-cached base recomputed the tokenize+
+    // shingle pass from source (ScanCountProbe: 4 corpus-scan stages of
+    // 15-27 s execSum in one fold). Populating the cache up front runs
+    // that pass once.
+    val base = shingleBase(documents(spark, dir)).transform(graft.CacheScope.persistEager)
+    // Cross-detector FUSED verify (optimization r16): the ngram and
+    // minhash generators share setReps and the verify join-back shape,
+    // and their candidate sets overlap heavily (both find the same
+    // near-dups). Union the two candidate sets, fetch arrays and compute
+    // the exact intersection ONCE per distinct candidate pair, and derive
+    // each detector's block membership from its own candidate flag +
+    // threshold — one verify pass instead of two. Semantics identical:
+    // ngram blocks are prefix-filter candidates at jaccard >= 0.6 (the
+    // lossless truth set), minhash blocks LSH candidates at >= 0.5; a
+    // minhash-only candidate can never reach the truth set (the prefix
+    // filter is lossless at 0.6, so every >= 0.6 pair is an ngram
+    // candidate too), and the ng flag enforces it structurally anyway.
+    val cands = TextQueries.ngramCand(base)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("ng"),
+        lit(null).cast("double").as("minhash_est"))
+      .unionByName(minhashCand(base)
+        .select(col("doc_a"), col("doc_b"), lit(0L).as("ng"), col("minhash_est")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("ng")).as("ng"), max(col("minhash_est")).as("minhash_est"))
+    val blocks = verifyShingleCand(cands, setReps(base))
+      .select(col("ha"), col("hb"),
+        when(col("ng") === 1L && col("jaccard") >= 0.6, 1L).otherwise(0L).as("t"),
+        when(col("minhash_est").isNotNull && col("jaccard") >= 0.5, 1L)
+          .otherwise(0L).as("l"))
+      .filter(col("t") === 1L || col("l") === 1L)
+    // expand blocks to member pairs ONCE (each detector used to run the
+    // identical members join-back separately); within-group pairs
+    // (identical shingle sets) belong to BOTH shingle detectors by
+    // construction (jaccard exactly 1 >= both thresholds).
+    val members = base.select(col("set_hash"), col("doc_id"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.set_hash") === col("y.set_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1L).as("t"), lit(1L).as("l"), lit(0L).as("s"))
+    val cross = blocks
+      .join(members.as("ma"), col("ma.set_hash") === col("ha"))
+      .join(members.as("mb"), col("mb.set_hash") === col("hb"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("t"), col("l"), lit(0L).as("s"))
+    val sh = qDedupSimhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        lit(0L).as("t"), lit(0L).as("l"), lit(1L).as("s"))
+    val flags = within.unionByName(cross).unionByName(sh)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("t")).as("t"), max(col("l")).as("l"), max(col("s")).as("s"))
     flags
       .agg(
         coalesce(sum(col("t")), lit(0L)).as("n_truth"),

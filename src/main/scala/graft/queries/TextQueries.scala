@@ -468,7 +468,28 @@ object TextQueries {
     * the pair query (which expands blocks to member pairs) and the
     * block-grain agreement audit (which never expands).
     */
-  private[queries] def ngramRepPairs(docs: DataFrame): DataFrame = {
+  private[queries] def ngramRepPairs(docs: DataFrame): DataFrame =
+    // verify: exact overlap over full shingle sets, candidates only —
+    // representatives only, so volume scales with distinct content.
+    // The overlap is size(array_intersect) of the two (distinct) shingle
+    // arrays fetched per candidate pair — one per-row set intersection
+    // instead of a posting-list self-join + counting shuffle (measured
+    // 4x the stage cost at sf0.1 for identical rows; the join moves the
+    // same bytes either way, the groupBy and the two counts joins
+    // disappear). Shared shape: SketchDedupQueries.verifyShingleCand —
+    // q_dedup_agreement verifies the UNION of both shingle detectors'
+    // candidates through one pass of it (optimization r16).
+    SketchDedupQueries
+      .verifyShingleCand(ngramCand(docs), SketchDedupQueries.setReps(docs))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("ha"), col("hb"), col("jaccard"))
+
+  /** The lossless prefix-filter candidate pairs `(doc_a, doc_b)` over
+    * [[SketchDedupQueries.setReps]] representatives — the detector's own
+    * generation stage, split from verification so the agreement audit
+    * can verify a cross-detector candidate union once.
+    */
+  private[queries] def ngramCand(docs: DataFrame): DataFrame = {
     // Identical-set collapse: dedup corpora are duplicate-heavy by
     // definition, and exact copies are poison for ALL-pairs candidate
     // generation — k copies of a doc multiply every posting list by k and
@@ -506,7 +527,7 @@ object TextQueries {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .filter(col("rk") <= col("n_shingles") - expr("(n_shingles * 3 + 4) div 5") + 1)
       .select(col("doc_id"), col("shingle"), col("n_shingles"))
-    val cand = prefixes.as("a")
+    prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
           // length filter, integer-exact: min*5 >= max*3
@@ -514,28 +535,6 @@ object TextQueries {
              >= greatest(col("a.n_shingles"), col("b.n_shingles")) * 3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    // verify: exact overlap over full shingle sets, candidates only —
-    // representatives only, so volume scales with distinct content.
-    // The overlap is size(array_intersect) of the two (distinct) shingle
-    // arrays fetched per candidate pair — one per-row set intersection
-    // instead of a posting-list self-join + counting shuffle (measured
-    // 4x the stage cost at sf0.1 for identical rows; the join moves the
-    // same bytes either way, the groupBy and the two counts joins
-    // disappear).
-    val repArr = reps.select(col("doc_id"), col("sarr"), col("n_shingles"),
-      col("set_hash"))
-    val repPairs = cand
-      .join(repArr.select(col("doc_id").as("doc_a"), col("sarr").as("sa"),
-        col("n_shingles").as("na"), col("set_hash").as("ha")), "doc_a")
-      .join(repArr.select(col("doc_id").as("doc_b"), col("sarr").as("sb"),
-        col("n_shingles").as("nb"), col("set_hash").as("hb")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("ha"), col("hb"), col("jaccard"))
-    repPairs
   }
 
   val qDedupNgramJaccardOracle: String =

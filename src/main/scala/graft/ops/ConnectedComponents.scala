@@ -124,10 +124,43 @@ object ConnectedComponents {
       val n = m("n").asInstanceOf[Long]
       val newOnly = m("new_only").asInstanceOf[Long]
       changed = newOnly + (prevCount - (n - newOnly))
+      val nStable = n == prevCount
       prevCount = n
       val prev = e
       e = marked
       prev.unpersist()
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$rounds n=$n changed=$changed")
+      // Star-forest early exit (optimization r16): the alternation's
+      // fixpoints are EXACTLY star forests centered at component minima —
+      // the high→low orientation makes every star center its component's
+      // min, and a star forest maps to itself under both steps (large-star
+      // re-emits each (leaf, m) unchanged, small-star re-attaches each
+      // leaf to the same m) — so the set-stability test above always pays
+      // one full confirming round after the set first becomes a star
+      // forest. Test the new set directly instead: star forest ⟺ every
+      // u appears exactly once AND no vertex is on both sides. One small
+      // aggregate over the (checkpointed, contracted) set replaces a full
+      // round over it — measured rounds 5→4 on the q_er_clusters graph;
+      // result identical because the loop would only ever re-confirm this
+      // exact set. GATED on the edge count holding steady across the
+      // round (the final contraction typically rewrites attachments
+      // without changing |e|): an unconditional per-round test measured
+      // NEGATIVE at sf0.1 (family A/B 1.13x — R-1 extra dispatch-bound
+      // jobs outweigh the one saved round on sub-MB graphs); the n-stable
+      // gate pays the test only in rounds where the fixpoint is likely.
+      if (changed > 0 && nStable) {
+        val bad = e.select(col("u"), lit(1L).as("s"))
+          .union(e.select(col("v").as("u"), lit(0L).as("s")))
+          .groupBy(col("u"))
+          .agg(sum(col("s")).as("cu"), min(col("s")).as("mi"))
+          .filter(col("cu") > 1L || (col("cu") >= 1L && col("mi") === 0L))
+        if (bad.isEmpty) {
+          changed = 0
+          if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+            System.err.println(s"[cc] round=$rounds star-forest early exit")
+        }
+      }
     }
     if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] rounds=$rounds edges=$prevCount")

@@ -29,6 +29,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
   }
 
+  test("deep tree: star-forest early exit stays exact when |e| is round-stable") {
+    // (i, i/2) edges form one tree rooted at 1; every round rewrites
+    // attachments toward the root while the edge COUNT stays constant —
+    // the regime where the n-stable gate runs the star-forest test
+    // mid-loop (optimization r16). The exit may only fire at the true
+    // fixpoint: every vertex must still label to the global min.
+    val edges = (2L to 32L).map(i => (i, i / 2))
+    val got = run(edges: _*)
+    assert(got == (1L to 32L).map(_ -> 1L).toMap)
+  }
+
   test("random graphs agree with a union-find reference (seeded)") {
     // in-memory union-find as the independent oracle
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -43,6 +43,16 @@ object StreamingQueries {
     withScopedConf(spark,
       "spark.sql.shuffle.partitions" ->
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+      // state-store provider, env-overridable (optimization r16): the
+      // RocksDB provider was A/B'd across all 12 streaming queries
+      // (SPARK_GRAFT_STREAM_STATESTORE_PROVIDER=
+      // org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider)
+      // — see OPTIMIZATION_r16.md for the numbers; the default stays
+      // whatever won. At production state volumes RocksDB's spill-to-disk
+      // beats the in-memory HDFS-backed map; size via this knob.
+      "spark.sql.streaming.stateStore.providerClass" ->
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATESTORE_PROVIDER",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
       "spark.sql.legacy.parquet.nanosAsLong" -> "true")(f)
 
   /** Events as a STREAM with `ts` normalized to raw epoch NANOS (long)

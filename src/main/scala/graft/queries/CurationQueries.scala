@@ -70,16 +70,25 @@ object CurationQueries {
       .transform(graft.CacheScope.persist) // feeds bigram counts, context counts, and scoring
     val cBig = big.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(sum(col("gsz")).as("c_big"))
-    val cCtx = big.groupBy(col("lang"), col("w1"))
-      .agg(sum(col("gsz")).as("c_ctx"))
-    // vocabulary from the PERSISTED bigram stream, not a second pass over
-    // grp (optimization r15): for a >= 2-token doc, w1 covers positions
-    // 1..n-1 and w2 position n (w2s = t[2..n]), so w1 ∪ w2 is exactly the
-    // doc's token set and the per-lang DISTINCT count is unchanged —
-    // while grp (scan + md5 group-collapse + tokenize) no longer runs a
-    // second time for the vocab branch (stage-metrics probe receipt).
-    val vocab = big.select(col("lang"), col("w1").as("w"))
-      .unionByName(big.select(col("lang"), col("w2").as("w")))
+      // vocabulary²-bounded per language, referenced by cCtx, vocab and
+      // the logp join — metadata scale, safe to cache (unlike the fat
+      // bigram stream, whose duplicate-aggregation trade was measured)
+      .transform(graft.CacheScope.persist)
+    // context counts FROM the bigram counts, not a second pass over the
+    // bigram stream (optimization r16, guide §1.2): c_ctx(lang, w1) =
+    // Σ_w2 c_big(lang, w1, w2) by definition — the re-aggregation runs
+    // over the vocabulary²-bounded count table instead of shuffling the
+    // corpus-scale stream a second time.
+    val cCtx = cBig.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c_big")).as("c_ctx"))
+    // vocabulary from the bigram COUNT table, not the stream (r15 moved
+    // it off grp; r16 moves it off big too): distinct-union is
+    // multiplicity-insensitive, so w1 ∪ w2 over distinct (lang, w1, w2)
+    // rows is exactly the token set — for a >= 2-token doc, w1 covers
+    // positions 1..n-1 and w2 position n, and the per-lang DISTINCT
+    // count is unchanged.
+    val vocab = cBig.select(col("lang"), col("w1").as("w"))
+      .unionByName(cBig.select(col("lang"), col("w2").as("w")))
       .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
     val logp = cBig
       .join(cCtx, Seq("lang", "w1"))

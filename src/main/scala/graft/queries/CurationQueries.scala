@@ -572,18 +572,24 @@ object CurationQueries {
       .unionByName(cust
         .select(col("c_custkey").as("entity_id"),
           col("c_custkey").as("record_id"), col("c_name").as("name")))
-    val canon = members
+    // ONE two-level aggregation over members (optimization r16): the
+    // canonical-name mode and the record stats both fold out of the
+    // per-(entity, name) counts — n_records = Σ cnt, master_id = min of
+    // the per-name min record_id — so the separate canon/stats passes
+    // (each re-running the un-persisted members union + joins) and their
+    // join-back collapse into a single pass. Same rules: mode with
+    // lexicographic tie, smallest member id, entities with > 1 record.
+    members
       .groupBy(col("entity_id"), col("name"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), min(col("record_id")).as("mid"))
       .groupBy(col("entity_id"))
       .agg(
         min_by(col("name"), struct((-col("cnt")).as("nc"), col("name")))
           .as("canonical_name"),
-        count(lit(1)).as("n_names"))
-    members.groupBy(col("entity_id"))
-      .agg(count(lit(1)).as("n_records"), min(col("record_id")).as("master_id"))
+        count(lit(1)).as("n_names"),
+        sum(col("cnt")).as("n_records"),
+        min(col("mid")).as("master_id"))
       .filter(col("n_records") > 1)
-      .join(canon, Seq("entity_id"))
       .select(col("entity_id"), col("master_id"), col("n_records"),
         col("n_names"), col("canonical_name"))
       .orderBy(col("entity_id"))

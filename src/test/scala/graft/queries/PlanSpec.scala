@@ -89,18 +89,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
   }
 
-  test("IVF: centroid assignment aggregates map-side — no window exchange") {
+  test("IVF: centroid assignment is map-side only — no vec_id exchange") {
     val plan = formatted(SimilarityQueries.qSimIvf(spark, sf))
     // the ONLY Window in the whole plan is the final per-query top-k
     // rank (WindowGroupLimit nodes are its rank-limit pushdown, not
     // windows); every argmax-centroid pick (training iterations, index
-    // assignment, probe selection) must be an aggregate with a partial
-    // phase, not a row_number over the 16-way crossed frame (that shape
-    // shuffled 16N rows per Lloyd iteration)
+    // assignment, probe selection) folds over the broadcast centroid
+    // array PER ROW (optimization r16) — no groupBy(vec_id) aggregate,
+    // hence no corpus-keyed exchange anywhere (the max_by form it
+    // replaced shuffled one row per vector per use, since vec_id is
+    // unique and partial aggregation collapsed nothing)
     val windowIds = raw"\((\d+)\) Window\b".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(windowIds.size == 1, s"expected 1 window (final top-k), got $windowIds")
-    assert(plan.contains("partial_max_by"))
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "centroid assignment must not shuffle the corpus by vec_id")
   }
 
   test("SemDeDup: within-cluster pair join is an equi-join on cid") {

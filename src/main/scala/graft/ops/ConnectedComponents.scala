@@ -125,6 +125,7 @@ object ConnectedComponents {
       val newOnly = m("new_only").asInstanceOf[Long]
       changed = newOnly + (prevCount - (n - newOnly))
       val nStable = n == prevCount
+      val bigDrop = n * 2 <= prevCount
       prevCount = n
       val prev = e
       e = marked
@@ -147,9 +148,12 @@ object ConnectedComponents {
       // round (the final contraction typically rewrites attachments
       // without changing |e|): an unconditional per-round test measured
       // NEGATIVE at sf0.1 (family A/B 1.13x — R-1 extra dispatch-bound
-      // jobs outweigh the one saved round on sub-MB graphs); the n-stable
-      // gate pays the test only in rounds where the fixpoint is likely.
-      if (changed > 0 && nStable) {
+      // jobs outweigh the one saved round on sub-MB graphs); the gate
+      // pays the test only in rounds where the fixpoint is likely —
+      // count-stable, OR a >= 2x contraction (a duplicate-saturated
+      // graph's final collapse: the simhash corpus graph reaches its
+      // star forest in the round that drops 55k -> 12.4k edges).
+      if (changed > 0 && (nStable || bigDrop)) {
         val bad = e.select(col("u"), lit(1L).as("s"))
           .union(e.select(col("v").as("u"), lit(0L).as("s")))
           .groupBy(col("u"))
